@@ -1,0 +1,538 @@
+package graft.kg
+
+import scala.collection.mutable
+
+import graft.kg.Model._
+import graft.nlp.RuleNlp
+import graft.nlp.RuleNlp.{Chunk, Parse, Tok}
+import graft.kg.Normalizer.Mention
+
+/** The per-document KG-construction kernel: segments → context docs →
+  * annotators (fixed order) → 9-step graph build → triples.
+  *
+  * Pure Scala, zero Spark dependencies — invoked from `mapGroups` by the
+  * pipeline and directly by unit tests (the reference pipeline's
+  * init_document → run_annotators → build_graph collapses into this one
+  * function because every graph is per-document and tiny; SURVEY.md §7).
+  *
+  * Annotator order is semantic (run_annotators.py:28-37): Subsumption →
+  * Coreference → Collection → Purpose → List → Subject. Collection's type
+  * validation consumes SUBSUM/COREF edges; Purpose/Subject consume
+  * COLLECT-family edges.
+  */
+object DocKernel {
+
+  /** One context-expanded document: token array (with ancestor headings
+    * joined by blank lines, list parents by ":"), provenance per token, and
+    * its parses. */
+  final case class CtxDoc(
+      segId: Int,
+      toks: Vector[Tok],
+      srcs: Vector[Option[Src]],
+      parses: Vector[Parse])
+
+  final case class DocState(
+      url: String,
+      segs: Vector[Segment],
+      docs: Vector[CtxDoc]) {
+    // token-relationship graph: insertion-ordered distinct (src, dst, rel)
+    val edges = mutable.LinkedHashSet[(Src, Src, String)]()
+    val sentText = mutable.Map[Src, String]()
+    val mentions = mutable.Map[Src, Mention]()
+    val purposeText = mutable.Map[Src, String]()
+    val subjects = mutable.Map[Src, String]()
+
+    def link(d: CtxDoc, p: Parse, tok1: Int, tok2: Int, rel: String): Unit = {
+      (d.srcs(tok1), d.srcs(tok2)) match {
+        case (Some(s1), Some(s2)) =>
+          edges += ((s1, s2, rel))
+          sentText.getOrElseUpdate(s1, p.text)
+          sentText.getOrElseUpdate(s2, p.text)
+          recordMention(d, p, tok1, s1)
+          recordMention(d, p, tok2, s2)
+        case _ =>
+      }
+    }
+
+    def linkSrc(s1: Src, s2: Src, rel: String): Unit = edges += ((s1, s2, rel))
+
+    def recordMention(d: CtxDoc, p: Parse, tok: Int, s: Src): Unit =
+      if (!mentions.contains(s)) {
+        p.chunkOf(tok) match {
+          case Some(c) =>
+            mentions(s) = Mention(d.toks.slice(c.start, c.end), tok - c.start, d.toks(tok).ner)
+          case None =>
+            mentions(s) = Mention(Vector(d.toks(tok)), 0, d.toks(tok).ner)
+        }
+      }
+
+    def inEdges(s: Src): Iterator[(Src, Src, String)] = edges.iterator.filter(_._2 == s)
+    def outEdges(s: Src): Iterator[(Src, Src, String)] = edges.iterator.filter(_._1 == s)
+    def allLinks(s: Src): Iterator[(Src, Src, String)] =
+      edges.iterator.filter(e => e._1 == s || e._2 == s)
+  }
+
+  // ------------------------------------------------------------ context docs
+
+  /** Assemble context docs (reference assemble_raw_doc, document.py:84-122 +
+    * PolicyDocument.initialize 129-165): one doc per non-LISTITEM segment
+    * holding its full ancestor context. */
+  def buildDocs(segs: Vector[Segment]): Vector[CtxDoc] = {
+    val byId = segs.map(s => s.segId -> s).toMap
+    segs.filter(s => s.segType != "LISTITEM" && s.text.nonEmpty).map { seg =>
+      // context chain: self :: parents (root last)
+      var chain = List(seg)
+      var cur = seg
+      while (cur.parentId >= 0 && byId.contains(cur.parentId)) {
+        cur = byId(cur.parentId)
+        chain = chain :+ cur
+      }
+      val ordered = chain.reverse // root first
+      val texts = mutable.ArrayBuffer[String]()
+      val ws = mutable.ArrayBuffer[Boolean]()
+      val srcs = mutable.ArrayBuffer[Option[Src]]()
+      var prev: Option[Segment] = None
+      ordered.foreach { s =>
+        val (ts, wf) = RuleNlp.tokenize(s.text)
+        if (ts.nonEmpty || s.segType == "LISTITEM") {
+          if (prev.nonEmpty && texts.nonEmpty) {
+            prev.get.segType match {
+              case "HEADING" =>
+                texts += "\n"; ws += false; srcs += None
+                texts += "\n"; ws += false; srcs += None
+              case "LISTITEM" =>
+                // colon before a list item's content when last token is
+                // alphanumeric (assemble_raw_doc, document.py:92-103)
+                if (texts.last.nonEmpty && texts.last.forall(_.isLetterOrDigit)) {
+                  texts += ":"; ws += true; srcs += None
+                } else ws(ws.length - 1) = true
+              case _ =>
+                ws(ws.length - 1) = true
+            }
+          }
+          ts.zipWithIndex.foreach { case (t, i) =>
+            texts += t; ws += wf(i); srcs += Some(Src(s.segId, i))
+          }
+          if (ts.nonEmpty || s.segType == "LISTITEM") prev = Some(s)
+        }
+      }
+      val tv = texts.toVector
+      val parses = RuleNlp.parse(tv, ws.toVector)
+      val toks =
+        if (parses.nonEmpty) parses.head.tokens
+        else RuleNlp.nerTag(RuleNlp.tag(tv, ws.toVector))
+      CtxDoc(seg.segId, toks, srcs.toVector, parses)
+    }
+  }
+
+  // ------------------------------------------------------------- annotators
+
+  private def entCompatible(a: String, b: String): Boolean =
+    a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
+
+  /** Subsumption annotator (SURVEY.md U5; reference
+    * subsumption_annotator.py patterns: such as / including / like /
+    * include-verb / e.g. / for example / especially). */
+  def annotateSubsumption(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        // prep-based: upper --prep(as|like|include)--> p --obj--> lower
+        p.deps.foreach { dep =>
+          if (dep.dep == "prep" && dep.from >= 0) {
+            val pTok = p.tokens(dep.to)
+            val upper = dep.from
+            val upperTok = p.tokens(upper)
+            val isSubsumPrep =
+              (pTok.lemma == "as" && dep.to > 0 && p.tokens(dep.to - 1).lemma == "such") ||
+                pTok.lemma == "like" || pTok.lemma == "include"
+            if (isSubsumPrep && upperTok.pos != "PRON" &&
+              (upperTok.pos == "NOUN" || upperTok.pos == "PROPN")) {
+              p.out(dep.to).foreach { o =>
+                if (o.dep == "obj") {
+                  val lowerTok = p.tokens(o.to)
+                  if (lowerTok.pos != "PRON" && entCompatible(upperTok.ner, lowerTok.ner))
+                    st.link(d, p, upper, o.to, Subsum)
+                }
+              }
+            }
+          }
+        }
+        // verb "include": subj X, obj Ys → SUBSUM(X, Y)
+        p.deps.foreach { dep =>
+          if ((dep.dep == "root" || dep.dep == "ccomp") && p.tokens(dep.to).lemma == "include") {
+            val v = dep.to
+            val subj = p.out(v).filter(_.dep == "subj").map(_.to)
+            val objs = p.out(v).filter(_.dep == "obj").map(_.to)
+            for (s <- subj; o <- objs) {
+              val (sT, oT) = (p.tokens(s), p.tokens(o))
+              if (sT.pos != "PRON" && oT.pos != "PRON" && entCompatible(sT.ner, oT.ner))
+                st.link(d, p, s, o, Subsum)
+            }
+          }
+        }
+        // textual: X (, e.g.|i.e.|for example|especially|particularly|namely ,) Y
+        val cueAt = (i: Int) => {
+          val t = p.tokens(i)
+          t.lemma == "e.g." || t.lemma == "i.e." ||
+          (t.lemma == "example" && i > p.start && p.tokens(i - 1).lemma == "for") ||
+          Set("especially", "particularly", "namely").contains(t.lemma)
+        }
+        (p.start until p.end).foreach { i =>
+          if (cueAt(i)) {
+            val before = p.chunks.filter(_.end <= (if (p.tokens(i).lemma == "example") i - 1 else i)).lastOption
+            val afterChunks = p.chunks.filter(_.start > i)
+            (before, afterChunks.headOption) match {
+              case (Some(b), Some(a)) =>
+                val group = conjGroup(p, a)
+                val bT = p.tokens(b.head)
+                if (bT.pos != "PRON") group.foreach { c =>
+                  val cT = p.tokens(c.head)
+                  if (cT.pos != "PRON" && entCompatible(bT.ner, cT.ner))
+                    st.link(d, p, b.head, c.head, Subsum)
+                }
+              case _ =>
+            }
+          }
+        }
+        // appos copies from colon lists also imply SUBSUM handled in parser
+        p.deps.foreach { dep =>
+          if (dep.dep == "appos" && dep.from >= 0) {
+            val (uT, lT) = (p.tokens(dep.from), p.tokens(dep.to))
+            if (uT.pos != "PRON" && lT.pos != "PRON" && entCompatible(uT.ner, lT.ner))
+              st.link(d, p, dep.from, dep.to, Subsum)
+          }
+        }
+      }
+    }
+  }
+
+  private def conjGroup(p: Parse, c0: Chunk): List[Chunk] = {
+    val out = mutable.ListBuffer(c0)
+    var cur = c0
+    var go = true
+    while (go) {
+      var k = cur.end
+      var saw = false
+      while (k < p.end && (p.tokens(k).pos == "CCONJ" ||
+        (p.tokens(k).pos == "PUNCT" && p.tokens(k).text == ","))) { saw = true; k += 1 }
+      p.chunks.find(_.start == k) match {
+        case Some(nc) if saw => out += nc; cur = nc
+        case _ => go = false
+      }
+    }
+    out.toList
+  }
+
+  /** Coreference annotator (SURVEY.md J4; reference
+    * coreference_annotator.py:43-97): pronoun / this-NP mentions link to the
+    * nearest preceding compatible noun phrase in the same or previous
+    * sentence; first match wins. */
+  def annotateCoreference(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      var prevChunks: Vector[(Parse, Chunk)] = Vector.empty
+      d.parses.foreach { p =>
+        val cur = p.chunks.map(c => (p, c))
+        p.chunks.foreach { c =>
+          val head = p.tokens(c.head)
+          val trigger: Option[String] =
+            if (head.pos == "PRON" && Set("it", "this", "that").contains(head.lemma)) Some("DATA")
+            else if (head.pos == "PRON" && Set("they", "these", "those").contains(head.lemma)) Some("ACTOR")
+            else if (c.start < c.head && Set("this", "that", "such", "these", "those")
+              .contains(p.tokens(c.start).lemma) &&
+              Set("data", "datum", "information", "detail").contains(head.lemma)) Some("DATA")
+            else None
+          trigger.foreach { expected =>
+            val candidates =
+              (cur.filter(_._2.end <= c.start).reverse ++ prevChunks.reverse)
+            candidates.find { case (cp, cand) =>
+              val h = cp.tokens(cand.head)
+              h.pos != "PRON" && h.ner == expected
+            }.foreach { case (cp, cand) =>
+              // COREF: mention → main mention
+              if (!(cp eq p) || cand.head != c.head) {
+                st.link(d, p, c.head, cand.head, Coref)
+                // the antecedent's mention/sentence come from its own parse
+                d.srcs(cand.head).foreach { s =>
+                  st.mentions -= s
+                  st.recordMention(d, cp, cand.head, s)
+                  st.sentText.getOrElseUpdate(s, cp.text)
+                }
+              }
+            }
+          }
+        }
+        prevChunks = cur
+      }
+    }
+  }
+
+  /** Collection annotator (SURVEY.md U4; collection_annotator.py:339-397). */
+  def annotateCollection(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        Patterns.matchSentence(p).foreach { m =>
+          Patterns.actionMap((m.action, m.neg)).foreach { case (eIdx, dtIdx, rel) =>
+            val ents = m.args.lift(eIdx).getOrElse(Nil)
+            val dts = m.args.lift(dtIdx).getOrElse(Nil)
+            if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
+              for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** BFS type check through SUBSUM/COREF edges
+    * (collection_annotator.py:354-375). */
+  private def validateType(st: DocState, d: CtxDoc, p: Parse, toks: List[Int], target: String): Boolean = {
+    if (toks.isEmpty) return false
+    val srcs0 = toks.flatMap(t => d.srcs(t))
+    val entOf = mutable.Map[Src, String]()
+    toks.foreach(t => d.srcs(t).foreach(s => entOf(s) = d.toks(t).ner))
+    val queue = mutable.Queue[Src](srcs0: _*)
+    val visited = mutable.Set[Src](srcs0: _*)
+    // quick local check by token ner first
+    if (toks.exists(t => d.toks(t).ner == target)) return true
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      val ner = entOf.getOrElse(s, st.mentions.get(s).map(_.ner).getOrElse("NN"))
+      if (ner == target) return true
+      if (ner == "NN" || ner == "") {
+        st.allLinks(s).foreach { case (a, b, rel) =>
+          if (rel == Subsum || rel == Coref) {
+            val other = if (a == s) b else a
+            if (!visited.contains(other)) { visited += other; queue.enqueue(other) }
+          }
+        }
+      }
+    }
+    false
+  }
+
+  /** Purpose annotator (SURVEY.md U6; purpose_annotator.py:75-207). */
+  def annotatePurpose(st: DocState): Unit = {
+    val trivial = Set("purpose", "reason", "use", "data", "datum",
+      "information", "u", "period", "time")
+    st.docs.foreach { d =>
+      // data types already on the receiving end of a COLLECT-family edge
+      d.parses.foreach { p =>
+        val collected: Set[Int] = p.chunks.flatMap { c =>
+          d.srcs(c.head).filter(s => st.inEdges(s).exists(e => CollectEdgeTypes(e._3))).map(_ => c.head)
+        }.toSet
+        if (collected.nonEmpty && !p.text.endsWith(":")) {
+          // candidates: (anchorVerb, purposeRoot)
+          val cands = mutable.ListBuffer[(Int, Int)]()
+          p.deps.foreach { dep =>
+            dep.dep match {
+              case "xcomp" if p.out(dep.to).exists(e => e.dep == "aux" && p.tokens(e.to).lemma == "to") =>
+                cands += ((dep.from, dep.to))
+              case "acl" => // in order to
+                // anchor = the verb holding the "in" prep
+                val orderTok = dep.from
+                p.in(orderTok).foreach { oe =>
+                  if (oe.dep == "obj") p.in(oe.from).foreach { ie =>
+                    if (ie.dep == "prep" && ie.from >= 0 && p.tokens(ie.from).pos == "VERB")
+                      cands += ((ie.from, ie.from match { case _ => oe.from })) // purpose root = "in"
+                  }
+                }
+              case "prep" if dep.from >= 0 && p.tokens(dep.to).lemma == "for" &&
+                p.tokens(dep.from).pos == "VERB" &&
+                p.out(dep.to).exists(e => e.dep == "obj" &&
+                  (p.tokens(e.to).pos == "NOUN" || p.tokens(e.to).pos == "PROPN")) =>
+                cands += ((dep.from, dep.to))
+              case _ =>
+            }
+          }
+          cands.distinct.foreach { case (anchor, purposeRoot) =>
+            val span = subtreeSpan(p, purposeRoot)
+            val spanToks = (span._1 until span._2).filter(k => p.tokens(k).pos != "SPACE")
+            if (purposeValid(p, purposeRoot, spanToks, trivial)) {
+              val anchorSub = subtreeSet(p, anchor)
+              val dtypes = collected.filter(t => anchorSub.contains(t) &&
+                !(span._1 <= t && t < span._2))
+              if (dtypes.nonEmpty) {
+                val text = RuleNlp.renderText(p.tokens, span._1, span._2)
+                dtypes.foreach { dt =>
+                  st.link(d, p, dt, purposeRoot, Purpose)
+                }
+                d.srcs(purposeRoot).foreach(s => st.purposeText(s) = text)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def subtreeSet(p: Parse, root: Int): Set[Int] = {
+    val seen = mutable.Set(root)
+    val q = mutable.Queue(root)
+    while (q.nonEmpty) {
+      val x = q.dequeue()
+      p.out(x).foreach { e => if (!seen.contains(e.to)) { seen += e.to; q.enqueue(e.to) } }
+    }
+    // expand through chunk membership
+    seen.toSet.flatMap { (t: Int) =>
+      p.chunkOf(t).map(c => (c.start until c.end).toSet).getOrElse(Set(t))
+    }
+  }
+
+  private def subtreeSpan(p: Parse, root: Int): (Int, Int) = {
+    val s = subtreeSet(p, root)
+    (root, (s + root).max + 1) // reference: left = purpose_root.i
+  }
+
+  private def purposeValid(p: Parse, root: Int, spanToks: Seq[Int], trivial: Set[String]): Boolean = {
+    val rootTok = p.tokens(root)
+    if (rootTok.lemma == "collect") return false
+    // deny: for + time-period noun
+    val period = Set("day", "week", "month", "year", "period", "time", "instance", "duration")
+    if (rootTok.lemma == "for" &&
+      p.out(root).exists(e => period.contains(p.tokens(e.to).lemma))) return false
+    // deny: this/that/such/nummod purpose|reason|use
+    val denyDet = Set("this", "that", "these", "those", "any", "such", "various", "certain")
+    val hasDenied = spanToks.exists { k =>
+      val t = p.tokens(k)
+      Set("purpose", "reason", "use").contains(t.lemma) && {
+        p.chunkOf(k).exists(c => (c.start until c.end).exists(j =>
+          denyDet.contains(p.tokens(j).lemma) || p.tokens(j).pos == "NUM"))
+      }
+    }
+    if (hasDenied) return false
+    // require at least one informative token
+    spanToks.exists { k =>
+      val t = p.tokens(k)
+      t.pos != "PUNCT" && t.pos != "SPACE" &&
+        !graft.nlp.Lexicon.stopWords.contains(t.text.toLowerCase) &&
+        t.ner != "DATA" && t.ner != "ACTOR" &&
+        !trivial.contains(t.lemma)
+    }
+  }
+
+  /** List annotator (SURVEY.md J5; list_annotator.py:11-75). */
+  def annotateList(st: DocState): Unit = {
+    val byParent = st.segs.groupBy(_.parentId)
+    val docOf: Map[Int, CtxDoc] = st.docs.map(d => d.segId -> d).toMap
+    st.segs.filter(_.segType != "LISTITEM").foreach { root =>
+      val listitems = byParent.getOrElse(root.segId, Vector.empty).filter(_.segType == "LISTITEM")
+      val itemChildren = listitems.flatMap { li =>
+        byParent.getOrElse(li.segId, Vector.empty) match {
+          case Vector(only) => Some(only)
+          case _ => None
+        }
+      }
+      if (itemChildren.nonEmpty) docOf.get(root.segId).foreach { ctxDoc =>
+        val contextSrcs: Set[Src] = ctxDoc.srcs.flatten.toSet
+        val linkToApply = mutable.LinkedHashMap[(Option[Src], Option[Src]), String]()
+
+        // "following"/"below" cue → SUBSUM from its NP head
+        ctxDoc.parses.foreach { p =>
+          (p.start until p.end).foreach { k =>
+            val t = p.tokens(k)
+            if ((t.lemma == "follow" || t.lemma == "following" || t.lemma == "below") &&
+              linkToApply.isEmpty) {
+              p.chunkOf(k).filter(c => c.head != k).foreach { c =>
+                d2src(ctxDoc, c.head).foreach { hs =>
+                  if (p.tokens(c.head).ner.nonEmpty) {
+                    linkToApply((Some(hs), None)) = Subsum
+                    st.recordMention(ctxDoc, p, c.head, hs)
+                    st.sentText.getOrElseUpdate(hs, p.text)
+                  }
+                }
+              }
+            }
+          }
+        }
+
+        // each item's root noun phrase + its existing links into the context
+        val childTokens = mutable.ListBuffer[(Src, CtxDoc, Parse, Int)]()
+        itemChildren.foreach { item =>
+          docOf.get(item.segId).foreach { idoc =>
+            // first chunk whose tokens belong to the item's own segment
+            idoc.parses.foreach { p =>
+              if (!childTokens.exists(_._2 == idoc)) {
+                p.chunks.find(c => idoc.srcs(c.head).exists(_.seg == item.segId)).foreach { c =>
+                  idoc.srcs(c.head).foreach { s =>
+                    childTokens += ((s, idoc, p, c.head))
+                    st.recordMention(idoc, p, c.head, s)
+                    st.sentText.getOrElseUpdate(s, p.text)
+                    st.inEdges(s).foreach { case (from, _, rel) =>
+                      if (contextSrcs.contains(from)) linkToApply((Some(from), None)) = rel
+                    }
+                    st.outEdges(s).foreach { case (_, to, rel) =>
+                      if (contextSrcs.contains(to)) linkToApply((None, Some(to))) = rel
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+
+        // fallback: single-sentence nominal context subsumes items
+        if (linkToApply.isEmpty) {
+          ctxDoc.parses.lastOption.foreach { p =>
+            val hasVerb = (p.start until p.end).exists(k => p.tokens(k).pos == "VERB")
+            if (!hasVerb) p.chunks.headOption.foreach { c =>
+              val h = p.tokens(c.head)
+              if ((h.pos == "NOUN" || h.pos == "PROPN") && (h.ner == "DATA" || h.ner == "ACTOR")) {
+                d2src(ctxDoc, c.head).foreach { hs =>
+                  linkToApply((Some(hs), None)) = Subsum
+                  st.recordMention(ctxDoc, p, c.head, hs)
+                  st.sentText.getOrElseUpdate(hs, p.text)
+                }
+              }
+            }
+          }
+        }
+
+        childTokens.foreach { case (s, idoc, p, _) =>
+          linkToApply.foreach { case ((from, to), rel) =>
+            st.linkSrc(from.getOrElse(s), to.getOrElse(s), rel)
+          }
+        }
+      }
+    }
+  }
+
+  private def d2src(d: CtxDoc, tok: Int): Option[Src] = d.srcs(tok)
+
+  /** Subject annotator (SURVEY.md U7): children-related sentences mark the
+    * DATA side of their COLLECT edges with subject=children. */
+  def annotateSubject(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        val childish = (p.start until p.end).exists { k =>
+          Set("child", "minor", "kid", "teenager").contains(p.tokens(k).lemma)
+        }
+        if (childish) {
+          p.chunks.foreach { c =>
+            d.srcs(c.head).foreach { s =>
+              if (st.inEdges(s).exists(e => CollectEdgeTypes(e._3)))
+                st.subjects(s) = "children"
+            }
+          }
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------------------- build
+
+  /** Full kernel: segments → triples (variant = "extended" keeps all edge
+    * types; "original" collapses positives to COLLECT and drops negatives —
+    * reference build_graph.py:86-95). */
+  def process(url: String, segs: Vector[Segment], variant: String = "extended"): Vector[Triple] = {
+    val sorted = segs.sortBy(_.segId)
+    val docs = buildDocs(sorted)
+    val st = DocState(url, sorted, docs)
+    annotateSubsumption(st)
+    annotateCoreference(st)
+    annotateCollection(st)
+    annotatePurpose(st)
+    annotateList(st)
+    annotateSubject(st)
+    GraphBuilder.build(st, variant)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.kg
+
+import graft.nlp.{Lexicon, RuleNlp}
+import graft.nlp.RuleNlp.Parse
+
+/** Collection-statement pattern DSL (SURVEY.md U4).
+  *
+  * Keeps the reference's *file format* — `root` spec + `match` chains +
+  * `transform` — as data (verb_patterns.yml DSL, collection_annotator.py:
+  * 194-316) so the dictionary stays data, not code, but the matcher below is
+  * an original implementation over our normalized dependency graphs.
+  *
+  * Chain syntax: `lemma|lemma:dep|dep@capture` items joined by `,`;
+  * a leading `*NAME` expands a token_map lexicon; a leading `!` on a chain
+  * marks it required; empty lemma or dep spec matches anything.
+  */
+object Patterns {
+
+  final case class TokenMatcher(lemmas: Set[String], deps: Set[String]) {
+    def matches(lemma: String, dep: String): Boolean =
+      (deps.isEmpty || deps.contains(dep)) && (lemmas.isEmpty || lemmas.contains(lemma))
+  }
+
+  object TokenMatcher {
+    def parse(rule: String, tokenMap: Map[String, Set[String]]): TokenMatcher = {
+      val (lemmaSpec, depSpec) = rule.indexOf(':') match {
+        case -1 => (rule, "")
+        case ix => (rule.substring(0, ix), rule.substring(ix + 1))
+      }
+      val lemmas = lemmaSpec.split('|').filter(_.nonEmpty).flatMap { item =>
+        if (item.startsWith("*")) tokenMap(item.drop(1)) else Set(item)
+      }.toSet
+      val deps = depSpec.split('|').filter(_.nonEmpty).toSet
+      TokenMatcher(lemmas, deps)
+    }
+  }
+
+  final case class Pattern(
+      id: Int,
+      root: TokenMatcher,
+      chains: Vector[Vector[(TokenMatcher, Option[String])]],
+      required: Set[Int],
+      transform: Vector[String])
+
+  /** action, negated?, captured args (token indices per transform arg). */
+  final case class Match(action: String, neg: Boolean, args: Vector[List[Int]])
+
+  def compile(specs: Seq[(String, Seq[String], Seq[String])]): Vector[Pattern] = {
+    val tm = Lexicon.tokenMap
+    specs.zipWithIndex.map { case ((root, chains, transform), id) =>
+      val required = scala.collection.mutable.Set[Int]()
+      val parsed = chains.zipWithIndex.map { case (raw, ci) =>
+        val body = if (raw.startsWith("!")) { required += ci; raw.drop(1) } else raw
+        body.split(',').toVector.map { item =>
+          val (tokRule, save) = item.indexOf('@') match {
+            case -1 => (item, None)
+            case ix => (item.substring(0, ix), Some(item.substring(ix + 1)))
+          }
+          (TokenMatcher.parse(tokRule, tm), save)
+        }
+      }.toVector
+      Pattern(id, TokenMatcher.parse(root, tm), parsed, required.toSet, transform.toVector)
+    }.toVector
+  }
+
+  /** The pattern bank — same grammar family as the reference's 22 patterns
+    * (verb_patterns.yml:80-213), authored for our normalized graphs. */
+  val bank: Vector[Pattern] = compile(Seq(
+    // E1 share DT with E2
+    ("*VERB_SHARE_WITH:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "with,:obj@E2"), Seq("SHARE", "E1", "DT", "E2")),
+    // E1 collect DT from E2
+    ("*VERB_COLLECT_FROM:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "from,:obj@E2"), Seq("COLLECT", "E1", "DT", "E2")),
+    // E1 provide E2 with DT
+    ("*VERB_PROVIDE_WITH:root|ccomp",
+      Seq(":subj@E1", ":obj@E2", "!with,:obj@DT"), Seq("SHARE", "E1", "DT", "E2")),
+    // E1 provide DT to E2 / dative
+    ("*VERB_PROVIDE_TO:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "to,:obj@E2", ":dative@E3"), Seq("SHARE", "E1", "DT", "E2|E3")),
+    // E1 sell DT to E2
+    ("*VERB_SELL_TO:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "to,:obj@E2", ":dative@E3"), Seq("SELL", "E1", "DT", "E2|E3")),
+    // E1 use DT
+    ("*VERB_USE:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT"), Seq("USE", "E1", "DT")),
+    // E1 store DT
+    ("*VERB_STORE:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT"), Seq("STORE", "E1", "DT")),
+    // E1 have/get/gain access to DT
+    ("have|get|gain:root|ccomp",
+      Seq(":subj@E1", "!access:obj,to,:obj@DT"), Seq("USE", "E1", "DT")),
+    // E1 make use of DT
+    ("make:root|ccomp",
+      Seq(":subj@E1", "!use:obj", "!of,:obj@DT"), Seq("USE", "E1", "DT")),
+    // E1 require/ask E2 to share DT with E3
+    ("*VERB_REQUIRE_TODO:root|ccomp",
+      Seq(":subj@E1", "*VERB_SHARE_WITH:xcomp|ccomp,:subj@E2",
+        "!*VERB_SHARE_WITH:xcomp|ccomp,:obj@DT",
+        "*VERB_SHARE_WITH:xcomp|ccomp,with,:obj@E3"),
+      Seq("SHARE", "E2", "DT", "E3|E1")),
+    // ... allow E1 to collect DT from E2
+    ("*VERB_ALLOW_TODO:root|ccomp",
+      Seq("*VERB_COLLECT_FROM:xcomp,:subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT",
+        "*VERB_COLLECT_FROM:xcomp,from,:obj@E2"),
+      Seq("COLLECT", "E1", "DT", "E2")),
+    // ... allow E1 to share DT with E2
+    ("*VERB_ALLOW_TODO:root|ccomp",
+      Seq("*VERB_SHARE_WITH:xcomp,:subj@E1", "!*VERB_SHARE_WITH:xcomp,:obj@DT",
+        "*VERB_SHARE_WITH:xcomp,with,:obj@E2"),
+      Seq("SHARE", "E1", "DT", "E2")),
+    // ... allow E1 to use DT
+    ("*VERB_ALLOW_TODO:root|ccomp",
+      Seq("*VERB_USE:xcomp,:subj@E1", "!*VERB_USE:xcomp,:obj@DT"),
+      Seq("USE", "E1", "DT")),
+    // ... allow E1 to store DT
+    ("*VERB_ALLOW_TODO:root|ccomp",
+      Seq("*VERB_STORE:xcomp,:subj@E1", "!*VERB_STORE:xcomp,:obj@DT"),
+      Seq("STORE", "E1", "DT")),
+    // E1 have/need to collect DT from E2
+    ("*VERB_HAVE_TODO:root|ccomp",
+      Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT",
+        "*VERB_COLLECT_FROM:xcomp,from,:obj@E2"),
+      Seq("COLLECT", "E1", "DT", "E2")),
+    // E1 have/need to use DT
+    ("*VERB_HAVE_TODO:root|ccomp",
+      Seq(":subj@E1", "!*VERB_USE:xcomp,:obj@DT"), Seq("USE", "E1", "DT")),
+    // E1 have/need to store DT
+    ("*VERB_HAVE_TODO:root|ccomp",
+      Seq(":subj@E1", "!*VERB_STORE:xcomp,:obj@DT"), Seq("STORE", "E1", "DT")),
+    // DT E1 collect include ...
+    ("include:root|ccomp",
+      Seq(":subj@DT,*VERB_COLLECT_FROM:relcl,:subj@E1"), Seq("COLLECT", "E1", "DT", "X")),
+    ("include:root|ccomp",
+      Seq(":subj@DT,*VERB_USE:relcl,:subj@E1"), Seq("USE", "E1", "DT")),
+    ("include:root|ccomp",
+      Seq(":subj@DT,*VERB_STORE:relcl,:subj@E1"), Seq("STORE", "E1", "DT")),
+    // E1 use ... to collect DT
+    ("*VERB_USE:root|ccomp",
+      Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT"), Seq("COLLECT", "E1", "DT", "X"))))
+
+  /** DFS chain matching over one parsed sentence — semantics mirror the
+    * reference matcher: every chain tried from every root candidate, captures
+    * stop at a negated node, required chains must complete. */
+  def matchSentence(p: Parse, patterns: Vector[Pattern] = bank): Vector[Match] = {
+    val out = Vector.newBuilder[Match]
+    val lemmaOf: Int => String = i => p.tokens(i).lemma
+    for (pat <- patterns) {
+      // root candidates: any edge target whose (lemma, dep) matches
+      for (d <- p.deps if pat.root.matches(lemmaOf(d.to), d.dep)) {
+        val v = d.to
+        val named = scala.collection.mutable.Map[String, List[Int]]().withDefaultValue(Nil)
+        val unmatchedRequired = scala.collection.mutable.Set[Int](pat.required.toSeq: _*)
+
+        def onSuccess(chainIdx: Int, progress: List[Int]): Unit = {
+          val chain = pat.chains(chainIdx)
+          var truncated = false
+          chain.zip(progress).foreach { case ((_, save), node) =>
+            if (!truncated) {
+              if (p.neg.contains(node)) truncated = true
+              else save.foreach(s => named(s) = named(s) :+ node)
+            }
+          }
+          if (!truncated) unmatchedRequired -= chainIdx
+        }
+
+        def dfs(node: Int, dep: String, progress: Map[Int, List[Int]]): Unit = {
+          val continued = scala.collection.mutable.Map[Int, List[Int]]()
+          progress.foreach { case (ci, prog) =>
+            val chain = pat.chains(ci)
+            val (tm, _) = chain(prog.length)
+            if (tm.matches(lemmaOf(node), dep)) {
+              val np = prog :+ node
+              if (np.length == chain.length) onSuccess(ci, np)
+              else continued(ci) = np
+            }
+          }
+          if (continued.nonEmpty) {
+            p.out(node).foreach(e => dfs(e.to, e.dep, continued.toMap))
+          }
+        }
+
+        p.out(v).foreach(e => dfs(e.to, e.dep, pat.chains.indices.map(_ -> List.empty[Int]).toMap))
+
+        if (unmatchedRequired.isEmpty) {
+          val action +: argNames = pat.transform
+          val args = argNames.map { spec =>
+            spec.split('|').collectFirst {
+              case n if named.contains(n) => named(n)
+            }.getOrElse(Nil)
+          }
+          out += Match(action, p.neg.contains(v), args)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** ACTION_MAP (reference collection_annotator.py:322-339): action ×
+    * negation → list of (entityArgIdx, dataArgIdx, edgeType). */
+  val actionMap: Map[(String, Boolean), List[(Int, Int, String)]] = Map(
+    ("COLLECT", false) -> List((0, 1, "COLLECT")),
+    ("COLLECT", true) -> List((0, 1, "NOT_COLLECT")),
+    ("SHARE", false) -> List((2, 1, "BE_SHARED"), (0, 1, "COLLECT")),
+    ("SHARE", true) -> List((2, 1, "NOT_BE_SHARED")),
+    ("SELL", false) -> List((2, 1, "BE_SOLD"), (0, 1, "COLLECT")),
+    ("SELL", true) -> List((2, 1, "NOT_BE_SOLD")),
+    ("USE", false) -> List((0, 1, "USE")),
+    ("USE", true) -> List((0, 1, "NOT_USE")),
+    ("STORE", false) -> List((0, 1, "STORE")),
+    ("STORE", true) -> List((0, 1, "NOT_STORE")))
+}

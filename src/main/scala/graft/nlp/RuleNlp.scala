@@ -1,0 +1,601 @@
+package graft.nlp
+
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+/** Deterministic rule-based NLP kernel (SURVEY.md U1-U3).
+  *
+  * Produces, per sentence, a *normalized* dependency graph in the same shape
+  * the reference's `build_dependency_graph` rewrites spaCy parses into
+  * (collection_annotator.py:25-191): deps `subj/obj/dative/prep/xcomp/ccomp/
+  * relcl/acl/aux/root`, conjunct flattening, passive→active, per-node
+  * negation flags. We synthesize that graph directly instead of going
+  * through a full constituency/dependency parse — the annotator pattern DSL
+  * then runs unchanged over it.
+  *
+  * Pure Scala, no models, fully deterministic — the per-doc kernel runs
+  * inside `mapGroups`, one doc at a time, embarrassingly parallel.
+  */
+object RuleNlp {
+
+  final case class Tok(
+      i: Int, // index within doc
+      text: String,
+      lemma: String,
+      var pos: String,
+      var ner: String, // DATA | ACTOR | NN | ""
+      ws: Boolean) // followed by whitespace
+
+  /** Noun-phrase chunk: token span [start, end), head index, entity label. */
+  final case class Chunk(start: Int, end: Int, head: Int, ner: String)
+
+  final case class Dep(from: Int, to: Int, dep: String) // from = -1 for root
+
+  final case class Parse(
+      start: Int,
+      end: Int, // token span [start, end) within doc
+      tokens: Vector[Tok], // the whole doc's tokens (shared)
+      chunks: Vector[Chunk],
+      deps: Vector[Dep],
+      neg: Set[Int],
+      text: String) {
+    lazy val out: Map[Int, Vector[Dep]] = deps.groupBy(_.from).withDefaultValue(Vector.empty)
+    lazy val in: Map[Int, Vector[Dep]] = deps.groupBy(_.to).withDefaultValue(Vector.empty)
+    def chunkOf(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
+  }
+
+  // ---------------------------------------------------------------- tokenize
+
+  private val TokenRe =
+    """e\.g\.|i\.e\.|[A-Za-z0-9]+(?:['\-][A-Za-z0-9]+)*|\n|[^\sA-Za-z0-9]""".r
+
+  /** Tokenize a text; returns (texts, wsFlags). */
+  def tokenize(text: String): (Vector[String], Vector[Boolean]) = {
+    val ms = TokenRe.findAllMatchIn(text).toVector
+    val toks = ms.map(_.matched)
+    val ws = ms.zipWithIndex.map { case (m, idx) =>
+      val nextStart = if (idx + 1 < ms.length) ms(idx + 1).start else text.length
+      m.end < nextStart
+    }
+    (toks, ws)
+  }
+
+  // -------------------------------------------------------------------- tag
+
+  import Lexicon._
+
+  private def isCap(s: String): Boolean = s.nonEmpty && s.charAt(0).isUpper
+
+  /** POS-tag a token sequence (context-sensitive lexicon tagger). */
+  def tag(texts: Vector[String], ws: Vector[Boolean]): Vector[Tok] = {
+    val n = texts.length
+    val toks = new ArrayBuffer[Tok](n)
+    var i = 0
+    while (i < n) {
+      val t = texts(i)
+      val lw = t.toLowerCase
+      val lem = lemma(t)
+      val pos =
+        if (t == "\n") "SPACE"
+        else if (!t.exists(_.isLetterOrDigit)) "PUNCT"
+        else if (t.forall(_.isDigit)) "NUM"
+        else if (negations.contains(lw)) "PART"
+        else if (lw == "to") "TO" // disambiguated below
+        else if (lw == "that" || lw == "which" || lw == "who") "REL" // below
+        else if (determiners.contains(lw)) "DET"
+        else if (pronouns.contains(lw)) "PRON"
+        else if (auxiliaries.contains(lw)) "AUX"
+        else if (coordConj.contains(lw)) "CCONJ"
+        else if (adpositions.contains(lw) || lw == "including") "ADP"
+        else if (subordConj.contains(lw)) "SCONJ"
+        else if (verbLemmas.contains(lem)) "VERBC" // candidate, below
+        else if (adjectives.contains(lw)) "ADJ"
+        else if (lw.endsWith("ly") && lw.length > 3) "ADV"
+        else if (adverbs.contains(lw)) "ADV"
+        else if (lw == "e.g." || lw == "i.e.") "ADV"
+        else if (isCap(t) && i > 0) "PROPN"
+        else "NOUN"
+      toks += Tok(i, t, lem, pos, "", ws.lift(i).getOrElse(false))
+      i += 1
+    }
+    // second pass: contextual disambiguation
+    i = 0
+    def at(j: Int): String = if (j >= 0 && j < n) toks(j).pos else ""
+    while (i < n) {
+      val t = toks(i)
+      t.pos match {
+        case "VERBC" =>
+          // noun reading when preceded by a determiner/adjective/adposition-of
+          val prev = at(i - 1)
+          val nounish = prev == "DET" || prev == "ADJ" ||
+            (prev == "ADP" && toks(i - 1).lemma == "of") ||
+            (prev == "VERBC" || prev == "VERB") && toks(i - 1).lemma == "make" // "make use of"
+          toks(i) = t.copy(pos = if (nounish && toks(i).text == toks(i).text.toLowerCase) "NOUN" else "VERB")
+          if (toks(i - 1 max 0).lemma == "make" && toks(i).lemma == "use")
+            toks(i) = toks(i).copy(pos = "NOUN")
+        case "TO" =>
+          // PART before a verb(ish) token, else ADP
+          var j = i + 1
+          while (j < n && (at(j) == "ADV" || at(j) == "PART")) j += 1
+          val next = if (j < n) toks(j) else null
+          val isPart = next != null &&
+            (verbLemmas.contains(next.lemma) || next.pos == "VERBC" || next.pos == "VERB") &&
+            next.text == next.text.toLowerCase
+          toks(i) = t.copy(pos = if (isPart) "PART" else "ADP")
+        case "REL" =>
+          // "that/which/who" as relativizer if a verb follows within 3 tokens
+          // (possibly after a subject NP); SCONJ when introducing a clause.
+          toks(i) = t.copy(pos = "SCONJ")
+        case "PRON" if (t.lemma == "this" || t.lemma == "that" || t.lemma == "these" || t.lemma == "those") =>
+          // determiner reading before a nominal
+          val nxt = at(i + 1)
+          if (nxt == "NOUN" || nxt == "PROPN" || nxt == "ADJ" || nxt == "VERBC")
+            toks(i) = t.copy(pos = "DET")
+        case _ =>
+      }
+      i += 1
+    }
+    // final sweep: leftover VERBC → VERB
+    toks.indices.foreach { k =>
+      if (toks(k).pos == "VERBC") toks(k) = toks(k).copy(pos = "VERB")
+    }
+    toks.toVector
+  }
+
+  // -------------------------------------------------------------------- ner
+
+  /** Dictionary NER: longest lemma-sequence match over the DATA and ACTOR
+    * phrase banks; pronoun first/second person → ACTOR; other nouns → NN. */
+  def nerTag(toks: Vector[Tok]): Vector[Tok] = {
+    val out = toks.toArray
+    val n = toks.length
+    val maxLen = 5
+    val data = dataPhrases
+    val actors = actorPhrases
+    var i = 0
+    while (i < n) {
+      var matched = 0
+      var label = ""
+      var L = math.min(maxLen, n - i)
+      while (L > 0 && matched == 0) {
+        val lemSeq = (i until i + L).map(k => out(k).lemma).toVector
+        val txtSeq = (i until i + L).map(k => out(k).text.toLowerCase).toVector
+        if (data.contains(lemSeq) || data.contains(txtSeq)) { matched = L; label = "DATA" }
+        else if (actors.contains(lemSeq) || actors.contains(txtSeq)) { matched = L; label = "ACTOR" }
+        else L -= 1
+      }
+      if (matched > 0) {
+        (i until i + matched).foreach(k => out(k) = out(k).copy(ner = label))
+        i += matched
+      } else {
+        val t = out(i)
+        val ner =
+          if (t.pos == "PRON" && Set("we", "us", "i", "me", "you").contains(t.text.toLowerCase)) "ACTOR"
+          else if (t.pos == "NOUN" || t.pos == "PROPN") "NN"
+          else ""
+        out(i) = t.copy(ner = ner)
+        i += 1
+      }
+    }
+    out.toVector
+  }
+
+  // ------------------------------------------------------------- sentences
+
+  /** Sentence boundaries: ./!/?/; tokens and blank-line SPACE tokens. */
+  def sentenceSpans(toks: Vector[Tok]): Vector[(Int, Int)] = {
+    val spans = Vector.newBuilder[(Int, Int)]
+    var start = 0
+    var i = 0
+    val n = toks.length
+    while (i < n) {
+      val t = toks(i)
+      val isBoundary = (t.pos == "PUNCT" && (t.text == "." || t.text == "!" || t.text == "?" || t.text == ";")) ||
+        t.pos == "SPACE"
+      if (isBoundary) {
+        if (i > start) spans += ((start, i + (if (t.pos == "SPACE") 0 else 1)))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) spans += ((start, n))
+    spans.result().filter { case (s, e) => (s until e).exists(k => toks(k).pos != "SPACE" && toks(k).pos != "PUNCT") }
+  }
+
+  // ------------------------------------------------------------------ chunk
+
+  private val ChunkPos = Set("DET", "ADJ", "NOUN", "PROPN", "NUM")
+
+  def chunk(toks: Vector[Tok], start: Int, end: Int): Vector[Chunk] = {
+    val chunks = Vector.newBuilder[Chunk]
+    var i = start
+    while (i < end) {
+      val t = toks(i)
+      if (t.pos == "PRON") {
+        chunks += Chunk(i, i + 1, i, t.ner)
+        i += 1
+      } else if (ChunkPos(t.pos) && !(t.pos == "DET" && t.lemma == "such" && i + 1 < end && toks(i + 1).lemma == "as")) {
+        var j = i
+        while (j < end && ChunkPos(toks(j).pos) &&
+          !(toks(j).pos == "DET" && toks(j).lemma == "such" && j + 1 < end && toks(j + 1).lemma == "as"))
+          j += 1
+        // head = last nominal token in the run
+        var h = j - 1
+        while (h > i && toks(h).pos != "NOUN" && toks(h).pos != "PROPN" && toks(h).pos != "NUM") h -= 1
+        if (toks(h).pos == "NOUN" || toks(h).pos == "PROPN" || toks(h).pos == "NUM") {
+          chunks += Chunk(i, j, h, toks(h).ner)
+        }
+        i = j
+      } else i += 1
+    }
+    chunks.result()
+  }
+
+  // ------------------------------------------------------------------ parse
+
+  private final case class VGroup(
+      verb: Int, // index of the main verb token
+      auxStart: Int, // leftmost index of its aux/neg/adv window
+      neg: Boolean,
+      passive: Boolean,
+      toMarked: Boolean, // "to <verb>"
+      toTok: Int) // index of the "to" particle, -1 if none
+
+  /** Build the normalized per-sentence dependency graph. */
+  def parseSentence(toks: Vector[Tok], start: Int, end: Int): Parse = {
+    val chunks = chunk(toks, start, end)
+    val deps = new ListBuffer[Dep]
+    val neg = scala.collection.mutable.Set[Int]()
+    val text = renderText(toks, start, end)
+
+    def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
+    def chunkBefore(pos: Int): Option[Chunk] = chunks.filter(_.end <= pos).lastOption
+
+    // --- verb groups ---------------------------------------------------
+    val vgs = new ArrayBuffer[VGroup]
+    var i = start
+    while (i < end) {
+      if (toks(i).pos == "VERB") {
+        var j = i - 1
+        var negFlag = false
+        var passive = false
+        var toTok = -1
+        var continue = true
+        while (j >= start && continue) {
+          val p = toks(j)
+          if (p.pos == "AUX") {
+            if (p.lemma == "be") passive = true
+            j -= 1
+          } else if (p.pos == "PART" && negations.contains(p.text.toLowerCase)) {
+            negFlag = true; j -= 1
+          } else if (p.pos == "PART" && p.lemma == "to") {
+            toTok = j; j -= 1; continue = false
+          } else if (p.pos == "ADV") j -= 1
+          else continue = false
+        }
+        // passive only if the verb looks like a past participle
+        val vt = toks(i)
+        val pastPart = vt.text.toLowerCase != vt.lemma && !vt.text.toLowerCase.endsWith("ing")
+        passive = passive && pastPart
+        vgs += VGroup(i, j + 1, negFlag, passive, toTok >= 0, toTok)
+      }
+      i += 1
+    }
+
+    // --- clause structure ----------------------------------------------
+    // For each verb group: classify as root / conj-of-previous / xcomp /
+    // ccomp / relcl, then attach subject.
+    var prevMain = -1 // previous non-xcomp verb
+    var lastVerb = -1
+    val subjOf = scala.collection.mutable.Map[Int, List[Int]]() // verb -> subj chunk heads
+    val objOf = scala.collection.mutable.Map[Int, List[Int]]()
+
+    def addDep(from: Int, to: Int, dep: String): Unit = deps += Dep(from, to, dep)
+
+    def conjChunkHeads(c0: Chunk): List[Int] = {
+      // collect heads of chunks linked by , and/or starting at c0
+      val heads = ListBuffer(c0.head)
+      var cur = c0
+      var go = true
+      while (go) {
+        var k = cur.end
+        var sawConj = false
+        while (k < end && (toks(k).pos == "PUNCT" && toks(k).text == "," || toks(k).pos == "CCONJ")) {
+          if (toks(k).pos == "CCONJ" || toks(k).text == ",") sawConj = true
+          k += 1
+        }
+        chunks.find(_.start == k) match {
+          case Some(nc) if sawConj => heads += nc.head; cur = nc
+          case _ => go = false
+        }
+      }
+      heads.toList
+    }
+
+    for (vgIdx <- vgs.indices) {
+      val vg = vgs(vgIdx)
+      val v = vg.verb
+      if (vg.neg) neg += v
+
+      // relcl detection: [chunk X] (that|which|who)? [chunk S]? VERB
+      // where X immediately precedes (modulo relativizer) the verb window.
+      val beforeAux = vg.auxStart - 1
+      var relclUpper = -1
+      var relclSubj = -1
+      chunkBefore(vg.auxStart) match {
+        case Some(cS) if cS.end == vg.auxStart || cS.end == beforeAux + 1 =>
+          // is there another chunk or relativizer before cS?
+          val gap = (cS.start - 1)
+          if (gap >= start && (toks(gap).pos == "SCONJ" && Set("that", "which", "who").contains(toks(gap).lemma))) {
+            chunkBefore(gap).foreach { cX => relclUpper = cX.head; relclSubj = cS.head }
+          } else {
+            chunkBefore(cS.start).foreach { cX =>
+              if (cX.end == cS.start && vgIdx == 0) { relclUpper = cX.head; relclSubj = cS.head }
+            }
+          }
+        case _ =>
+      }
+
+      val isConj = lastVerb >= 0 && !vg.toMarked && {
+        val between = (lastVerbEndBound(vgs, vgIdx, end) until vg.auxStart)
+          .filter(k => k >= 0 && k < end)
+        between.forall(k => toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",")) &&
+          between.exists(k => toks(k).pos == "CCONJ")
+      }
+
+      if (vg.toMarked && lastVerb >= 0) {
+        // xcomp: "... to improve ..." / "allow E to collect"
+        // special-case "in order to": attach acl under order
+        val inOrder = vg.toTok >= 2 &&
+          toks(vg.toTok - 1).lemma == "order" && toks(vg.toTok - 2).lemma == "in"
+        if (inOrder) {
+          addDep(prevMain, vg.toTok - 2, "prep")
+          addDep(vg.toTok - 2, vg.toTok - 1, "obj")
+          addDep(vg.toTok - 1, v, "acl")
+        } else {
+          addDep(lastVerb, v, "xcomp")
+        }
+        addDep(v, vg.toTok, "aux")
+        // subject of xcomp = object of parent when parent has one (reference
+        // handle_xcomp, collection_annotator.py:113-124)
+        prevMainObjSubj(v, lastVerb, subjOf, objOf, addDep)
+      } else if (relclUpper >= 0) {
+        addDep(relclUpper, v, "relcl")
+        addDep(v, relclSubj, "subj")
+        subjOf(v) = List(relclSubj)
+        addDep(-1, v, "root")
+      } else if (isConj) {
+        // coordinated verb: share subject with group leader
+        addDep(-1, v, "root")
+        val lead = vgs(vgIdx - 1).verb
+        subjOf.get(lead).foreach { hs =>
+          hs.foreach(h => addDep(v, h, "subj"))
+          subjOf(v) = hs
+        }
+        if (vgs(vgIdx - 1).neg) {
+          // "but" resets negation (reference is_negative conj walk)
+          val between = (vgs(vgIdx - 1).verb + 1 until vg.auxStart)
+          if (!between.exists(k => toks(k).lemma == "but")) {
+            if (!vg.neg && between.forall(k => toks(k).pos == "CCONJ" || toks(k).pos == "PUNCT")) neg += v
+          }
+        }
+      } else {
+        // main or ccomp verb
+        val prevTok = vg.auxStart - 1
+        val isCcomp = prevMain >= 0 && prevTok >= start &&
+          ((prevTok until vg.auxStart).nonEmpty && toks(prevTok).pos == "SCONJ" && toks(prevTok).lemma == "that") ||
+          (prevMain >= 0 && chunkBefore(vg.auxStart).exists(c => toks(prevTok).pos match {
+            case _ => false
+          }))
+        if (isCcomp) addDep(prevMain, v, "ccomp") else addDep(-1, v, "root")
+        // subject: nearest chunk ending at aux window start
+        chunkBefore(vg.auxStart) match {
+          case Some(c) if c.end >= vg.auxStart - 1 =>
+            val heads = conjGroupEndingAt(chunks, toks, c, start)
+            if (vg.passive) {
+              heads.foreach(h => addDep(v, h, "obj"))
+              objOf(v) = heads
+            } else {
+              heads.foreach(h => addDep(v, h, "subj"))
+              subjOf(v) = heads
+            }
+          case _ =>
+        }
+        prevMain = v
+      }
+      lastVerb = v
+
+      // --- right-side attachments: objects, datives, PPs ----------------
+      val regionEnd = if (vgIdx + 1 < vgs.length) vgs(vgIdx + 1).auxStart else end
+      attachRight(toks, chunks, start, end, v, regionEnd, vg, deps, neg, subjOf, objOf, conjChunkHeads)
+    }
+
+    // --- colon appositive: "<clause>: A, B and C" ----------------------
+    colonAppos(toks, chunks, start, end, deps)
+
+    Parse(start, end, toks, chunks, deps.toVector.distinct, neg.toSet, text)
+  }
+
+  private def lastVerbEndBound(vgs: ArrayBuffer[VGroup], vgIdx: Int, end: Int): Int =
+    if (vgIdx == 0) 0 else vgs(vgIdx - 1).verb + 1
+
+  private def prevMainObjSubj(
+      v: Int, parent: Int,
+      subjOf: scala.collection.mutable.Map[Int, List[Int]],
+      objOf: scala.collection.mutable.Map[Int, List[Int]],
+      addDep: (Int, Int, String) => Unit): Unit = {
+    objOf.get(parent) match {
+      case Some(hs) if hs.nonEmpty =>
+        hs.foreach(h => addDep(v, h, "subj"))
+        subjOf(v) = hs
+      case _ =>
+    }
+  }
+
+  /** Heads of the conjunct group whose last chunk is `c` (walk left). */
+  private def conjGroupEndingAt(
+      chunks: Vector[Chunk], toks: Vector[Tok], c: Chunk, start: Int): List[Int] = {
+    val heads = ListBuffer(c.head)
+    var cur = c
+    var go = true
+    while (go) {
+      val before = chunks.filter(_.end <= cur.start).lastOption
+      before match {
+        case Some(pc) =>
+          val between = (pc.end until cur.start)
+          val conjOnly = between.nonEmpty && between.forall(k =>
+            toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ","))
+          if (conjOnly) { heads.prepend(pc.head); cur = pc } else go = false
+        case None => go = false
+      }
+    }
+    heads.toList
+  }
+
+  /** Attach objects / datives / prepositional phrases to the right of verb
+    * group `vg`, within [verb+1, regionEnd). Noun-attached preps (of / such
+    * as / like / including) hang off the preceding chunk head instead. */
+  private def attachRight(
+      toks: Vector[Tok], chunks: Vector[Chunk], start: Int, end: Int,
+      v: Int, regionEnd: Int, vg: VGroup,
+      deps: ListBuffer[Dep], neg: scala.collection.mutable.Set[Int],
+      subjOf: scala.collection.mutable.Map[Int, List[Int]],
+      objOf: scala.collection.mutable.Map[Int, List[Int]],
+      conjChunkHeads: Chunk => List[Int]): Unit = {
+
+    def addDep(f: Int, t: Int, d: String): Unit = deps += Dep(f, t, d)
+
+    var k = v + 1
+    var bareChunks = 0
+    var lastNounHead = -1
+    var pendingNeg = false
+    while (k < regionEnd) {
+      val t = toks(k)
+      if (t.text == ":") {
+        // colon list: post-colon chunks are appositives (colonAppos), not
+        // objects/datives of the verb
+        k = regionEnd
+      } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
+        pendingNeg = true; k += 1
+      } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
+        val p = k
+        val nounAttach = (t.lemma == "of") ||
+          ((t.lemma == "as" && p > start && toks(p - 1).lemma == "such") ||
+            t.lemma == "like" || t.lemma == "include") && lastNounHead >= 0
+        // skip "in order to" here (handled as purpose acl by clause pass)
+        val isInOrder = t.lemma == "in" && p + 2 < end &&
+          toks(p + 1).lemma == "order" && toks(p + 2).lemma == "to"
+        if (isInOrder) { k = p + 3 }
+        else {
+          chunks.find(_.start == p + 1) match {
+            case Some(c) =>
+              val heads = conjChunkHeads(c)
+              if (t.lemma == "by" && vg.passive) {
+                // agent → subjects (reference handle_agent)
+                heads.foreach { h => addDep(v, h, "subj"); if (pendingNeg) neg += h }
+                subjOf(v) = heads
+              } else if (nounAttach && t.lemma == "of" && lastNounHead >= 0) {
+                addDep(lastNounHead, p, "prep")
+                heads.foreach(h => addDep(p, h, "obj"))
+              } else if (nounAttach) {
+                addDep(lastNounHead, p, "prep")
+                heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
+              } else {
+                addDep(v, p, "prep")
+                if (pendingNeg) neg += p
+                heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
+              }
+              lastNounHead = heads.last
+              // jump past the conj group
+              val lastChunk = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
+              k = lastChunk
+              pendingNeg = false
+            case None =>
+              // "including but not limited to X" → treat as include-prep
+              if (t.lemma == "include") {
+                val after = skipButNotLimitedTo(toks, p + 1, end)
+                chunks.find(_.start == after) match {
+                  case Some(c) =>
+                    val heads = conjChunkHeads(c)
+                    if (lastNounHead >= 0) {
+                      addDep(lastNounHead, p, "prep")
+                      heads.foreach(h => addDep(p, h, "obj"))
+                    }
+                    k = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
+                  case None => k += 1
+                }
+              } else k += 1
+          }
+        }
+      } else {
+        chunks.find(_.start == k) match {
+          case Some(c) =>
+            val heads = conjChunkHeads(c)
+            bareChunks += 1
+            if (bareChunks == 1) {
+              heads.foreach(h => addDep(v, h, "obj"))
+              objOf(v) = heads
+            } else if (bareChunks == 2) {
+              // "give us X": first bare chunk was dative, second is obj
+              objOf.get(v).foreach { firstHeads =>
+                deps.filterInPlace(d => !(d.from == v && d.dep == "obj" && firstHeads.contains(d.to)))
+                firstHeads.foreach(h => addDep(v, h, "dative"))
+              }
+              heads.foreach(h => addDep(v, h, "obj"))
+              objOf(v) = heads
+            }
+            lastNounHead = heads.last
+            k = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
+          case None => k += 1
+        }
+      }
+    }
+  }
+
+  /** Skip "but not limited to" / "without limitation" fillers. */
+  private def skipButNotLimitedTo(toks: Vector[Tok], from: Int, end: Int): Int = {
+    var k = from
+    while (k < end && (toks(k).pos == "PUNCT" || Set("but", "not", "limited", "limit", "to", "without", "limitation")
+      .contains(toks(k).text.toLowerCase))) k += 1
+    k
+  }
+
+  /** "<clause ending in NP>: A, B, C" — each post-colon chunk head copies the
+    * in-edges of the pre-colon NP head (reference handle_appos,
+    * collection_annotator.py:115-121 — this is how list-item docs inherit
+    * COLLECT edges). */
+  private def colonAppos(
+      toks: Vector[Tok], chunks: Vector[Chunk], start: Int, end: Int,
+      deps: ListBuffer[Dep]): Unit = {
+    val colonIdx = (start until end).find(k => toks(k).text == ":")
+    colonIdx.foreach { ci =>
+      val preHead = chunks.filter(_.end <= ci).lastOption.map(_.head).getOrElse(-1)
+      if (preHead >= 0) {
+        val postChunks = chunks.filter(_.start > ci)
+        val inEdges = deps.filter(d => d.to == preHead && d.from >= 0).toList
+        postChunks.foreach { c =>
+          inEdges.foreach(e => deps += Dep(e.from, c.head, e.dep))
+          deps += Dep(preHead, c.head, "appos")
+        }
+      }
+    }
+  }
+
+  /** Render token span back to text (loses nothing we need for evidence). */
+  def renderText(toks: Vector[Tok], start: Int, end: Int): String = {
+    val sb = new StringBuilder
+    (start until end).foreach { k =>
+      val t = toks(k)
+      if (t.pos != "SPACE") {
+        sb.append(t.text)
+        if (t.ws && k + 1 < end) sb.append(' ')
+      }
+    }
+    sb.toString.trim
+  }
+
+  /** Full per-text pipeline: tokens → tags → ner → sentences → parses. */
+  def parse(texts: Vector[String], ws: Vector[Boolean]): Vector[Parse] = {
+    val tagged = nerTag(tag(texts, ws))
+    sentenceSpans(tagged).map { case (s, e) => parseSentence(tagged, s, e) }
+  }
+}
