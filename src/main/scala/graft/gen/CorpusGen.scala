@@ -1,0 +1,197 @@
+package graft.gen
+
+import java.sql.Timestamp
+
+import graft.kg.Model.WebPage
+
+/** Deterministic synthetic policy corpus with ground truth known by
+  * construction (SURVEY.md §5 t2 / FIXTURES.md §1; the same synthesis idea
+  * the reference uses for NER training data,
+  * models/named-entity-recognition/gen_ner_data.py:85-143).
+  *
+  * Every page is assembled from sentence templates whose emitted triples are
+  * fixed by the template semantics (ACTION_MAP of collection_annotator.py:
+  * 322-339), so `truth` is exact — P/R against it measures the whole
+  * pipeline. Seeded SplitMix64; no wall clock, no external data.
+  */
+object CorpusGen {
+
+  final case class Truth(url: String, subj: String, pred: String, obj: String,
+      purpose: String) // purpose label or ""
+
+  final case class GenPage(page: WebPage, truth: Vector[Truth])
+
+  // (surface form with possessive, canonical term)
+  private val dataTerms: Vector[(String, String)] = Vector(
+    ("your email address", "email address"),
+    ("your IP address", "ip address"),
+    ("your phone number", "phone number"),
+    ("your precise location", "precise geolocation"),
+    ("your browsing history", "browsing / search history"),
+    ("device identifiers", "device identifier"),
+    ("payment information", "payment information"),
+    ("your date of birth", "date of birth"),
+    ("cookies", "cookie / pixel tag"),
+    ("your age", "age"),
+    ("usage data", "usage information"),
+    ("crash reports", "crash / log data"),
+    ("health information", "health information"),
+    ("account credentials", "account credential"),
+    ("your postal address", "postal address"),
+    ("your gender", "gender"))
+
+  // list-item surface forms (no possessive)
+  private val listItems: Vector[(String, String)] = Vector(
+    ("Email address", "email address"),
+    ("Phone number", "phone number"),
+    ("Precise location", "precise geolocation"),
+    ("IP address", "ip address"),
+    ("Payment information", "payment information"),
+    ("Date of birth", "date of birth"),
+    ("Usage data", "usage information"),
+    ("Device identifiers", "device identifier"))
+
+  private val actors: Vector[(String, String)] = Vector(
+    ("Our partners", "business partner"),
+    ("Advertisers", "advertiser"),
+    ("Analytics providers", "analytic provider"),
+    ("Service providers", "service provider"),
+    ("Third parties", "third party"),
+    ("Google", "google"),
+    ("Facebook", "facebook"),
+    ("Law enforcement", "government"))
+
+  private val categories: Vector[(String, String)] = Vector(
+    ("personal information", "personal information"),
+    ("device information", "device information"),
+    ("contact information", "contact information"),
+    ("demographic information", "demographic information"))
+
+  private val purposes: Vector[(String, String)] = Vector(
+    ("to improve our services", "services"),
+    ("for advertising purposes", "advertising"),
+    ("for analytics purposes", "analytics"),
+    ("for security purposes", "security"),
+    ("to comply with legal obligations", "legal"))
+
+  private val collectVerbs = Vector("collect", "gather", "obtain", "receive")
+  private val negAux = Vector("do not", "will not", "never")
+
+  /** SplitMix64 — deterministic, platform-independent. */
+  final class Rng(seed0: Long) {
+    private var s = seed0
+    def nextLong(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(n: Int): Int = (math.floorMod(nextLong(), n.toLong)).toInt
+    def pick[T](v: Vector[T]): T = v(nextInt(v.length))
+  }
+
+  /** One generated paragraph: sentence html + its truth triples. */
+  private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
+    val kind = rng.nextInt(12)
+    val (dtS, dtC) = rng.pick(dataTerms)
+    val (acS, acC) = rng.pick(actors)
+    kind match {
+      case 0 => // we collect DT
+        val v = rng.pick(collectVerbs)
+        (s"We $v $dtS.", Vector(Truth(url, "we", "COLLECT", dtC, "")))
+      case 1 => // actor collects DT
+        val v = rng.pick(collectVerbs)
+        (s"$acS may $v $dtS.", Vector(Truth(url, acC, "COLLECT", dtC, "")))
+      case 2 => // negated collect
+        val na = rng.pick(negAux)
+        (s"We $na collect $dtS.", Vector(Truth(url, "we", "NOT_COLLECT", dtC, "")))
+      case 3 => // share with
+        (s"We may share $dtS with ${acS.toLowerCase}.",
+          Vector(Truth(url, acC, "BE_SHARED", dtC, ""),
+            Truth(url, "we", "COLLECT", dtC, "")))
+      case 4 => // not sell to
+        (s"We do not sell $dtS to ${acS.toLowerCase}.",
+          Vector(Truth(url, acC, "NOT_BE_SOLD", dtC, "")))
+      case 5 => // use + purpose
+        val (pS, pC) = rng.pick(purposes)
+        (s"We use $dtS $pS.", Vector(Truth(url, "we", "USE", dtC, pC)))
+      case 6 => // store
+        (s"We store $dtS.", Vector(Truth(url, "we", "STORE", dtC, "")))
+      case 7 => // subsumption via such as
+        val (cS, cC) = rng.pick(categories)
+        val (d1s, d1c) = dataTerms(rng.nextInt(dataTerms.length))
+        var (d2s, d2c) = dataTerms(rng.nextInt(dataTerms.length))
+        while (d2c == d1c) { val p = dataTerms(rng.nextInt(dataTerms.length)); d2s = p._1; d2c = p._2 }
+        (s"We collect $cS, such as $d1s and $d2s.",
+          Vector(Truth(url, "we", "COLLECT", cC, ""),
+            Truth(url, cC, "SUBSUM", d1c, ""),
+            Truth(url, cC, "SUBSUM", d2c, "")))
+      case 8 => // passive share
+        (s"$dtS may be shared with ${acS.toLowerCase}.".capitalize,
+          Vector(Truth(url, acC, "BE_SHARED", dtC, "")))
+      case 9 => // provide-with
+        (s"We provide ${acS.toLowerCase} with $dtS.",
+          Vector(Truth(url, acC, "BE_SHARED", dtC, ""),
+            Truth(url, "we", "COLLECT", dtC, "")))
+      case 10 => // allow-to-collect
+        (s"You allow us to collect $dtS.",
+          Vector(Truth(url, "we", "COLLECT", dtC, "")))
+      case 11 => // access-to (USE)
+        (s"$acS have access to $dtS.",
+          Vector(Truth(url, acC, "USE", dtC, "")))
+      case _ => ("", Vector.empty)
+    }
+  }
+
+  /** List section: heading + intro + items. */
+  private def listSection(url: String, rng: Rng): (String, Vector[Truth]) = {
+    val k = 2 + rng.nextInt(3)
+    val picked = {
+      val idx = scala.collection.mutable.LinkedHashSet[Int]()
+      while (idx.size < k) idx += rng.nextInt(listItems.length)
+      idx.toVector.map(listItems)
+    }
+    val lis = picked.map { case (s, _) => s"<li>$s</li>" }.mkString
+    val html = s"<h2>Information We Collect</h2><p>We collect the following information:</p><ul>$lis</ul>"
+    (html, picked.map { case (_, c) => Truth(url, "we", "COLLECT", c, "") })
+  }
+
+  /** Generate a full page. ~6 paragraphs + optionally one list section. */
+  def genPage(i: Int, seed: Long): GenPage = {
+    val url = f"https://example-$i%05d.com/privacy"
+    val rng = new Rng(seed ^ (i.toLong * 0x9e3779b97f4a7c15L))
+    val nSent = 4 + rng.nextInt(4)
+    val parts = Vector.newBuilder[String]
+    val truth = Vector.newBuilder[Truth]
+    parts += "<h1>Privacy Policy</h1>"
+    (0 until nSent).foreach { _ =>
+      val (s, t) = sentence(url, rng)
+      parts += s"<p>$s</p>"
+      truth ++= t
+    }
+    if (rng.nextInt(3) == 0) {
+      val (h, t) = listSection(url, rng)
+      parts += h
+      truth ++= t
+    }
+    val html = parts.result().mkString("\n")
+    val ts = new Timestamp(1700000000000L + (i.toLong * 86400000L % 31536000000L))
+    val text = html.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
+    // ~5% non-English pages exercise the lang gate (no truth)
+    val lang = if (rng.nextInt(20) == 0) "de" else "en"
+    val t = if (lang == "en") dedupTruth(truth.result()) else Vector.empty
+    GenPage(WebPage(url, ts, html.getBytes("UTF-8"), text, lang), t)
+  }
+
+  /** The pipeline merges repeated statements into one triple; truth follows
+    * set semantics on (url, subj, pred, obj) with union of purposes. */
+  private def dedupTruth(ts: Vector[Truth]): Vector[Truth] =
+    ts.groupBy(t => (t.url, t.subj, t.pred, t.obj)).toVector.sortBy(_._1).map {
+      case ((u, s, p, o), vs) =>
+        Truth(u, s, p, o, vs.map(_.purpose).filter(_.nonEmpty).distinct.sorted.mkString(","))
+    }
+
+  def corpus(n: Int, seed: Long = 42L): Vector[GenPage] =
+    (0 until n).map(genPage(_, seed)).toVector
+}

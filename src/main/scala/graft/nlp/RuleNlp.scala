@@ -110,8 +110,15 @@ object RuleNlp {
             (prev == "ADP" && toks(i - 1).lemma == "of") ||
             (prev == "VERBC" || prev == "VERB") && toks(i - 1).lemma == "make" // "make use of"
           toks(i) = t.copy(pos = if (nounish && toks(i).text == toks(i).text.toLowerCase) "NOUN" else "VERB")
-          if (toks(i - 1 max 0).lemma == "make" && toks(i).lemma == "use")
+          if (i > 0 && toks(i - 1).lemma == "make" && toks(i).lemma == "use")
             toks(i) = toks(i).copy(pos = "NOUN")
+          // "have/get/gain access to X": access is the object noun and the
+          // auxiliary is in fact the main verb
+          if (i > 0 && toks(i).lemma == "access" &&
+            Set("have", "get", "gain").contains(toks(i - 1).lemma) && at(i - 1) == "AUX") {
+            toks(i) = toks(i).copy(pos = "NOUN")
+            toks(i - 1) = toks(i - 1).copy(pos = "VERB")
+          }
         case "TO" =>
           // PART before a verb(ish) token, else ADP
           var j = i + 1
@@ -164,7 +171,12 @@ object RuleNlp {
         else L -= 1
       }
       if (matched > 0) {
-        (i until i + matched).foreach(k => out(k) = out(k).copy(ner = label))
+        (i until i + matched).foreach { k =>
+          // a dictionary-entity token is nominal even when its lemma is also
+          // a verb ("contact information", "log data")
+          val pos = if (out(k).pos == "VERB" || out(k).pos == "VERBC") "NOUN" else out(k).pos
+          out(k) = out(k).copy(ner = label, pos = pos)
+        }
         i += matched
       } else {
         val t = out(i)
@@ -218,6 +230,12 @@ object RuleNlp {
         while (j < end && ChunkPos(toks(j).pos) &&
           !(toks(j).pos == "DET" && toks(j).lemma == "such" && j + 1 < end && toks(j + 1).lemma == "as"))
           j += 1
+        // extend through a multi-token dictionary entity that spans an ADP
+        // ("date of birth"): consecutive tokens sharing the DATA/ACTOR label
+        val runLabel = toks(j - 1).ner
+        if (runLabel == "DATA" || runLabel == "ACTOR") {
+          while (j < end && toks(j).ner == runLabel && toks(j).pos != "PUNCT") j += 1
+        }
         // head = last nominal token in the run
         var h = j - 1
         while (h > i && toks(h).pos != "NOUN" && toks(h).pos != "PROPN" && toks(h).pos != "NUM") h -= 1
@@ -478,7 +496,13 @@ object RuleNlp {
         pendingNeg = true; k += 1
       } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
         val p = k
-        val nounAttach = (t.lemma == "of") ||
+        // noun-prep collocations where the PP hangs off the noun, not the
+        // verb ("access to X", "information about X")
+        val collocation = lastNounHead >= 0 && (Set(
+          ("access", "to"), ("information", "about"), ("information", "on"),
+          ("data", "about"), ("datum", "about"), ("detail", "about"))
+          .contains((toks(lastNounHead).lemma, t.lemma)))
+        val nounAttach = (t.lemma == "of") || collocation ||
           ((t.lemma == "as" && p > start && toks(p - 1).lemma == "such") ||
             t.lemma == "like" || t.lemma == "include") && lastNounHead >= 0
         // skip "in order to" here (handled as purpose acl by clause pass)
