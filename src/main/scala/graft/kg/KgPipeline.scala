@@ -1,0 +1,146 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+import graft.kg.Model._
+import graft.text.HtmlSegmenter
+
+/** The Spark dataflow (SURVEY.md §7): pages → segments → per-doc kernel →
+  * triples, with optional checkpointed stage tables + per-partition lineage
+  * (north-rule resumability).
+  *
+  * Scale design (10^12 docs): every stage is a narrow map except the single
+  * `groupByKey(url)` shuffle feeding the kernel — pages are independent, so
+  * the job is embarrassingly parallel once co-located by url. Skew defense:
+  * url is a high-cardinality key (no hot groups by construction); AQE +
+  * hash partitioning spread it; domain-level hot spots would be salted
+  * upstream of any domain-keyed aggregation (none in the core path). The
+  * dictionaries the kernel uses are JVM-singleton objects — the broadcast
+  * equivalent at zero cost.
+  */
+object KgPipeline {
+
+  /** Deterministic synthetic pages generated ON EXECUTORS — the driver never
+    * materializes the corpus (input_hint: this stands in for the Iceberg
+    * web-pages scan; swap `spark.read.table(...)` here for real data). */
+  def pages(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[WebPage] = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, n, 1, parts).mapPartitions { it =>
+      it.map(i => CorpusGen.genPage(i.toInt, seed).page)
+    }
+  }
+
+  /** S2 preflight + S4/S5 segmentation. The lang filter is pushed to the
+    * scan; segmentation is a pure per-row flatMap. */
+  def segments(pages: Dataset[WebPage]): Dataset[Segment] = {
+    import pages.sparkSession.implicits._
+    pages
+      .filter(col("lang") === "en")
+      .flatMap { p =>
+        HtmlSegmenter.segment(p.url, new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      }
+  }
+
+  /** The per-document kernel behind one url-keyed shuffle. */
+  def triples(segs: Dataset[Segment], variant: String = "extended"): Dataset[Triple] = {
+    import segs.sparkSession.implicits._
+    segs
+      .groupByKey(_.url)
+      .flatMapGroups { (url, it) => DocKernel.process(url, it.toVector, variant) }
+  }
+
+  /** Full pipeline without checkpointing (used by Verify queries). */
+  def run(spark: SparkSession, nDocs: Long, seed: Long = 42L): Dataset[Triple] =
+    triples(segments(pages(spark, nDocs, seed)))
+
+  /** Full pipeline with checkpointed stage tables + lineage (north rule:
+    * resume mid-pipeline = stage-table presence check). */
+  def runCheckpointed(spark: SparkSession, nDocs: Long, baseDir: String,
+      runId: String, seed: Long = 42L): Dataset[Triple] = {
+    val store = new StageStore(spark, baseDir, runId)
+    import spark.implicits._
+    val segs = store.stage[Segment]("segments") { segments(pages(spark, nDocs, seed)) }
+    store.stage[Triple]("triples") { triples(segs) }
+  }
+
+  /** Ground truth as a Dataset (for the eval join). */
+  def truth(spark: SparkSession, nDocs: Long, seed: Long = 42L): Dataset[CorpusGen.Truth] = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    spark.range(0, nDocs, 1, parts).flatMap(i => CorpusGen.genPage(i.toInt, seed).truth)
+  }
+}
+
+/** Checkpointed stage writer: skip recompute when the stage table exists
+  * (S6), and record per-partition lineage rows (north rule). */
+final class StageStore(spark: SparkSession, baseDir: String, runId: String) {
+  import org.apache.spark.sql.Encoder
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS"))
+
+  def stage[T: Encoder](name: String)(compute: => Dataset[T]): Dataset[T] = {
+    val path = s"$baseDir/$name"
+    if (!exists(name)) {
+      val t0 = System.currentTimeMillis()
+      compute.write.mode("overwrite").parquet(path)
+      val out = spark.read.parquet(path)
+      val wall = System.currentTimeMillis() - t0
+      out.groupBy(spark_partition_id().as("partitionId"))
+        .agg(count(lit(1)).as("rowsOut"))
+        .withColumn("runId", lit(runId))
+        .withColumn("stage", lit(name))
+        .withColumn("wallMs", lit(wall))
+        .write.mode("append").parquet(s"$baseDir/_lineage")
+      out.as[T]
+    } else spark.read.parquet(path).as[T]
+  }
+
+  def lineage(): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$baseDir/_lineage")
+}
+
+/** G12: corpus-level entity-alias resolution — the one genuinely distributed
+  * graph op. Hash-min connected components via iterative self-joins (the
+  * standard Pregel-style formulation; converges in O(diameter) rounds, each
+  * a shuffle — alias graphs are shallow stars so 3-5 rounds suffice).
+  */
+object AliasResolution {
+
+  /** edges: DataFrame(src: String, dst: String) undirected.
+    * Returns DataFrame(vertex: String, component: String) where component is
+    * the lexicographic min vertex of the component. */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("component", col("vertex"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // propagate min component over one hop
+      val next = sym.join(labels, sym("dst") === labels("vertex"))
+        .groupBy(sym("src").as("vertex"))
+        .agg(min(col("component")).as("nbrMin"))
+      val updated = labels.join(next, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
+        .cache()
+      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("vertex"))
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+}

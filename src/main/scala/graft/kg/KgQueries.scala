@@ -1,12 +1,205 @@
 package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Knowledge-graph construction pipeline queries (the PoliGraph-equivalent
-  * surface). Inputs are synthesized deterministically (no external data);
-  * oracles are VALUES-literals generated from the same ground truth.
+import graft.gen.CorpusGen
+import graft.nlp.Lexicon
+
+/** KG pipeline query surface (§3.2 KGraph API as DataFrame queries).
+  *
+  * Inputs are the deterministic synthetic corpus (fixed N_DOCS/seed — no
+  * external data), so every query has an exact oracle: a VALUES literal
+  * generated from the same ground truth. The driver's DuckDB compare then
+  * verifies the *entire* Spark pipeline against construction-time truth.
   */
 object KgQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  val N_DOCS = 60
+  val SEED = 42L
+
+  private lazy val truthRows: Vector[CorpusGen.Truth] =
+    CorpusGen.corpus(N_DOCS, SEED).flatMap(_.truth)
+
+  private def esc(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def valuesSql(cols: Seq[String], rows: Seq[Seq[String]], orderBy: Seq[String]): String = {
+    require(rows.nonEmpty, "empty VALUES oracle")
+    val vals = rows.map(r => r.map(esc).mkString("(", ", ", ")")).mkString(", ")
+    s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")}) ORDER BY ${orderBy.mkString(", ")}"
+  }
+
+  // ------------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full pipeline → (url, subj, pred, obj)
+    "kg_triples" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED)
+        .select(col("url"), col("subj"), col("pred"), col("obj"))
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
+    // Triples with evidence + purposes (no SQL oracle: map/array columns)
+    "kg_triples_full" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF().orderBy("url", "subj", "pred", "obj")
+    }),
+
+    // J1/A1: exact P/R against ground truth, computed distributed
+    "kg_eval_pr" -> ((s, _) => {
+      val got = KgPipeline.run(s, N_DOCS, SEED)
+        .select(col("url"), col("subj"), col("pred"), col("obj")).distinct()
+      val want = KgPipeline.truth(s, N_DOCS, SEED).toDF()
+        .select(col("url"), col("subj"), col("pred"), col("obj")).distinct()
+      val keys = Seq("url", "subj", "pred", "obj")
+      val tp = got.join(want, keys, "left_semi").count()
+      val fp = got.join(want, keys, "left_anti").count()
+      val fn = want.join(got, keys, "left_anti").count()
+      import s.implicits._
+      Seq((tp, fp, fn,
+        math.round(tp.toDouble / math.max(1, tp + fp) * 10000) / 10000.0,
+        math.round(tp.toDouble / math.max(1, tp + fn) * 10000) / 10000.0))
+        .toDF("tp", "fp", "fn", "precision", "recall")
+    }),
+
+    // A2: per-predicate edge statistics
+    "kg_collect_stats" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED)
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_edges"), countDistinct(col("url")).as("n_policies"))
+        .orderBy("pred")
+    }),
+
+    // Purposes attached to edges (exploded)
+    "kg_purposes" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED)
+        .select(col("url"), col("subj"), col("pred"), col("obj"),
+          explode(map_keys(col("purposes"))).as("purpose"))
+        .orderBy("url", "subj", "pred", "obj", "purpose")
+    }),
+
+    // KGraph.who_collect('email address'): direct collectors + collectors of
+    // a subsuming category (graph_utils.py:230-236 + ancestors 238-268)
+    "kg_who_collect" -> ((s, _) => {
+      val t = KgPipeline.run(s, N_DOCS, SEED).cache()
+      val collects = t.filter(col("pred") === "COLLECT")
+        .select(col("url"), col("subj"), col("obj"))
+      val sub = t.filter(col("pred") === "SUBSUM")
+        .select(col("url").as("surl"), col("subj").as("upper"), col("obj").as("lower"))
+      val direct = collects.filter(col("obj") === "email address")
+        .select(col("url"), col("subj"))
+      val viaCat = collects
+        .join(sub, collects("url") === sub("surl") &&
+          collects("obj") === sub("upper") && sub("lower") === "email address")
+        .select(collects("url"), collects("subj"))
+      direct.union(viaCat).distinct()
+        .withColumnRenamed("subj", "actor")
+        .orderBy("url", "actor")
+    }),
+
+    // J9: contradiction pairs — same (url, subj, obj) with pred and NOT_pred
+    "kg_contradictions" -> ((s, _) => {
+      val t = KgPipeline.run(s, N_DOCS, SEED).cache()
+      val pos = t.filter(!col("pred").startsWith("NOT_"))
+        .select(col("url"), col("subj"), col("pred"), col("obj"))
+      val neg = t.filter(col("pred").startsWith("NOT_"))
+        .select(col("url").as("nurl"), col("subj").as("nsubj"),
+          col("pred").as("npred"), col("obj").as("nobj"))
+      pos.join(neg,
+        pos("url") === col("nurl") && pos("subj") === col("nsubj") &&
+          pos("obj") === col("nobj") &&
+          concat(lit("NOT_"), pos("pred")) === col("npred"))
+        .select(pos("url"), pos("subj"), pos("pred"), pos("obj"))
+        .distinct()
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
+    // G12: distributed connected components over the entity-alias graph
+    "kg_alias_components" -> ((s, _) => {
+      import s.implicits._
+      val edges = aliasEdges.toDF("src", "dst")
+      AliasResolution.connectedComponents(edges)
+        .orderBy("vertex")
+    }))
+
+  // ------------------------------------------------------------------ oracles
+
+  private def aliasEdges: Seq[(String, String)] =
+    Lexicon.entityInfo.toSeq.sortBy(_._1).flatMap { case (canon, (aliases, _)) =>
+      aliases.toSeq.sorted.map(a => (a, s"entity:$canon"))
+    }
+
+  private def unionFindComponents(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  def oracleSql: Map[String, String] = {
+    val t4 = truthRows.map(t => Seq(t.url, t.subj, t.pred, t.obj)).distinct
+      .sortBy(r => (r(0), r(1), r(2), r(3)))
+
+    val stats = truthRows.groupBy(_.pred).toSeq.sortBy(_._1).map { case (p, rs) =>
+      Seq(p, rs.size.toString, rs.map(_.url).distinct.size.toString)
+    }
+
+    val purposes = truthRows.filter(_.purpose.nonEmpty)
+      .flatMap(t => t.purpose.split(',').map(p => Seq(t.url, t.subj, t.pred, t.obj, p)))
+      .distinct.sortBy(r => (r(0), r(1), r(3), r(4)))
+
+    val whoCollect = {
+      val collects = truthRows.filter(_.pred == "COLLECT")
+      val subs = truthRows.filter(_.pred == "SUBSUM")
+      val direct = collects.filter(_.obj == "email address").map(t => (t.url, t.subj))
+      val via = for {
+        s <- subs if s.obj == "email address"
+        c <- collects if c.url == s.url && c.obj == s.subj
+      } yield (c.url, c.subj)
+      (direct ++ via).distinct.sorted.map { case (u, a) => Seq(u, a) }
+    }
+
+    val contradictions = {
+      val pos = truthRows.filterNot(_.pred.startsWith("NOT_"))
+      val neg = truthRows.filter(_.pred.startsWith("NOT_"))
+        .map(t => (t.url, t.subj, t.pred, t.obj)).toSet
+      pos.filter(t => neg.contains((t.url, t.subj, "NOT_" + t.pred, t.obj)))
+        .map(t => Seq(t.url, t.subj, t.pred, t.obj)).distinct
+        .sortBy(r => (r(0), r(1), r(2), r(3)))
+    }
+
+    val comps = unionFindComponents(aliasEdges).toSeq.sorted.map { case (v, c) => Seq(v, c) }
+
+    val m = scala.collection.mutable.Map[String, String]()
+    m("kg_triples") = valuesSql(Seq("url", "subj", "pred", "obj"), t4,
+      Seq("url", "subj", "pred", "obj"))
+    m("kg_eval_pr") = {
+      val n = t4.size
+      s"SELECT CAST($n AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn, 1.0::DOUBLE AS precision, 1.0::DOUBLE AS recall"
+    }
+    // counts cast to BIGINT so dtypes match Spark's
+    m("kg_collect_stats") =
+      s"SELECT pred, CAST(n_edges_s AS BIGINT) AS n_edges, CAST(n_policies_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("pred", "n_edges_s", "n_policies_s"), stats)}) ORDER BY pred"
+    if (purposes.nonEmpty)
+      m("kg_purposes") = valuesSql(Seq("url", "subj", "pred", "obj", "purpose"),
+        purposes, Seq("url", "subj", "pred", "obj", "purpose"))
+    if (whoCollect.nonEmpty)
+      m("kg_who_collect") = valuesSql(Seq("url", "actor"), whoCollect, Seq("url", "actor"))
+    if (contradictions.nonEmpty)
+      m("kg_contradictions") = valuesSql(Seq("url", "subj", "pred", "obj"),
+        contradictions, Seq("url", "subj", "pred", "obj"))
+    m("kg_alias_components") = valuesSql(Seq("vertex", "component"), comps, Seq("vertex"))
+    m.toMap
+  }
+
+  private def valuesSqlNoOrder(cols: Seq[String], rows: Seq[Seq[String]]): String = {
+    val vals = rows.map(r => r.map(esc).mkString("(", ", ", ")")).mkString(", ")
+    s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")})"
+  }
 }
