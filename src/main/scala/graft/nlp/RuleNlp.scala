@@ -265,6 +265,25 @@ object RuleNlp {
     val neg = scala.collection.mutable.Set[Int]()
     val text = renderText(toks, start, end)
 
+    // interrogative sentences are skipped entirely (reference
+    // build_dependency_graph, collection_annotator.py:37-52,183-184):
+    // trailing '?' or an auxiliary preceding the first subject
+    val lastReal = (end - 1 to start by -1).find(k => toks(k).pos != "SPACE")
+    val auxBeforeSubj = {
+      val firstAux = (start until end).find(k => toks(k).pos == "AUX")
+      val firstNom = (start until end).find(k =>
+        toks(k).pos == "PRON" || toks(k).pos == "NOUN" || toks(k).pos == "PROPN")
+      (firstAux, firstNom) match {
+        case (Some(a), Some(nm)) => a < nm && a == start
+        case (Some(_), None) => true
+        case _ => false
+      }
+    }
+    val whStart = Set("what", "which", "who", "how", "why", "when", "where")
+      .contains(toks(start).lemma)
+    if (lastReal.exists(k => toks(k).text == "?") || auxBeforeSubj || whStart)
+      return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
+
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
     def chunkBefore(pos: Int): Option[Chunk] = chunks.filter(_.end <= pos).lastOption
 

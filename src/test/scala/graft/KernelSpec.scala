@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.CorpusGen
+import graft.kg.{DocKernel, GraphBuilder}
+import graft.text.{HtmlSegmenter, TextClean}
+
+/** Per-document kernel tests: the smoke page (FIXTURES.md §6), semantic
+  * corner cases, and corpus-level P/R = 1.0 against construction truth. */
+class KernelSpec extends AnyFunSuite {
+
+  private def triples(html: String): Set[(String, String, String)] =
+    DocKernel.process("t", HtmlSegmenter.segment("t", html))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+
+  test("smoke page emits the expected triples") {
+    val got = triples(
+      """<h1>Privacy Policy</h1>
+        <p>We collect email addresses.</p>
+        <p>We use the data for analytics purposes.</p>""")
+    assert(got.contains(("we", "COLLECT", "email address")))
+    assert(got.contains(("we", "USE", "UNSPECIFIED_DATA")))
+  }
+
+  test("negation → NOT_ edges; share → BE_SHARED + COLLECT") {
+    val got = triples("<p>We do not sell personal information to third parties.</p>" +
+      "<p>We may share your location with advertisers.</p>")
+    assert(got == Set(
+      ("third party", "NOT_BE_SOLD", "personal information"),
+      ("advertiser", "BE_SHARED", "geolocation"),
+      ("we", "COLLECT", "geolocation")))
+  }
+
+  test("subsumption via such-as; UNSPECIFIED category is eliminated in lists") {
+    val got = triples("<p>We collect personal information, such as your email address and IP address.</p>")
+    assert(got == Set(
+      ("we", "COLLECT", "personal information"),
+      ("personal information", "SUBSUM", "email address"),
+      ("personal information", "SUBSUM", "ip address")))
+    val list = triples(
+      """<p>We collect the following information:</p>
+         <ul><li>Email address</li><li>Phone number</li></ul>""")
+    assert(list == Set(
+      ("we", "COLLECT", "email address"),
+      ("we", "COLLECT", "phone number")))
+  }
+
+  test("passive voice resolves the agent") {
+    val got = triples("<p>Your browsing history may be shared with analytics providers.</p>")
+    assert(got == Set(("analytic provider", "BE_SHARED", "browsing / search history")))
+  }
+
+  test("purpose classification lands on the edge") {
+    val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We use your email address for advertising purposes.</p>"))
+    val e = ts.find(t => t.pred == "USE").get
+    assert(e.purposes.keySet == Set("advertising"))
+  }
+
+  test("interrogative sentences are skipped") {
+    assert(triples("<p>Do we collect your email address?</p>").isEmpty)
+  }
+
+  test("subsumption output stays acyclic (dag guard)") {
+    val got = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We collect personal information, such as contact information.</p>" +
+        "<p>We collect contact information, such as personal information.</p>"))
+    val sub = got.filter(_.pred == "SUBSUM").map(t => t.subj -> t.obj)
+    // no 2-cycle survives
+    assert(!sub.exists { case (a, b) => sub.contains((b, a)) })
+  }
+
+  test("corpus P/R is exactly 1.0 on 500 docs") {
+    var tp = 0; var fp = 0; var fn = 0
+    CorpusGen.corpus(500).foreach { gp =>
+      if (gp.page.lang == "en") {
+        val segs = HtmlSegmenter.segment(gp.page.url, new String(gp.page.html, "UTF-8"))
+        val got = DocKernel.process(gp.page.url, segs).map(t => (t.subj, t.pred, t.obj)).toSet
+        val want = gp.truth.map(t => (t.subj, t.pred, t.obj)).toSet
+        tp += got.intersect(want).size; fp += (got -- want).size; fn += (want -- got).size
+      }
+    }
+    assert(fp == 0, s"false positives: $fp")
+    assert(fn == 0, s"false negatives: $fn")
+    assert(tp > 1000)
+  }
+
+  test("substring dedup keeps longest, preserves order") {
+    assert(GraphBuilder.dedupBySubstring(Vector("a b", "a b c", "x")) == Vector("a b c", "x"))
+  }
+
+  test("text cleanup invariants (S5 fixups)") {
+    assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
+    assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
+    assert(TextClean.fixups("App(s) and device(s)") == "Apps and devices")
+    assert(TextClean.clean("données personnelles") == "donnees personnelles")
+    assert(TextClean.clean("个人信息") == "")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Approximate operators verified against brute force on sf0.001. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("minhash LSH finds every brute-force pair with jaccard >= 0.8") {
+    // brute force over all pairs
+    val ids = docs.select(col("doc_id")).as[Long](spark.implicits.newLongEncoder).collect()
+    val all = docs.crossJoin(docs.select(col("doc_id").as("b2"), col("text").as("t2")))
+      .filter(col("doc_id") < col("b2"))
+      .select(col("doc_id").as("a"), col("b2").as("b"))
+    val brute = Dedup.verifyJaccard(all, docs, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.nonEmpty)
+    // LSH output is exactly verified, so it is a subset; at 64 hashes / 16
+    // bands, recall at j>=0.8 is ~1 at this scale
+    assert(lsh.subsetOf(brute))
+    assert((brute -- lsh).isEmpty, s"LSH missed: ${brute -- lsh}")
+  }
+
+  test("simhash pairs have verified hamming distance and are candidates of near-dup text") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    pairs.foreach(r => assert(r.getInt(2) <= 3))
+  }
+
+  test("IVF top-k has recall >= 0.6 vs brute force at nprobe=4/16") {
+    val brute = Similarity.bruteForceTopK(emb, 8, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 8, 5, cells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+
+  test("exact dedup keeps one winner per distinct text") {
+    val n = docs.count()
+    val u = docs.select(col("text")).distinct().count()
+    assert(Dedup.exact(docs).count() == u)
+    assert(u <= n)
+  }
+}
