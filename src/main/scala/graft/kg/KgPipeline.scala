@@ -44,7 +44,9 @@ object KgPipeline {
       }
   }
 
-  /** The per-document kernel behind one url-keyed shuffle. */
+  /** The per-document kernel behind one url-keyed shuffle — used when
+    * segments come from a checkpoint table (rows of one page may span input
+    * splits there). */
   def triples(segs: Dataset[Segment], variant: String = "extended"): Dataset[Triple] = {
     import segs.sparkSession.implicits._
     segs
@@ -52,9 +54,26 @@ object KgPipeline {
       .flatMapGroups { (url, it) => DocKernel.process(url, it.toVector, variant) }
   }
 
+  /** Shuffle-free production path: one input row = one page, so segmentation
+    * and the per-doc kernel fuse into a single narrow map — at 10^12 docs
+    * the whole extraction is map-only; the only wide operations in the
+    * system are the (optional) checkpoint writes and corpus-level joins. */
+  def triplesFromPages(pages: Dataset[WebPage], variant: String = "extended"): Dataset[Triple] = {
+    import pages.sparkSession.implicits._
+    pages
+      .filter(col("lang") === "en")
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val segs = HtmlSegmenter.segment(p.url,
+            new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+          DocKernel.process(p.url, segs, variant)
+        }
+      }
+  }
+
   /** Full pipeline without checkpointing (used by Verify queries). */
   def run(spark: SparkSession, nDocs: Long, seed: Long = 42L): Dataset[Triple] =
-    triples(segments(pages(spark, nDocs, seed)))
+    triplesFromPages(pages(spark, nDocs, seed))
 
   /** Full pipeline with checkpointed stage tables + lineage (north rule:
     * resume mid-pipeline = stage-table presence check). */

@@ -150,38 +150,43 @@ object RuleNlp {
 
   // -------------------------------------------------------------------- ner
 
-  /** Dictionary NER: longest lemma-sequence match over the DATA and ACTOR
-    * phrase banks; pronoun first/second person → ACTOR; other nouns → NN. */
+  private lazy val dataTrie = PhraseTrie(dataPhrases)
+  private lazy val actorTrie = PhraseTrie(actorPhrases)
+  private val actorProns = Set("we", "us", "i", "me", "you")
+
+  /** Dictionary NER: longest lemma/text trie match over the DATA and ACTOR
+    * phrase banks; pronoun first/second person → ACTOR; other nouns → NN.
+    * Trie-based (see PhraseTrie) — no per-window allocation. */
   def nerTag(toks: Vector[Tok]): Vector[Tok] = {
     val out = toks.toArray
     val n = toks.length
-    val maxLen = 5
-    val data = dataPhrases
-    val actors = actorPhrases
+    val lemmas = new Array[String](n)
+    val lowers = new Array[String](n)
+    var k = 0
+    while (k < n) { lemmas(k) = out(k).lemma; lowers(k) = out(k).text.toLowerCase; k += 1 }
     var i = 0
     while (i < n) {
-      var matched = 0
-      var label = ""
-      var L = math.min(maxLen, n - i)
-      while (L > 0 && matched == 0) {
-        val lemSeq = (i until i + L).map(k => out(k).lemma).toVector
-        val txtSeq = (i until i + L).map(k => out(k).text.toLowerCase).toVector
-        if (data.contains(lemSeq) || data.contains(txtSeq)) { matched = L; label = "DATA" }
-        else if (actors.contains(lemSeq) || actors.contains(txtSeq)) { matched = L; label = "ACTOR" }
-        else L -= 1
-      }
+      val dLen = dataTrie.longestMatch(lemmas, lowers, i, n)
+      val aLen = actorTrie.longestMatch(lemmas, lowers, i, n)
+      val (matched, label) =
+        if (dLen >= aLen && dLen > 0) (dLen, "DATA")
+        else if (aLen > 0) (aLen, "ACTOR")
+        else (0, "")
       if (matched > 0) {
-        (i until i + matched).foreach { k =>
+        var j = i
+        while (j < i + matched) {
           // a dictionary-entity token is nominal even when its lemma is also
           // a verb ("contact information", "log data")
-          val pos = if (out(k).pos == "VERB" || out(k).pos == "VERBC") "NOUN" else out(k).pos
-          out(k) = out(k).copy(ner = label, pos = pos)
+          val t = out(j)
+          val pos = if (t.pos == "VERB" || t.pos == "VERBC") "NOUN" else t.pos
+          out(j) = t.copy(ner = label, pos = pos)
+          j += 1
         }
         i += matched
       } else {
         val t = out(i)
         val ner =
-          if (t.pos == "PRON" && Set("we", "us", "i", "me", "you").contains(t.text.toLowerCase)) "ACTOR"
+          if (t.pos == "PRON" && actorProns.contains(lowers(i))) "ACTOR"
           else if (t.pos == "NOUN" || t.pos == "PROPN") "NN"
           else ""
         out(i) = t.copy(ner = ner)

@@ -46,22 +46,38 @@ object Dedup {
   }
 
   /** Candidate pairs from LSH buckets, verified with exact shingle Jaccard.
-    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
+    *
+    * Buckets larger than `maxBucket` are dropped before the self-join — the
+    * standard boilerplate defense: a giant bucket is (quadratically) the
+    * whole cost of LSH and near-dup pairs inside it still co-occur in other,
+    * smaller bands with high probability. At 100 TB this cap is what keeps
+    * the band join linear. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
     val banded = minhashBands(docs)
     val bands = banded.columns.filter(_.startsWith("band"))
     // explode to (band_key, doc_id) then self-join per bucket
-    val kv = banded.select(col("doc_id"),
+    val kv0 = banded.select(col("doc_id"),
       explode(array(bands.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("b"), col(c).as("h"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
+    val kv = capBuckets(kv0, Seq("b", "h"), maxBucket)
     val pairs = kv.as("l").join(kv.as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
     verifyJaccard(pairs, docs, threshold)
+  }
+
+  /** Keep only rows whose bucket has at most `cap` members. */
+  private def capBuckets(kv: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val sizes = kv.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= cap)
+      .drop("_sz")
+    kv.join(sizes, keys, "left_semi")
   }
 
   /** Exact word-3-shingle Jaccard for the given candidate pairs. */
@@ -94,13 +110,14 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
     val sig = simhash(docs).cache()
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded0 = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.b"), col("bk.k"))
+    val banded = capBuckets(banded0, Seq("b", "k"), maxBucket)
     val cand = banded.as("l").join(banded.as("r"),
         col("l.b") === col("r.b") && col("l.k") === col("r.k") &&
           col("l.doc_id") < col("r.doc_id"))
