@@ -1,0 +1,145 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+
+/** J7/J8/F7/G11: flow-to-policy consistency analysis (reference
+  * flow_consistency_analysis.py:13-203).
+  *
+  * Observed data flows (app url, destination domain, datatype) are checked
+  * against the app's knowledge graph: the destination resolves to an entity
+  * through the registered-domain map (broadcast J8), the flow is consistent
+  * when the policy discloses a COLLECT-family edge whose actor is that
+  * entity (or `we` for first-party flows, or an entity-ontology ancestor)
+  * and whose data type is the flow's datatype or a data-ontology /
+  * per-policy SUBSUM ancestor of it (G9 ontology grafting as broadcast
+  * closure joins).
+  */
+object FlowConsistency {
+
+  final case class Flow(url: String, domain: String, datatype: String)
+
+  /** Deterministic synthetic flows derived from the corpus truth: a mix of
+    * consistent third-party flows, first-party flows through an ontology
+    * category, unknown trackers, and undisclosed flows. */
+  def flows(nDocs: Int, seed: Long = 42L): Seq[Flow] = {
+    val domainOf = graft.nlp.Lexicon.entityInfo.map { case (c, (_, ds)) =>
+      c -> Ontology.registeredDomain(ds.head)
+    }
+    val ontChildren = Ontology.dataClosure.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    CorpusGen.corpus(nDocs, seed).flatMap { gp =>
+      val url = gp.page.url
+      val i = url.replaceAll("[^0-9]", "").toInt
+      val truths = gp.truth
+      i % 4 match {
+        case 0 =>
+          // consistent third-party flow: first shared edge whose actor has a
+          // known domain
+          truths.find(t => t.pred == "BE_SHARED" && domainOf.contains(t.subj))
+            .map(t => Flow(url, domainOf(t.subj), t.obj)).toSeq
+        case 1 =>
+          // first-party flow of an ontology child of a collected category
+          truths.collectFirst {
+            case t if t.pred == "COLLECT" && t.subj == "we" &&
+              ontChildren.getOrElse(t.obj, Nil).nonEmpty =>
+              Flow(url, Ontology.registeredDomain(Ontology.hostOf(url)),
+                ontChildren(t.obj).min)
+          }.toSeq
+        case 2 =>
+          // unknown tracker domain
+          Seq(Flow(url, "trackers-r-us.example", "email address"))
+        case _ =>
+          // undisclosed: google flow of a datatype the policy never mentions
+          Seq(Flow(url, "google.com", "voiceprint"))
+      }
+    }
+  }
+
+  /** Spark-side classification: everything is a broadcast join against the
+    * (tiny) ontology/domain tables plus one join against the policy triples.
+    * Output verdicts: consistent | inconsistent | unknown_entity. */
+  def classify(spark: SparkSession, flowsDf: DataFrame, triples: DataFrame): DataFrame = {
+    import spark.implicits._
+    val domains = Ontology.domainEntity.toDF("domain", "entity")
+    val dataAnc = Ontology.dataClosure.map(_.swap).toDF("fdt", "anc_dt") // child -> ancestor
+    val entAnc = Ontology.entityClosure.map(_.swap).toDF("fent", "anc_ent")
+
+    // resolve destination entity: known map, else first-party when the flow
+    // domain equals the app's own registered domain
+    val resolved = flowsDf
+      .join(broadcast(domains), Seq("domain"), "left_outer")
+      .withColumn("app_domain",
+        regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("entity",
+        when(col("entity").isNotNull, col("entity"))
+          .when(expr("app_domain LIKE '%' || domain"), lit("we")))
+
+    val collectPreds = Seq("COLLECT", "BE_SHARED", "BE_SOLD", "USE", "STORE")
+    val disclosures = triples
+      .filter(col("pred").isin(collectPreds: _*))
+      .select(col("url").as("durl"), col("subj").as("dactor"), col("obj").as("ddt"))
+
+    // acceptable (actor, datatype) pairs per flow: entity itself or an
+    // entity-ontology ancestor; datatype itself, a data-ontology ancestor,
+    // or a per-policy SUBSUM ancestor
+    val subsumAnc = triples.filter(col("pred") === "SUBSUM")
+      .select(col("url").as("surl"), col("obj").as("sdt"), col("subj").as("sanc"))
+
+    val withDtCandidates = resolved
+      .join(broadcast(dataAnc), col("datatype") === col("fdt"), "left_outer")
+      .join(subsumAnc,
+        col("url") === col("surl") && col("datatype") === col("sdt"), "left_outer")
+      .withColumn("dt_cand",
+        array_distinct(filter(array(col("datatype"), col("anc_dt"), col("sanc")), _.isNotNull)))
+    val withEntCandidates = withDtCandidates
+      .join(broadcast(entAnc), col("entity") === col("fent"), "left_outer")
+      .withColumn("ent_cand",
+        array_distinct(filter(array(col("entity"), col("anc_ent")), _.isNotNull)))
+
+    val matched = withEntCandidates
+      .join(disclosures,
+        col("url") === col("durl") &&
+          array_contains(col("ent_cand"), col("dactor")) &&
+          array_contains(col("dt_cand"), col("ddt")),
+        "left_outer")
+      .groupBy(col("url"), col("domain"), col("datatype"))
+      .agg(max(col("entity")).as("entity"),
+        count(col("durl")).as("n_matches"))
+
+    matched.select(col("url"), col("domain"), col("datatype"),
+      when(col("entity").isNull, "unknown_entity")
+        .when(col("n_matches") > 0, "consistent")
+        .otherwise("inconsistent").as("verdict"))
+  }
+
+  /** Independent oracle-side classification over ground truth (plain Scala,
+    * no Spark — a genuinely separate implementation for the DuckDB VALUES
+    * oracle). */
+  def classifyTruth(nDocs: Int, seed: Long = 42L): Seq[(String, String, String, String)] = {
+    val byUrl = CorpusGen.corpus(nDocs, seed).map(gp => gp.page.url -> gp.truth).toMap
+    val domains = Ontology.domainEntity.toMap
+    val dataAnc = Ontology.dataClosure.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val entAnc = Ontology.entityClosure.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val collectPreds = Set("COLLECT", "BE_SHARED", "BE_SOLD", "USE", "STORE")
+    flows(nDocs, seed).map { f =>
+      val appDomain = Ontology.registeredDomain(Ontology.hostOf(f.url))
+      val entity = domains.get(f.domain)
+        .orElse(if (f.domain == appDomain) Some("we") else None)
+      val verdict = entity match {
+        case None => "unknown_entity"
+        case Some(e) =>
+          val truths = byUrl.getOrElse(f.url, Vector.empty)
+          val subsumAnc = truths.filter(_.pred == "SUBSUM")
+            .filter(_.obj == f.datatype).map(_.subj).toSet
+          val dtCand = Set(f.datatype) ++ dataAnc.getOrElse(f.datatype, Set.empty) ++ subsumAnc
+          val entCand = Set(e) ++ entAnc.getOrElse(e, Set.empty)
+          val ok = truths.exists(t => collectPreds(t.pred) &&
+            entCand(t.subj) && dtCand(t.obj))
+          if (ok) "consistent" else "inconsistent"
+      }
+      (f.url, f.domain, f.datatype, verdict)
+    }
+  }
+}

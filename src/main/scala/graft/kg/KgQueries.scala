@@ -119,6 +119,76 @@ object KgQueries {
       val edges = aliasEdges.toDF("src", "dst")
       AliasResolution.connectedComponents(edges)
         .orderBy("vertex")
+    }),
+
+    // J7/J8/F7/G9: flow-to-policy consistency (broadcast ontology joins)
+    "kg_flow_consistency" -> ((s, _) => {
+      import s.implicits._
+      val flowsDf = FlowConsistency.flows(N_DOCS, SEED)
+        .toDF("url", "domain", "datatype")
+      val triples = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      FlowConsistency.classify(s, flowsDf, triples)
+        .orderBy("url", "domain", "datatype")
+    }),
+
+    // KGraph.datatypes (graph_utils.py:202-207): DATA nodes per policy
+    "kg_datatypes" -> ((s, _) => {
+      val t = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      t.filter(col("objType") === "DATA").select(col("url"), col("obj").as("term"))
+        .union(t.filter(col("subjType") === "DATA").select(col("url"), col("subj").as("term")))
+        .distinct().orderBy("url", "term")
+    }),
+
+    // KGraph.entities: ACTOR nodes per policy
+    "kg_entities" -> ((s, _) => {
+      val t = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      t.filter(col("subjType") === "ACTOR").select(col("url"), col("subj").as("term"))
+        .union(t.filter(col("objType") === "ACTOR").select(col("url"), col("obj").as("term")))
+        .distinct().orderBy("url", "term")
+    }),
+
+    // ExtKGraph.can_collect('phone number'): direct, per-policy SUBSUM
+    // ancestor, or data-ontology ancestor (G8+G9)
+    "kg_can_collect" -> ((s, _) => {
+      import s.implicits._
+      val dt = "phone number"
+      val t = KgPipeline.run(s, N_DOCS, SEED).toDF().cache()
+      val collects = t.filter(col("pred") === "COLLECT")
+        .select(col("url"), col("subj"), col("obj"))
+      val sub = t.filter(col("pred") === "SUBSUM")
+        .select(col("url").as("surl"), col("subj").as("upper"), col("obj").as("lower"))
+      val ontAnc = Ontology.dataClosure.filter(_._2 == dt).map(_._1).toDF("anc")
+      val direct = collects.filter(col("obj") === dt)
+      val viaSub = collects.join(sub, collects("url") === col("surl") &&
+        collects("obj") === col("upper") && col("lower") === dt)
+        .select(collects("url"), collects("subj"), collects("obj"))
+      val viaOnt = collects.join(broadcast(ontAnc), col("obj") === col("anc"))
+        .select(collects("url"), collects("subj"), collects("obj"))
+      direct.union(viaSub).union(viaOnt)
+        .select(col("url"), col("subj").as("actor")).distinct()
+        .orderBy("url", "actor")
+    }),
+
+    // A6: terms defined by SUBSUM in many policies
+    "kg_term_defs" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .filter(col("pred") === "SUBSUM")
+        .groupBy(col("subj").as("term"))
+        .agg(countDistinct(col("url")).as("n_policies"))
+        .filter(col("n_policies") >= 2)
+        .orderBy("term")
+    }),
+
+    // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
+    "kg_summary_matrix" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .filter(col("objType") === "DATA")
+        .groupBy(col("obj").as("datatype"))
+        .agg(
+          countDistinct(when(col("pred") === "COLLECT", col("url"))).as("n_collect"),
+          countDistinct(when(col("pred") === "BE_SHARED", col("url"))).as("n_shared"),
+          countDistinct(when(col("pred").startsWith("NOT_"), col("url"))).as("n_denied"))
+        .orderBy("datatype")
     }))
 
   // ------------------------------------------------------------------ oracles
@@ -176,6 +246,46 @@ object KgQueries {
 
     val comps = unionFindComponents(aliasEdges).toSeq.sorted.map { case (v, c) => Seq(v, c) }
 
+    val flowVerdicts = FlowConsistency.classifyTruth(N_DOCS, SEED)
+      .sortBy(identity).map { case (u, d, t0, v) => Seq(u, d, t0, v) }
+
+    val collectFamily = Model.CollectEdgeTypes
+    val dataTerms = truthRows.flatMap { t =>
+      val fromObj = if (collectFamily(t.pred) || t.pred == "SUBSUM") Seq((t.url, t.obj)) else Nil
+      val fromSubj = if (t.pred == "SUBSUM") Seq((t.url, t.subj)) else Nil
+      fromObj ++ fromSubj
+    }.distinct.sorted.map { case (u, x) => Seq(u, x) }
+
+    val actorTerms = truthRows.filter(t => collectFamily(t.pred))
+      .map(t => (t.url, t.subj)).distinct.sorted.map { case (u, x) => Seq(u, x) }
+
+    val canCollect = {
+      val dt = "phone number"
+      val ontAnc = Ontology.dataClosure.filter(_._2 == dt).map(_._1).toSet
+      val collects = truthRows.filter(_.pred == "COLLECT")
+      val subs = truthRows.filter(_.pred == "SUBSUM")
+      val direct = collects.filter(_.obj == dt)
+      val viaSub = collects.filter(c => subs.exists(s =>
+        s.url == c.url && s.subj == c.obj && s.obj == dt))
+      val viaOnt = collects.filter(c => ontAnc(c.obj))
+      (direct ++ viaSub ++ viaOnt).map(c => (c.url, c.subj)).distinct.sorted
+        .map { case (u, a) => Seq(u, a) }
+    }
+
+    val termDefs = truthRows.filter(_.pred == "SUBSUM")
+      .groupBy(_.subj).view.mapValues(_.map(_.url).distinct.size).toSeq
+      .filter(_._2 >= 2).sortBy(_._1)
+      .map { case (t0, n) => Seq(t0, n.toString) }
+
+    val summary = truthRows
+      .filter(t => collectFamily(t.pred) || t.pred == "SUBSUM")
+      .groupBy(_.obj).toSeq.sortBy(_._1).map { case (dt, rs) =>
+        Seq(dt,
+          rs.filter(_.pred == "COLLECT").map(_.url).distinct.size.toString,
+          rs.filter(_.pred == "BE_SHARED").map(_.url).distinct.size.toString,
+          rs.filter(_.pred.startsWith("NOT_")).map(_.url).distinct.size.toString)
+      }
+
     val m = scala.collection.mutable.Map[String, String]()
     m("kg_triples") = valuesSql(Seq("url", "subj", "pred", "obj"), t4,
       Seq("url", "subj", "pred", "obj"))
@@ -195,6 +305,18 @@ object KgQueries {
       m("kg_contradictions") = valuesSql(Seq("url", "subj", "pred", "obj"),
         contradictions, Seq("url", "subj", "pred", "obj"))
     m("kg_alias_components") = valuesSql(Seq("vertex", "component"), comps, Seq("vertex"))
+    if (flowVerdicts.nonEmpty)
+      m("kg_flow_consistency") = valuesSql(Seq("url", "domain", "datatype", "verdict"),
+        flowVerdicts, Seq("url", "domain", "datatype"))
+    m("kg_datatypes") = valuesSql(Seq("url", "term"), dataTerms, Seq("url", "term"))
+    m("kg_entities") = valuesSql(Seq("url", "term"), actorTerms, Seq("url", "term"))
+    if (canCollect.nonEmpty)
+      m("kg_can_collect") = valuesSql(Seq("url", "actor"), canCollect, Seq("url", "actor"))
+    if (termDefs.nonEmpty)
+      m("kg_term_defs") =
+        s"SELECT term, CAST(n_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("term", "n_s"), termDefs)}) ORDER BY term"
+    m("kg_summary_matrix") =
+      s"SELECT datatype, CAST(c_s AS BIGINT) AS n_collect, CAST(s_s AS BIGINT) AS n_shared, CAST(d_s AS BIGINT) AS n_denied FROM (${valuesSqlNoOrder(Seq("datatype", "c_s", "s_s", "d_s"), summary)}) ORDER BY datatype"
     m.toMap
   }
 
