@@ -93,7 +93,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(12)
+    val kind = rng.nextInt(13)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -140,6 +140,10 @@ object CorpusGen {
       case 11 => // access-to (USE)
         (s"$acS have access to $dtS.",
           Vector(Truth(url, acC, "USE", dtC, "")))
+      case 12 => // children-subject (COPPA-style; exercises U7 + extended
+        // variant's "@children" data-subject suffix)
+        (s"We do not knowingly collect $dtS from children.",
+          Vector(Truth(url, "we", "NOT_COLLECT", s"$dtC @children", "")))
       case _ => ("", Vector.empty)
     }
   }

@@ -33,6 +33,30 @@ object KgPipeline {
     }
   }
 
+  /** North-rule skew defense: salted repartition on url-hash. Hot domains
+    * produce many near-identical pages; hashing (url, salt) spreads any hot
+    * key across `parts` partitions before the expensive per-doc work, and
+    * AQE skew-join splitting covers the join side. */
+  def saltedRepartition[T](ds: Dataset[T], parts: Int, salt: Int = 0): Dataset[T] =
+    // note: partition by the raw 64-bit hash, NOT pmod(hash, parts) — Spark
+    // murmur-hashes the expression value again, and re-hashing a tiny value
+    // domain collides (empty partitions)
+    ds.repartition(parts, xxhash64(col("url"), lit(salt)))
+
+  /** S10: content-checksum page dedup (reference datasets/deduplicate.py:
+    * 25-36 blake2s over cleaned HTML → here sha2 over the html bytes; one
+    * hash-shuffle, keep the lexicographically-first url per digest). */
+  def dedupPages(pages: Dataset[WebPage]): Dataset[WebPage] = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("h", sha2(col("html"), 256))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h")).orderBy(col("url"))))
+      .filter(col("rn") === 1)
+      .drop("h", "rn")
+      .as[WebPage]
+  }
+
   /** S2 preflight + S4/S5 segmentation. The lang filter is pushed to the
     * scan; segmentation is a pure per-row flatMap. */
   def segments(pages: Dataset[WebPage]): Dataset[Segment] = {
@@ -81,7 +105,10 @@ object KgPipeline {
       runId: String, seed: Long = 42L): Dataset[Triple] = {
     val store = new StageStore(spark, baseDir, runId)
     import spark.implicits._
-    val segs = store.stage[Segment]("segments") { segments(pages(spark, nDocs, seed)) }
+    val parts = math.max(spark.sparkContext.defaultParallelism, 8)
+    val segs = store.stage[Segment]("segments") {
+      segments(saltedRepartition(dedupPages(pages(spark, nDocs, seed)), parts))
+    }
     store.stage[Triple]("triples") { triples(segs) }
   }
 

@@ -179,6 +179,27 @@ object KgQueries {
         .orderBy("term")
     }),
 
+    // S10: checksum dedup — pages unioned with exact copies (url suffix
+    // changes, html identical) collapse back to the original count
+    "kg_page_dedup" -> ((s, _) => {
+      import s.implicits._
+      val ps = KgPipeline.pages(s, N_DOCS, SEED)
+      val dups = ps.limit(20).map(p => p.copy(url = p.url + "?copy=1"))
+      val deduped = KgPipeline.dedupPages(ps.union(dups))
+      Seq((ps.count(), ps.union(dups).count(), deduped.count()))
+        .toDF("n_pages", "n_with_dups", "n_after_dedup")
+    }),
+
+    // W4: deterministic validation sample of edges (seeded pick — here a
+    // length-hash both engines can compute; reference uses random.seed(0))
+    "kg_validation_sample" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .select(col("url"), col("subj"), col("pred"), col("obj"))
+        .filter((length(col("url")) + length(col("subj")) * 31 +
+          length(col("pred")) * 7 + length(col("obj")) * 3) % 11 === 0)
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -315,6 +336,14 @@ object KgQueries {
     if (termDefs.nonEmpty)
       m("kg_term_defs") =
         s"SELECT term, CAST(n_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("term", "n_s"), termDefs)}) ORDER BY term"
+    m("kg_page_dedup") =
+      s"SELECT CAST($N_DOCS AS BIGINT) AS n_pages, CAST(${N_DOCS + 20} AS BIGINT) AS n_with_dups, CAST($N_DOCS AS BIGINT) AS n_after_dedup"
+    val sample = t4.filter { r =>
+      (r(0).length + r(1).length * 31 + r(2).length * 7 + r(3).length * 3) % 11 == 0
+    }
+    if (sample.nonEmpty)
+      m("kg_validation_sample") = valuesSql(Seq("url", "subj", "pred", "obj"),
+        sample, Seq("url", "subj", "pred", "obj"))
     m("kg_summary_matrix") =
       s"SELECT datatype, CAST(c_s AS BIGINT) AS n_collect, CAST(s_s AS BIGINT) AS n_shared, CAST(d_s AS BIGINT) AS n_denied FROM (${valuesSqlNoOrder(Seq("datatype", "c_s", "s_s", "d_s"), summary)}) ORDER BY datatype"
     m.toMap

@@ -50,6 +50,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(comps("meta") != comps("youtube"))
   }
 
+  test("structured streaming: incremental KG extraction over arriving pages") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pages").toString
+    val pages = KgPipeline.pages(spark, 15)
+    pages.write.mode("overwrite").parquet(dir)
+    val batchTriples = KgPipeline.triplesFromPages(pages).count()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+      .as[graft.kg.Model.WebPage]
+    val q = KgPipeline.triplesFromPages(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kg_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM kg_stream").collect()(0).getLong(0) == batchTriples)
+    } finally q.stop()
+  }
+
+  test("salted repartition spreads pages evenly") {
+    import spark.implicits._
+    val pages = KgPipeline.pages(spark, 400)
+    val parts = KgPipeline.saltedRepartition(pages, 8)
+      .mapPartitions(it => Iterator(it.size)).collect()
+    assert(parts.length == 8)
+    assert(parts.min > 20, s"skewed partitions: ${parts.toSeq}")
+  }
+
+  test("checksum dedup drops exact copies") {
+    import spark.implicits._
+    val ps = KgPipeline.pages(spark, 30)
+    val dup = ps.map(p => p.copy(url = p.url + "#dup"))
+    assert(KgPipeline.dedupPages(ps.union(dup)).count() == 30)
+  }
+
   test("structured streaming: windowed counts over the events table (§2.9 capability)") {
     val sf = "/root/testdata/sf0.001"
     // streaming file source needs a directory
