@@ -96,8 +96,9 @@ object KgPipeline {
   }
 
   /** Full pipeline without checkpointing (used by Verify queries). */
-  def run(spark: SparkSession, nDocs: Long, seed: Long = 42L): Dataset[Triple] =
-    triplesFromPages(pages(spark, nDocs, seed))
+  def run(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+      variant: String = "extended"): Dataset[Triple] =
+    triplesFromPages(pages(spark, nDocs, seed), variant)
 
   /** Full pipeline with checkpointed stage tables + lineage (north rule:
     * resume mid-pipeline = stage-table presence check). */

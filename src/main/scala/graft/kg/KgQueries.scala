@@ -39,6 +39,14 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj")
     }),
 
+    // "original" build variant: positive edges collapse to COLLECT key,
+    // negatives dropped (reference build_graph.py:86-95 variant switch)
+    "kg_triples_original" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED, variant = "original")
+        .select(col("url"), col("subj"), col("pred"), col("obj"))
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
     // Triples with evidence + purposes (no SQL oracle: map/array columns)
     "kg_triples_full" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF().orderBy("url", "subj", "pred", "obj")
@@ -309,6 +317,12 @@ object KgQueries {
 
     val m = scala.collection.mutable.Map[String, String]()
     m("kg_triples") = valuesSql(Seq("url", "subj", "pred", "obj"), t4,
+      Seq("url", "subj", "pred", "obj"))
+    val t4orig = truthRows.collect {
+      case t if t.pred == "SUBSUM" => Seq(t.url, t.subj, t.pred, t.obj)
+      case t if Model.PositiveEdgeTypes(t.pred) => Seq(t.url, t.subj, "COLLECT", t.obj)
+    }.distinct.sortBy(r => (r(0), r(1), r(2), r(3)))
+    m("kg_triples_original") = valuesSql(Seq("url", "subj", "pred", "obj"), t4orig,
       Seq("url", "subj", "pred", "obj"))
     m("kg_eval_pr") = {
       val n = t4.size

@@ -85,6 +85,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(KgPipeline.dedupPages(ps.union(dup)).count() == 30)
   }
 
+  test("stateful streaming: per-user event counting via mapGroupsWithState") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-stateful")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .selectExpr("user_id", "event_id").as[(Long, Long)]
+    val counted = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "n").writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.sql("SELECT sum(n) FROM sessions").collect()(0).getLong(0)
+      val batch = spark.read.parquet(s"$sf/events.parquet").count()
+      assert(total == batch)
+    } finally q.stop()
+  }
+
   test("structured streaming: windowed counts over the events table (§2.9 capability)") {
     val sf = "/root/testdata/sf0.001"
     // streaming file source needs a directory
