@@ -36,16 +36,26 @@ object DocKernel {
       segs: Vector[Segment],
       docs: Vector[CtxDoc]) {
     // token-relationship graph: insertion-ordered distinct (src, dst, rel)
+    // + adjacency indexes (the annotators query in/out links per node on
+    // hot paths; linear scans over the edge set were O(E) per lookup)
     val edges = mutable.LinkedHashSet[(Src, Src, String)]()
+    private val outAdj = mutable.Map[Src, mutable.ArrayBuffer[(Src, Src, String)]]()
+    private val inAdj = mutable.Map[Src, mutable.ArrayBuffer[(Src, Src, String)]]()
     val sentText = mutable.Map[Src, String]()
     val mentions = mutable.Map[Src, Mention]()
     val purposeText = mutable.Map[Src, String]()
     val subjects = mutable.Map[Src, String]()
 
+    private def index(e: (Src, Src, String)): Unit = {
+      outAdj.getOrElseUpdate(e._1, mutable.ArrayBuffer()) += e
+      inAdj.getOrElseUpdate(e._2, mutable.ArrayBuffer()) += e
+    }
+
     def link(d: CtxDoc, p: Parse, tok1: Int, tok2: Int, rel: String): Unit = {
       (d.srcs(tok1), d.srcs(tok2)) match {
         case (Some(s1), Some(s2)) =>
-          edges += ((s1, s2, rel))
+          val e = (s1, s2, rel)
+          if (edges.add(e)) index(e)
           sentText.getOrElseUpdate(s1, p.text)
           sentText.getOrElseUpdate(s2, p.text)
           recordMention(d, p, tok1, s1)
@@ -54,7 +64,10 @@ object DocKernel {
       }
     }
 
-    def linkSrc(s1: Src, s2: Src, rel: String): Unit = edges += ((s1, s2, rel))
+    def linkSrc(s1: Src, s2: Src, rel: String): Unit = {
+      val e = (s1, s2, rel)
+      if (edges.add(e)) index(e)
+    }
 
     def recordMention(d: CtxDoc, p: Parse, tok: Int, s: Src): Unit =
       if (!mentions.contains(s)) {
@@ -66,10 +79,14 @@ object DocKernel {
         }
       }
 
-    def inEdges(s: Src): Iterator[(Src, Src, String)] = edges.iterator.filter(_._2 == s)
-    def outEdges(s: Src): Iterator[(Src, Src, String)] = edges.iterator.filter(_._1 == s)
+    def inEdges(s: Src): Iterator[(Src, Src, String)] =
+      inAdj.get(s).map(_.iterator).getOrElse(Iterator.empty)
+    def outEdges(s: Src): Iterator[(Src, Src, String)] =
+      outAdj.get(s).map(_.iterator).getOrElse(Iterator.empty)
     def allLinks(s: Src): Iterator[(Src, Src, String)] =
-      edges.iterator.filter(e => e._1 == s || e._2 == s)
+      // in-edges first, then out — mirrors the reference's
+      // chain(in_edge_view, out_edge_view) iteration (build_graph.py:147-151)
+      inEdges(s) ++ outEdges(s).filter(e => e._2 != s) // self-loops once
   }
 
   // ------------------------------------------------------------ context docs

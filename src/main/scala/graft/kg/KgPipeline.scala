@@ -110,7 +110,9 @@ object KgPipeline {
     val segs = store.stage[Segment]("segments") {
       segments(saltedRepartition(dedupPages(pages(spark, nDocs, seed)), parts))
     }
-    store.stage[Triple]("triples") { triples(segs) }
+    // partitioned graph table — predicate-level partition pruning for the
+    // analysis queries (Iceberg partition spec stand-in)
+    store.stage[Triple]("triples", partitionCols = Seq("pred")) { triples(segs) }
   }
 
   /** Ground truth as a Dataset (for the eval join). */
@@ -132,11 +134,13 @@ final class StageStore(spark: SparkSession, baseDir: String, runId: String) {
   def exists(name: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS"))
 
-  def stage[T: Encoder](name: String)(compute: => Dataset[T]): Dataset[T] = {
+  def stage[T: Encoder](name: String, partitionCols: Seq[String] = Nil)(
+      compute: => Dataset[T]): Dataset[T] = {
     val path = s"$baseDir/$name"
     if (!exists(name)) {
       val t0 = System.currentTimeMillis()
-      compute.write.mode("overwrite").parquet(path)
+      compute.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(path)
       val out = spark.read.parquet(path)
       val wall = System.currentTimeMillis() - t0
       out.groupBy(spark_partition_id().as("partitionId"))

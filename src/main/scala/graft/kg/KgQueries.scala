@@ -208,6 +208,23 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj")
     }),
 
+    // §3.2: the KGraph analysis surface is plain SQL over the materialized
+    // triple view — Catalyst plans/reorders the whole query (this is
+    // who_collect expressed in SQL rather than the DataFrame DSL)
+    "kg_sql_who_collect" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF().createOrReplaceTempView("triples")
+      s.sql("""
+        SELECT url, subj AS actor FROM triples
+        WHERE pred = 'COLLECT' AND obj = 'email address'
+        UNION
+        SELECT c.url, c.subj AS actor
+        FROM triples c
+        JOIN triples s0 ON c.url = s0.url AND s0.pred = 'SUBSUM'
+          AND c.obj = s0.subj AND s0.obj = 'email address'
+        WHERE c.pred = 'COLLECT'
+        ORDER BY url, actor""")
+    }),
+
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -334,8 +351,10 @@ object KgQueries {
     if (purposes.nonEmpty)
       m("kg_purposes") = valuesSql(Seq("url", "subj", "pred", "obj", "purpose"),
         purposes, Seq("url", "subj", "pred", "obj", "purpose"))
-    if (whoCollect.nonEmpty)
+    if (whoCollect.nonEmpty) {
       m("kg_who_collect") = valuesSql(Seq("url", "actor"), whoCollect, Seq("url", "actor"))
+      m("kg_sql_who_collect") = m("kg_who_collect")
+    }
     if (contradictions.nonEmpty)
       m("kg_contradictions") = valuesSql(Seq("url", "subj", "pred", "obj"),
         contradictions, Seq("url", "subj", "pred", "obj"))

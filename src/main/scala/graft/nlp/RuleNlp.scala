@@ -40,7 +40,12 @@ object RuleNlp {
       text: String) {
     lazy val out: Map[Int, Vector[Dep]] = deps.groupBy(_.from).withDefaultValue(Vector.empty)
     lazy val in: Map[Int, Vector[Dep]] = deps.groupBy(_.to).withDefaultValue(Vector.empty)
-    def chunkOf(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
+    private lazy val chunkIdx: java.util.HashMap[Int, Chunk] = {
+      val m = new java.util.HashMap[Int, Chunk]()
+      chunks.foreach(c => (c.start until c.end).foreach(k => m.put(k, c)))
+      m
+    }
+    def chunkOf(tok: Int): Option[Chunk] = Option(chunkIdx.get(tok))
   }
 
   // ---------------------------------------------------------------- tokenize
