@@ -17,7 +17,9 @@ import graft.kg.Model.WebPage
 object CorpusGen {
 
   final case class Truth(url: String, subj: String, pred: String, obj: String,
-      purpose: String) // purpose label or ""
+      purpose: String, // comma-joined sorted purpose labels or ""
+      evidence: Vector[String] = Vector.empty, // sentences, paragraph order
+      purposeTexts: Vector[String] = Vector.empty) // purpose phrases
 
   final case class GenPage(page: WebPage, truth: Vector[Truth])
 
@@ -115,7 +117,11 @@ object CorpusGen {
           Vector(Truth(url, acC, "NOT_BE_SOLD", dtC, "")))
       case 5 => // use + purpose
         val (pS, pC) = rng.pick(purposes)
-        (s"We use $dtS $pS.", Vector(Truth(url, "we", "USE", dtC, pC)))
+        // the extracted purpose span starts at the xcomp verb (reference
+        // purpose_annotator left_end), so a "to X" surface loses the "to"
+        val phrase = if (pS.startsWith("to ")) pS.drop(3) else pS
+        (s"We use $dtS $pS.",
+          Vector(Truth(url, "we", "USE", dtC, pC, purposeTexts = Vector(phrase))))
       case 6 => // store
         (s"We store $dtS.", Vector(Truth(url, "we", "STORE", dtC, "")))
       case 7 => // subsumption via such as
@@ -158,7 +164,10 @@ object CorpusGen {
     }
     val lis = picked.map { case (s, _) => s"<li>$s</li>" }.mkString
     val html = s"<h2>Information We Collect</h2><p>We collect the following information:</p><ul>$lis</ul>"
-    (html, picked.map { case (_, c) => Truth(url, "we", "COLLECT", c, "") })
+    (html, picked.map { case (s, c) =>
+      Truth(url, "we", "COLLECT", c, "",
+        evidence = Vector(s"We collect the following information: $s"))
+    })
   }
 
   /** Generate a full page. ~6 paragraphs + optionally one list section. */
@@ -172,7 +181,8 @@ object CorpusGen {
     (0 until nSent).foreach { _ =>
       val (s, t) = sentence(url, rng)
       parts += s"<p>$s</p>"
-      truth ++= t
+      truth ++= t.map(x =>
+        if (x.evidence.isEmpty) x.copy(evidence = Vector(s)) else x)
     }
     if (rng.nextInt(3) == 0) {
       val (h, t) = listSection(url, rng)
@@ -189,11 +199,19 @@ object CorpusGen {
   }
 
   /** The pipeline merges repeated statements into one triple; truth follows
-    * set semantics on (url, subj, pred, obj) with union of purposes. */
+    * set semantics on (url, subj, pred, obj) with union of purposes and
+    * evidence in paragraph order, substring-deduped keeping the longest
+    * (the reference's finalize rule, build_graph.py:452-477 — independent
+    * reimplementation here for the oracle). */
   private def dedupTruth(ts: Vector[Truth]): Vector[Truth] =
     ts.groupBy(t => (t.url, t.subj, t.pred, t.obj)).toVector.sortBy(_._1).map {
       case ((u, s, p, o), vs) =>
-        Truth(u, s, p, o, vs.map(_.purpose).filter(_.nonEmpty).distinct.sorted.mkString(","))
+        val ev = vs.flatMap(_.evidence).distinct
+        val kept = ev.filterNot(e => ev.exists(other => (other ne e) && other.contains(e) && other != e))
+        Truth(u, s, p, o,
+          vs.map(_.purpose).filter(_.nonEmpty).distinct.sorted.mkString(","),
+          evidence = kept,
+          purposeTexts = vs.flatMap(_.purposeTexts).distinct.sorted)
     }
 
   def corpus(n: Int, seed: Long = 42L): Vector[GenPage] =

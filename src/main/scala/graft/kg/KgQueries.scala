@@ -85,6 +85,24 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj", "purpose")
     }),
 
+    // A5: evidence sentences per edge (substring-deduped, ordered) — full
+    // byte-level verification of the text column against construction truth
+    "kg_evidence" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .select(col("url"), col("subj"), col("pred"), col("obj"),
+          concat_ws(" || ", col("text")).as("evidence"))
+        .orderBy("url", "subj", "pred", "obj")
+    }),
+
+    // A4/U6: purpose phrases attached to edges (exact span text)
+    "kg_purpose_texts" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .select(col("url"), col("subj"), col("obj"),
+          explode(flatten(map_values(col("purposes")))).as("purpose_text"))
+        .distinct()
+        .orderBy("url", "subj", "obj", "purpose_text")
+    }),
+
     // KGraph.who_collect('email address'): direct collectors + collectors of
     // a subsuming category (graph_utils.py:230-236 + ancestors 238-268)
     "kg_who_collect" -> ((s, _) => {
@@ -351,6 +369,17 @@ object KgQueries {
     if (purposes.nonEmpty)
       m("kg_purposes") = valuesSql(Seq("url", "subj", "pred", "obj", "purpose"),
         purposes, Seq("url", "subj", "pred", "obj", "purpose"))
+    val evidence = truthRows
+      .map(t => Seq(t.url, t.subj, t.pred, t.obj, t.evidence.mkString(" || ")))
+      .sortBy(r => (r(0), r(1), r(2), r(3)))
+    m("kg_evidence") = valuesSql(Seq("url", "subj", "pred", "obj", "evidence"),
+      evidence, Seq("url", "subj", "pred", "obj"))
+    val ptexts = truthRows
+      .flatMap(t => t.purposeTexts.map(pt => Seq(t.url, t.subj, t.obj, pt)))
+      .distinct.sortBy(r => (r(0), r(1), r(2), r(3)))
+    if (ptexts.nonEmpty)
+      m("kg_purpose_texts") = valuesSql(Seq("url", "subj", "obj", "purpose_text"),
+        ptexts, Seq("url", "subj", "obj", "purpose_text"))
     if (whoCollect.nonEmpty) {
       m("kg_who_collect") = valuesSql(Seq("url", "actor"), whoCollect, Seq("url", "actor"))
       m("kg_sql_who_collect") = m("kg_who_collect")
