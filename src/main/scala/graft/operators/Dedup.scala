@@ -29,13 +29,16 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** 64-permutation MinHash signature from word 3-shingles, banded. */
+  /** 64-permutation MinHash signature from word 3-shingles, banded.
+    * Shingle strings are hashed to 64-bit once; the 64 permutations are
+    * cheap long re-mixes of that value — hashing the string 64 times was
+    * the dominant cost of the signature. */
   def minhashBands(docs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-    // minhash_i = min over shingles of xxhash64(shingle, i)
+    val sh = docs.select(col("doc_id"),
+      transform(shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(s, lit(i)))).as(s"h$i")
+      array_min(transform(col("hs"), h => xxhash64(h, lit(i)))).as(s"h$i")
     }
     val sig = sh.select(col("doc_id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
