@@ -434,6 +434,16 @@ object RuleNlp {
             case _ => false
           }))
         if (isCcomp) addDep(prevMain, v, "ccomp") else addDep(-1, v, "root")
+        // a matrix verb directly after a relative clause takes the relcl
+        // HEAD as its subject: "[Information [we collect]] includes ..."
+        val relclHead = deps.collectFirst {
+          case Dep(upper, rv, "relcl")
+            if vgIdx > 0 && vgs(vgIdx - 1).verb == rv && rv + 1 == vg.auxStart => upper
+        }
+        if (relclHead.isDefined) {
+          addDep(v, relclHead.get, "subj")
+          subjOf(v) = List(relclHead.get)
+        } else
         // subject: nearest chunk ending at aux window start
         chunkBefore(vg.auxStart) match {
           case Some(c) if c.end >= vg.auxStart - 1 =>

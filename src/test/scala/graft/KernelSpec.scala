@@ -86,6 +86,32 @@ class KernelSpec extends AnyFunSuite {
     assert(tp > 1000)
   }
 
+  test("generalizes to naturalistic, untemplated policy sentences") {
+    // none of these shapes appear in the corpus generator
+    // (the advertiser SUBSUM google edge exists pre-trim but has no path to
+    // a collect endpoint, so trim drops it — reference trim_graph semantics)
+    val g1 = triples("<p>Advertising partners, such as Google, may receive your browsing history.</p>")
+    assert(g1 == Set(("google", "COLLECT", "browsing / search history")))
+
+    val g2 = triples("<p>Information we collect includes your IP address, device identifiers, and cookies.</p>")
+    assert(g2 == Set(
+      ("we", "COLLECT", "ip address"),
+      ("we", "COLLECT", "device identifier"),
+      ("we", "COLLECT", "cookie / pixel tag")))
+
+    val g3 = triples("<p>Personal data, including your name, email address, and phone number, may be transferred to our affiliates.</p>")
+    assert(g3.contains(("business partner", "BE_SHARED", "email address")))
+    assert(g3.contains(("business partner", "BE_SHARED", "person name")))
+    assert(g3.contains(("business partner", "BE_SHARED", "phone number")))
+
+    val g4 = triples("<p>We will never share your precise location with third parties without your consent.</p>")
+    assert(g4 == Set(("third party", "NOT_BE_SHARED", "precise geolocation")))
+
+    val g5 = triples("<p>Like many websites, we and our partners use cookies to collect usage data.</p>")
+    assert(g5.contains(("we", "COLLECT", "usage information")))
+    assert(g5.contains(("business partner", "COLLECT", "usage information")))
+  }
+
   test("substring dedup keeps longest, preserves order") {
     assert(GraphBuilder.dedupBySubstring(Vector("a b", "a b c", "x")) == Vector("a b c", "x"))
   }
