@@ -80,6 +80,34 @@ class PlanSpec extends AnyFunSuite {
     assert(r == "geolocation ID")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.SaveMode
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    li.write.mode(SaveMode.Overwrite).bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    o.write.mode(SaveMode.Overwrite).bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("approx_count_distinct tracks exact counts within 5% (A2 scale path)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("graph export ordering is deterministic (W3)") {
     val t = KgPipeline.run(spark, 10)
     val l1 = GraphExport.links(t).collect().map(_.toString)
