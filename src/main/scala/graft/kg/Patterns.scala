@@ -63,9 +63,14 @@ object Patterns {
     }.toVector
   }
 
-  /** The pattern bank — same grammar family as the reference's 22 patterns
+  /** The pattern bank, loaded from the graft/verb_patterns.yml resource —
+    * same grammar family as the reference's 22 patterns
     * (verb_patterns.yml:80-213), authored for our normalized graphs. */
-  val bank: Vector[Pattern] = compile(Seq(
+  val bank: Vector[Pattern] = compile(
+    graft.nlp.VerbPatternsYaml.patterns.map(p => (p.root, p.chains, p.transform)))
+
+  /** In-code copy retained for documentation/tests of the DSL compiler. */
+  val bankInline: Vector[Pattern] = compile(Seq(
     // E1 share DT with E2
     ("*VERB_SHARE_WITH:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "with,:obj@E2"), Seq("SHARE", "E1", "DT", "E2")),

@@ -8,21 +8,10 @@ package graft.nlp
   */
 object Lexicon {
 
-  /** Verb lexicons consumed by the collection pattern DSL (token_map). */
-  val tokenMap: Map[String, Set[String]] = Map(
-    "VERB_SHARE_WITH" -> Set("share", "trade", "exchange", "disclose"),
-    "VERB_PROVIDE_WITH" -> Set("supply", "provide"),
-    "VERB_PROVIDE_TO" -> Set("provide", "supply", "release", "disclose",
-      "transfer", "transmit", "give", "divulge", "pass", "submit"),
-    "VERB_SELL_TO" -> Set("sell", "rent", "lease"),
-    "VERB_COLLECT_FROM" -> Set("collect", "gather", "obtain", "receive",
-      "solicit", "acquire", "request", "get"),
-    "VERB_USE" -> Set("use", "access", "process", "utilize", "analyze", "need"),
-    "VERB_STORE" -> Set("store", "save", "preserve", "record", "retain",
-      "maintain", "log", "keep", "hold"),
-    "VERB_REQUIRE_TODO" -> Set("ask", "require", "need", "prompt", "deem", "oblige"),
-    "VERB_ALLOW_TODO" -> Set("enable", "allow", "permit", "authorize"),
-    "VERB_HAVE_TODO" -> Set("have", "aim", "intend", "need", "seek", "continue"))
+  /** Verb lexicons consumed by the collection pattern DSL (token_map) —
+    * loaded from the graft/verb_patterns.yml resource so the dictionary
+    * stays data. */
+  val tokenMap: Map[String, Set[String]] = VerbPatternsYaml.tokenMap
 
   /** Every lemma any pattern can anchor on, plus common policy verbs that
     * appear in purpose clauses — drives VERB tagging. */
