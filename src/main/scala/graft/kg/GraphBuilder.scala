@@ -106,14 +106,14 @@ object GraphBuilder {
       if (CollectEdgeTypes(rel)) {
         if (setdefault(s1, "ACTOR") == "ACTOR" && setdefault(s2, "DATA") == "DATA") {
           variant match {
-            case "original" =>
+            case "extended" =>
+              gCollect.edges += ((s1, s2, rel))
+              dtypePurposeTexts.getOrElseUpdate(s2, mutable.ListBuffer())
+            case _ => // original / per_sentence / per_section: positives only
               if (!rel.startsWith("NOT_")) {
                 gCollect.edges += ((s1, s2, Collect))
                 dtypePurposeTexts.getOrElseUpdate(s2, mutable.ListBuffer())
               }
-            case _ =>
-              gCollect.edges += ((s1, s2, rel))
-              dtypePurposeTexts.getOrElseUpdate(s2, mutable.ListBuffer())
           }
         }
       }
@@ -153,8 +153,9 @@ object GraphBuilder {
       }
     }
 
-    // ---- Step 4: coref contraction --------------------------------------
-    gCoref.topo.foreach { s1 =>
+    // ---- Step 4: coref contraction (skipped in the per_sentence
+    // PolicyLint simulation, build_graph.py:177-178) ----------------------
+    if (variant != "per_sentence") gCoref.topo.foreach { s1 =>
       gCoref.outDegree(s1) match {
         case 0 =>
         case 1 =>
@@ -187,10 +188,20 @@ object GraphBuilder {
             if (hasSubsum && terms.isEmpty)
               eliminateIntermediate(src, tt, gCollect, gSubsum)
           }
-          if (variant == "extended" && tt == "DATA") {
-            st.subjects.get(src).foreach { subj =>
-              terms = terms.map(t => s"$t @$subj")
-            }
+          variant match {
+            case "extended" if tt == "DATA" =>
+              // data-subject suffix (build_graph.py:355-366)
+              st.subjects.get(src).foreach { subj =>
+                terms = terms.map(t => s"$t @$subj")
+              }
+            case "per_sentence" =>
+              // PolicyLint simulation: every mention is its own node
+              terms = terms.map(t => s"$t (${src.seg}, ${src.tok})")
+            case "per_section" =>
+              // relations limited to one section (nearest heading ancestor)
+              val sec = sectionOf(st, src.seg)
+              terms = terms.map(t => s"$t ($sec, 0)")
+            case _ =>
           }
           terms.foreach(t => nodeTypeOf(t) = tt)
           termsOf(src) = terms.toVector.sorted(Ordering[String].reverse)
@@ -277,6 +288,16 @@ object GraphBuilder {
           purp.map { case (k, v) => k -> v.toVector.distinct }.toMap)
     }
     triples.sortBy(t => (t.subj, t.pred, t.obj))
+  }
+
+  /** Nearest HEADING ancestor of a segment (build_graph.py:293-299). */
+  private def sectionOf(st: DocState, segId: Int): Int = {
+    val byId = st.segs.map(s => s.segId -> s).toMap
+    var cur = byId.get(segId)
+    while (cur.exists(s => s.segType != "HEADING")) {
+      cur = cur.flatMap(s => byId.get(s.parentId))
+    }
+    cur.map(_.segId).getOrElse(0)
   }
 
   /** Longest-first substring dedup preserving original order

@@ -112,6 +112,26 @@ class KernelSpec extends AnyFunSuite {
     assert(g5.contains(("business partner", "COLLECT", "usage information")))
   }
 
+  test("per_sentence / per_section variants keep triples but split nodes") {
+    val html = "<h2>Data</h2><p>We collect your email address.</p>" +
+      "<p>We collect your email address.</p><p>We do not sell cookies to advertisers.</p>"
+    val segs = HtmlSegmenter.segment("v", html)
+    val ext = DocKernel.process("v", segs, "extended")
+    val ps = DocKernel.process("v", segs, "per_sentence")
+    val pc = DocKernel.process("v", segs, "per_section")
+    // per_sentence: the two identical statements stay separate nodes
+    assert(ps.count(_.pred == "COLLECT") == 2)
+    assert(ext.count(_.pred == "COLLECT") == 1)
+    // negatives dropped in non-extended variants
+    assert(ps.forall(!_.pred.startsWith("NOT_")))
+    assert(ext.exists(_.pred == "NOT_BE_SOLD"))
+    // stripping the node suffix recovers the extended terms
+    val strip = (s: String) => s.replaceAll(" \\(\\d+, \\d+\\)$", "")
+    assert(ps.map(t => (strip(t.subj), strip(t.obj))).toSet ==
+      Set(("we", "email address")))
+    assert(pc.nonEmpty)
+  }
+
   test("substring dedup keeps longest, preserves order") {
     assert(GraphBuilder.dedupBySubstring(Vector("a b", "a b c", "x")) == Vector("a b c", "x"))
   }
