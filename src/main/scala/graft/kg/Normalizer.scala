@@ -39,103 +39,12 @@ object Normalizer {
   private val genericActor: Set[String] = Set("party", "entity", "company",
     "organization", "other", "one", "anyone", "someone", "others")
 
-  /** DATA canonicalization: dictionary lemma-phrase → canonical term. */
-  val dataCanonical: Map[String, String] = {
-    def m(canon: String, phrases: String*): Seq[(String, String)] = phrases.map(_ -> canon)
-    (m("email address", "email address", "email") ++
-      m("ip address", "ip address") ++
-      m("mac address", "mac address") ++
-      m("geolocation", "location", "geolocation", "location data",
-        "location information") ++
-      m("precise geolocation", "precise location", "precise geolocation",
-        "gps location") ++
-      m("coarse geolocation", "coarse location", "approximate location") ++
-      m("device identifier", "device identifier", "device id", "serial number",
-        "imei", "android id", "device fingerprint") ++
-      m("advertising identifier", "advertising identifier", "advertising id",
-        "advertising tag") ++
-      m("identifier", "identifier", "unique identifier") ++
-      m("cookie / pixel tag", "cookie", "cookie data", "pixel tag", "web beacon") ++
-      m("phone number", "phone number", "telephone number", "mobile number",
-        "fax number", "call log", "sms message", "text message") ++
-      m("postal address", "postal address", "mailing address", "home address",
-        "street address", "zip code", "postal code") ++
-      m("person name", "name", "first name", "last name", "full name",
-        "user name", "username") ++
-      m("date of birth", "date of birth", "birth date", "birthday") ++
-      m("age", "age") ++ m("gender", "gender") ++
-      m("race / ethnicity", "race", "ethnicity") ++
-      m("religion", "religion") ++
-      m("political opinion", "political opinion") ++
-      m("sexual orientation", "sexual orientation") ++
-      m("marital status", "marital status") ++
-      m("income", "income", "occupation", "education") ++
-      m("browsing / search history", "browsing history", "search history",
-        "browser history", "search query", "page view", "click data",
-        "referral url") ++
-      m("usage information", "usage information", "usage data",
-        "usage statistic", "app usage", "installed app") ++
-      m("payment information", "payment information", "payment data",
-        "payment detail", "billing information") ++
-      m("credit / debit card number", "credit card number", "debit card number",
-        "credit card information", "card number", "bank account number") ++
-      m("ssn", "social security number", "ssn") ++
-      m("passport number", "passport number") ++
-      m("driver's license number", "driver license number") ++
-      m("government identifier", "government identifier") ++
-      m("biometric information", "biometric information", "biometric data",
-        "face scan", "facial recognition data") ++
-      m("fingerprint", "fingerprint") ++
-      m("voiceprint", "voiceprint", "voice recording") ++
-      m("contact information", "contact information", "contact detail") ++
-      m("contact list", "contact list", "address book", "calendar information") ++
-      m("account credential", "account credential", "password", "login credential") ++
-      m("health information", "health information", "health data",
-        "medical information") ++
-      m("purchase history", "purchase history", "transaction history",
-        "order history") ++
-      m("device information", "device information", "device data",
-        "hardware model", "device model", "os version",
-        "operating system version", "operating system", "browser type",
-        "browser version", "user agent", "wifi information", "sensor data",
-        "time zone", "language preference") ++
-      m("crash / log data", "crash report", "crash log", "log data",
-        "server log", "diagnostic data") ++
-      m("photo / video", "photo", "photograph", "picture", "video",
-        "profile picture", "image") ++
-      m("audio recording", "audio recording", "audio data") ++
-      m("personal information", "personal information", "personal data") ++
-      m("personal identifier", "personally identifiable information") ++
-      m("demographic information", "demographic information", "demographic data") ++
-      m("interest / preference", "interest", "preference")).toMap
-  }
+  /** DATA canonicalization: surface phrase → canonical term
+    * (graft/phrase_map.yml). */
+  val dataCanonical: Map[String, String] = graft.nlp.PhraseMapYaml.loaded.dataCanonical
 
-  /** ACTOR canonicalization. */
-  val actorCanonical: Map[String, String] = {
-    def m(canon: String, phrases: String*): Seq[(String, String)] = phrases.map(_ -> canon)
-    (m("advertiser", "advertiser", "advertising network", "ad network",
-      "advertising partner", "advertising company", "ad partner") ++
-      m("analytic provider", "analytics provider", "analytics company",
-        "analytics service", "analytics partner", "measurement provider") ++
-      m("service provider", "service provider", "third party service provider",
-        "vendor", "supplier", "payment processor", "payment provider",
-        "hosting provider", "cloud provider", "email service provider") ++
-      m("business partner", "business partner", "partner", "affiliate",
-        "subsidiary", "parent company", "marketing partner",
-        "research partner", "merchant", "publisher") ++
-      m("third party", "third party", "third parties", "external party",
-        "data broker", "credit bureau", "insurance company",
-        "content provider", "platform provider", "app store", "operator",
-        "carrier", "mobile carrier", "successor", "acquirer") ++
-      m("social media", "social media platform", "social network",
-        "social media company", "social media site") ++
-      m("government", "government", "government agency", "law enforcement",
-        "law enforcement agency", "regulator", "authority", "court") ++
-      m("user", "user", "visitor", "customer", "consumer", "member",
-        "subscriber") ++
-      m("child", "child", "minor") ++
-      m("we", "website", "application", "app", "site", "service")).toMap
-  }
+  /** ACTOR canonicalization (graft/phrase_map.yml). */
+  val actorCanonical: Map[String, String] = graft.nlp.PhraseMapYaml.loaded.actorCanonical
 
   private def lookupEntity(text: String): Set[String] = {
     val lw = text.toLowerCase.trim

@@ -117,115 +117,17 @@ object Lexicon {
     }
   }
 
-  /** Multi-word DATA phrases for dictionary NER (lemma-sequence keyed).
-    * Longest match wins. Mirrors the *capability* of the reference's
-    * transformer NER over phrase_map vocabulary. */
-  val dataPhrases: Set[Vector[String]] = Set(
-    "email address", "email", "ip address", "mac address",
-    "location", "geolocation", "precise location", "precise geolocation",
-    "gps location", "coarse location", "approximate location",
-    "location data", "location information",
-    "device identifier", "device id", "advertising identifier",
-    "advertising id", "identifier", "unique identifier", "cookie",
-    "cookie data", "pixel tag", "web beacon",
-    "phone number", "telephone number", "mobile number", "fax number",
-    "postal address", "mailing address", "home address", "street address",
-    "zip code", "postal code",
-    "name", "first name", "last name", "full name", "user name", "username",
-    "date of birth", "birth date", "birthday", "age", "gender",
-    "browsing history", "search history", "browser history", "search query",
-    "usage information", "usage data", "usage statistic",
-    "payment information", "payment data", "payment detail",
-    "credit card number", "debit card number", "credit card information",
-    "card number", "bank account number", "billing information",
-    "social security number", "ssn", "passport number",
-    "driver license number", "government identifier",
-    "biometric information", "biometric data", "fingerprint", "voiceprint",
-    "face scan", "facial recognition data",
-    "contact information", "contact detail", "contact list", "address book",
-    "account credential", "password", "login credential",
-    "health information", "health data", "medical information",
-    "purchase history", "transaction history", "order history",
-    "device information", "device data", "hardware model", "device model",
-    "os version", "operating system version", "operating system",
-    "browser type", "browser version", "user agent",
-    "personal information", "personal data", "personally identifiable information",
-    "demographic information", "demographic data",
-    "crash report", "crash log", "log data", "server log", "diagnostic data",
-    "photo", "photograph", "picture", "video", "audio recording",
-    "voice recording", "audio data", "profile picture",
-    "information", "data", "datum", "detail", "record",
-    "race", "ethnicity", "religion", "political opinion",
-    "sexual orientation", "marital status", "income", "occupation",
-    "education", "employment information", "interest", "preference",
-    "language preference", "time zone", "wifi information",
-    "sensor data", "calendar information", "sms message", "text message",
-    "call log", "app usage", "installed app", "serial number",
-    "imei", "android id", "advertising tag", "referral url", "page view",
-    "click data", "device fingerprint").map(_.split(' ').toVector)
+  /** Multi-word DATA phrases for dictionary NER (longest match wins) —
+    * loaded from the graft/phrase_map.yml resource. */
+  val dataPhrases: Set[Vector[String]] = PhraseMapYaml.loaded.dataPhrases
 
-  /** Multi-word ACTOR phrases for dictionary NER. */
-  val actorPhrases: Set[Vector[String]] = Set(
-    "advertiser", "advertising network", "ad network", "advertising partner",
-    "advertising company", "ad partner",
-    "analytics provider", "analytics company", "analytics service",
-    "analytics partner", "measurement provider",
-    "service provider", "third party service provider", "vendor", "supplier",
-    "business partner", "partner", "affiliate", "subsidiary", "parent company",
-    "third party", "third parties", "external party",
-    "social media platform", "social network", "social media company",
-    "social media site",
-    "government", "government agency", "law enforcement",
-    "law enforcement agency", "regulator", "authority", "court",
-    "payment processor", "payment provider", "hosting provider",
-    "cloud provider", "email service provider", "marketing partner",
-    "research partner", "insurance company", "credit bureau", "data broker",
-    "content provider", "platform provider", "app store", "operator",
-    "carrier", "mobile carrier", "company", "organization", "entity",
-    "user", "visitor", "customer", "consumer", "member", "subscriber",
-    "child", "minor", "parent", "developer", "employee", "agent",
-    "contractor", "successor", "acquirer", "merchant", "publisher",
-    "website", "application", "app", "site", "service",
-    "google", "facebook", "meta", "twitter", "amazon", "apple", "microsoft",
-    "google analytics", "google ads", "facebook pixel", "firebase",
-    "crashlytics", "adjust", "appsflyer", "unity", "admob", "doubleclick",
-    "instagram", "youtube", "linkedin", "tiktok", "snapchat", "pinterest",
-    "salesforce", "adobe", "oracle", "mailchimp", "stripe", "paypal",
-    "zendesk", "hubspot", "cloudflare", "mixpanel", "hotjar",
-    "flurry", "branch", "braze", "onesignal").map(_.split(' ').toVector)
+  /** Multi-word ACTOR phrases for dictionary NER (phrase_map.yml). */
+  val actorPhrases: Set[Vector[String]] = PhraseMapYaml.loaded.actorPhrases
 
   /** Known company entities with aliases + registered domains — a tiny
     * in-repo analogue of the reference's entity_info.json
     * (graph_utils.py:43-73); used by entity normalization + domain joins. */
-  val entityInfo: Map[String, (Set[String], Set[String])] = Map(
-    // canonical -> (aliases(lowercase), domains)
-    "google" -> (Set("google", "google llc", "google inc", "alphabet",
-      "google analytics", "google ads", "admob", "doubleclick", "firebase",
-      "crashlytics", "youtube"), Set("google.com", "googleapis.com",
-      "doubleclick.net", "firebase.com", "youtube.com", "admob.com")),
-    "facebook" -> (Set("facebook", "meta", "facebook inc", "meta platforms",
-      "facebook pixel", "instagram"), Set("facebook.com", "fb.com",
-      "instagram.com", "meta.com")),
-    "amazon" -> (Set("amazon", "amazon.com", "aws", "amazon web services"),
-      Set("amazon.com", "aws.amazon.com")),
-    "apple" -> (Set("apple", "apple inc"), Set("apple.com")),
-    "microsoft" -> (Set("microsoft", "microsoft corporation", "linkedin"),
-      Set("microsoft.com", "linkedin.com")),
-    "twitter" -> (Set("twitter", "twitter inc", "x corp"), Set("twitter.com", "x.com")),
-    "adjust" -> (Set("adjust", "adjust gmbh"), Set("adjust.com")),
-    "appsflyer" -> (Set("appsflyer"), Set("appsflyer.com")),
-    "unity" -> (Set("unity", "unity ads", "unity technologies"), Set("unity3d.com")),
-    "stripe" -> (Set("stripe"), Set("stripe.com")),
-    "paypal" -> (Set("paypal"), Set("paypal.com")),
-    "tiktok" -> (Set("tiktok", "bytedance"), Set("tiktok.com")),
-    "snapchat" -> (Set("snapchat", "snap inc"), Set("snapchat.com")),
-    "pinterest" -> (Set("pinterest"), Set("pinterest.com")),
-    "adobe" -> (Set("adobe", "adobe analytics", "omniture"), Set("adobe.com")),
-    "salesforce" -> (Set("salesforce"), Set("salesforce.com")),
-    "mixpanel" -> (Set("mixpanel"), Set("mixpanel.com")),
-    "hotjar" -> (Set("hotjar"), Set("hotjar.com")),
-    "flurry" -> (Set("flurry"), Set("flurry.com")),
-    "onesignal" -> (Set("onesignal"), Set("onesignal.com")))
+  val entityInfo: Map[String, (Set[String], Set[String])] = PhraseMapYaml.loaded.entityInfo
 
   /** Purpose keyword model (v1 deterministic stand-in for the reference's
     * SetFit classifier, purpose_classification.py:5-24). Multi-label. */
