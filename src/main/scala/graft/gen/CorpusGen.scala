@@ -19,7 +19,9 @@ object CorpusGen {
   final case class Truth(url: String, subj: String, pred: String, obj: String,
       purpose: String, // comma-joined sorted purpose labels or ""
       evidence: Vector[String] = Vector.empty, // sentences, paragraph order
-      purposeTexts: Vector[String] = Vector.empty) // purpose phrases
+      purposeTexts: Vector[String] = Vector.empty, // purpose phrases
+      subjType: String = "ACTOR", // node types — needed since round 2 adds
+      objType: String = "DATA") // ACTOR-SUBSUM-ACTOR and DATA-SUBSUM-DATA rows
 
   final case class GenPage(page: WebPage, truth: Vector[Truth])
 
@@ -79,6 +81,37 @@ object CorpusGen {
   private val collectVerbs = Vector("collect", "gather", "obtain", "receive")
   private val negAux = Vector("do not", "will not", "never")
 
+  // depth-2 SUBSUM chains (round 2, VERDICT #1): personal information →
+  // mid category → leaf. Exercises transitive who_collect/can_collect —
+  // the oracle computes the closure independently.
+  private val chains: Vector[(String, String, String)] = Vector(
+    // (mid surface == canonical, leaf surface, leaf canonical)
+    ("contact information", "your email address", "email address"),
+    ("contact information", "your phone number", "phone number"),
+    ("demographic information", "your age", "age"),
+    ("demographic information", "your gender", "gender"))
+
+  // actor-category membership: "<category>, such as <Member>" — the member
+  // reaches collected datatypes through the reversed (SUBSUM_BY) edge in the
+  // reference's query graph (graph_utils.py:182-186).
+  private val actorMembers: Vector[(String, String, String, String)] = Vector(
+    ("third parties", "third party", "Stripe", "stripe"),
+    ("advertisers", "advertiser", "Google", "google"),
+    ("analytics providers", "analytic provider", "Mixpanel", "mixpanel"),
+    ("service providers", "service provider", "PayPal", "paypal"))
+
+  // first-party aliases for "We are <Company>." copula sentences (J6)
+  private val firstPartyCos: Vector[(String, String)] = Vector(
+    ("Google", "google"),
+    ("Facebook", "facebook"),
+    ("Amazon", "amazon"))
+
+  // ontology-mediated contradiction material (category, leaf surface, leaf)
+  private val contraPairs: Vector[(String, String, String)] = Vector(
+    ("personal information", "your email address", "email address"),
+    ("personal information", "your phone number", "phone number"),
+    ("device information", "device identifiers", "device identifier"))
+
   /** SplitMix64 — deterministic, platform-independent. */
   final class Rng(seed0: Long) {
     private var s = seed0
@@ -95,7 +128,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(13)
+    val kind = rng.nextInt(18)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -131,8 +164,8 @@ object CorpusGen {
         while (d2c == d1c) { val p = dataTerms(rng.nextInt(dataTerms.length)); d2s = p._1; d2c = p._2 }
         (s"We collect $cS, such as $d1s and $d2s.",
           Vector(Truth(url, "we", "COLLECT", cC, ""),
-            Truth(url, cC, "SUBSUM", d1c, ""),
-            Truth(url, cC, "SUBSUM", d2c, "")))
+            Truth(url, cC, "SUBSUM", d1c, "", subjType = "DATA"),
+            Truth(url, cC, "SUBSUM", d2c, "", subjType = "DATA")))
       case 8 => // passive share
         (s"$dtS may be shared with ${acS.toLowerCase}.".capitalize,
           Vector(Truth(url, acC, "BE_SHARED", dtC, "")))
@@ -150,11 +183,58 @@ object CorpusGen {
         // variant's "@children" data-subject suffix)
         (s"We do not knowingly collect $dtS from children.",
           Vector(Truth(url, "we", "NOT_COLLECT", s"$dtC @children", "")))
+      case 13 => // depth-2 SUBSUM chain across two sentences (VERDICT #1):
+        // who_collect must walk the transitive closure to reach the leaf
+        val (midC, leafS, leafC) = rng.pick(chains)
+        val s1 = s"We collect personal information, such as $midC."
+        val s2 = s"${midC.capitalize} includes $leafS."
+        (s"$s1 $s2", Vector(
+          Truth(url, "we", "COLLECT", "personal information", "", Vector(s1)),
+          Truth(url, "personal information", "SUBSUM", midC, "", Vector(s1),
+            subjType = "DATA"),
+          Truth(url, midC, "SUBSUM", leafC, "", Vector(s2), subjType = "DATA")))
+      case 14 => // actor-category membership: the member reaches collected
+        // datatypes via the reversed SUBSUM edge (graph_utils.py:182-186)
+        val (catS, catC, memS, memC) = rng.pick(actorMembers)
+        (s"We may share $dtS with $catS, such as $memS.", Vector(
+          Truth(url, catC, "BE_SHARED", dtC, ""),
+          Truth(url, catC, "SUBSUM", memC, "", subjType = "ACTOR", objType = "ACTOR"),
+          Truth(url, "we", "COLLECT", dtC, "")))
+      case 15 => // first-party copula alias (J6, subsumption_annotator.py:
+        // 418-451): company tuples classify as first-party in the eval
+        val (compS, compC) = rng.pick(firstPartyCos)
+        val (d2s, d2c) = rng.pick(dataTerms)
+        val s1 = s"We are $compS."
+        val s2 = s"$compS may collect $dtS."
+        val s3 = s"We also collect $d2s."
+        (s"$s1 $s2 $s3", Vector(
+          Truth(url, "we", "SUBSUM", compC, "", Vector(s1),
+            subjType = "ACTOR", objType = "ACTOR"),
+          Truth(url, compC, "COLLECT", dtC, "", Vector(s2)),
+          Truth(url, "we", "COLLECT", d2c, "", Vector(s3))))
+      case 16 => // ontology-mediated contradiction (VERDICT #5): positive on
+        // the leaf + negative on the category + in-doc SUBSUM between them
+        val (catS, leafS, leafC) = rng.pick(contraPairs)
+        val s1 = s"We collect $leafS."
+        val s2 = s"We do not collect $catS."
+        val s3 = s"${catS.capitalize} includes $leafS."
+        (s"$s1 $s2 $s3", Vector(
+          Truth(url, "we", "COLLECT", leafC, "", Vector(s1)),
+          Truth(url, "we", "NOT_COLLECT", catS, "", Vector(s2)),
+          Truth(url, catS, "SUBSUM", leafC, "", Vector(s3), subjType = "DATA")))
+      case 17 => // negative phrase rule (VERDICT #8): "non personal
+        // information" must NOT normalize to "personal information"
+        val na = rng.pick(negAux)
+        (s"We $na collect non personal information.",
+          Vector(Truth(url, "we", "NOT_COLLECT", "UNSPECIFIED_DATA", "")))
       case _ => ("", Vector.empty)
     }
   }
 
-  /** List section: heading + intro + items. */
+  /** List section: heading + intro + items. Style 0 is a real HTML list;
+    * styles 1/2 render plain-text bullets inside <p> tags — the segmenter's
+    * non-HTML list repair (reference document.py:516-608) must recover the
+    * same LISTITEM structure, so the truth is identical. */
   private def listSection(url: String, rng: Rng): (String, Vector[Truth]) = {
     val k = 2 + rng.nextInt(3)
     val picked = {
@@ -162,8 +242,13 @@ object CorpusGen {
       while (idx.size < k) idx += rng.nextInt(listItems.length)
       idx.toVector.map(listItems)
     }
-    val lis = picked.map { case (s, _) => s"<li>$s</li>" }.mkString
-    val html = s"<h2>Information We Collect</h2><p>We collect the following information:</p><ul>$lis</ul>"
+    val style = rng.nextInt(3)
+    val items = style match {
+      case 0 => s"<ul>${picked.map { case (s, _) => s"<li>$s</li>" }.mkString}</ul>"
+      case 1 => picked.map { case (s, _) => s"<p>* $s</p>" }.mkString
+      case _ => picked.zipWithIndex.map { case ((s, _), i) => s"<p>${i + 1}. $s</p>" }.mkString
+    }
+    val html = s"<h2>Information We Collect</h2><p>We collect the following information:</p>$items"
     (html, picked.map { case (s, c) =>
       Truth(url, "we", "COLLECT", c, "",
         evidence = Vector(s"We collect the following information: $s"))
@@ -211,7 +296,9 @@ object CorpusGen {
         Truth(u, s, p, o,
           vs.map(_.purpose).filter(_.nonEmpty).distinct.sorted.mkString(","),
           evidence = kept,
-          purposeTexts = vs.flatMap(_.purposeTexts).distinct.sorted)
+          purposeTexts = vs.flatMap(_.purposeTexts).distinct.sorted,
+          subjType = vs.head.subjType,
+          objType = vs.head.objType)
     }
 
   def corpus(n: Int, seed: Long = 42L): Vector[GenPage] =

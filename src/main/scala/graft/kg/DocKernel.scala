@@ -219,6 +219,24 @@ object DocKernel {
               st.link(d, p, dep.from, dep.to, Subsum)
           }
         }
+        // first-party copula appositive ("We are <Company>." — the reference
+        // FIRST_PARTY patterns, subsumption_annotator.py:418-451): a verbless
+        // be-sentence whose subject is we/I subsumes the named company, which
+        // then classifies as first-party in the tuple eval
+        if (!(p.start until p.end).exists(k => p.tokens(k).pos == "VERB") &&
+          p.chunks.length >= 2) {
+          val c0 = p.chunks(0)
+          val h0 = p.tokens(c0.head)
+          if (h0.pos == "PRON" && (h0.lemma == "we" || h0.lemma == "i")) {
+            val after = (c0.end until p.end).find(k => p.tokens(k).pos != "SPACE")
+            if (after.exists(k => p.tokens(k).pos == "AUX" && p.tokens(k).lemma == "be")) {
+              val c1 = p.chunks(1)
+              val h1 = p.tokens(c1.head)
+              if (h1.pos == "PROPN" && c1.start > c0.end)
+                st.link(d, p, c0.head, c1.head, Subsum)
+            }
+          }
+        }
       }
     }
   }

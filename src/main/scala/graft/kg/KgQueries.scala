@@ -1,10 +1,11 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.gen.CorpusGen
 import graft.nlp.Lexicon
+import graft.kg.Model.{PositiveEdgeTypes, Triple}
 
 /** KG pipeline query surface (§3.2 KGraph API as DataFrame queries).
   *
@@ -12,6 +13,12 @@ import graft.nlp.Lexicon
   * external data), so every query has an exact oracle: a VALUES literal
   * generated from the same ground truth. The driver's DuckDB compare then
   * verifies the *entire* Spark pipeline against construction-time truth.
+  *
+  * Reachability-style queries (who_collect / can_collect / purposes /
+  * get_text / contradictions) are TRANSITIVE as of round 2, matching the
+  * reference's nx.ancestors/descendants semantics (graph_utils.py:230-331);
+  * the corpus emits depth-2 SUBSUM chains so the oracles genuinely exercise
+  * the closure.
   */
 object KgQueries {
 
@@ -27,6 +34,25 @@ object KgQueries {
     require(rows.nonEmpty, "empty VALUES oracle")
     val vals = rows.map(r => r.map(esc).mkString("(", ", ", ")")).mkString(", ")
     s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")}) ORDER BY ${orderBy.mkString(", ")}"
+  }
+
+  private def valuesSqlNoOrder(cols: Seq[String], rows: Seq[Seq[String]]): String = {
+    val vals = rows.map(r => r.map(esc).mkString("(", ", ", ")")).mkString(", ")
+    s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")})"
+  }
+
+  /** Truth rows lifted to Triple shape (evidence/purpose labels included) so
+    * the graph-query layer can run identically on the want-side. */
+  private def truthTriples(s: SparkSession): Dataset[Triple] = {
+    import s.implicits._
+    val parts = math.max(s.sparkContext.defaultParallelism, 8)
+    s.range(0, N_DOCS, 1, parts).flatMap { i =>
+      CorpusGen.genPage(i.toInt, SEED).truth.map { t =>
+        Triple(t.url, t.subj, t.subjType, t.pred, t.obj, t.objType, t.evidence,
+          if (t.purpose.isEmpty) Map.empty
+          else t.purpose.split(',').map(_ -> (Seq.empty: Seq[String])).toMap)
+      }
+    }
   }
 
   // ------------------------------------------------------------------ queries
@@ -47,26 +73,40 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj")
     }),
 
-    // Triples with evidence + purposes (no SQL oracle: map/array columns)
+    // Full column surface with evidence + purposes stringified so the
+    // driver's oracle hash can compare them (VERDICT round 1, wrong #1)
     "kg_triples_full" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF().orderBy("url", "subj", "pred", "obj")
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .select(col("url"), col("subj"), col("subjType"), col("pred"),
+          col("obj"), col("objType"),
+          concat_ws(" || ", col("text")).as("evidence"),
+          concat_ws("; ", transform(array_sort(map_keys(col("purposes"))),
+            k => concat(k, lit("="),
+              concat_ws("|", element_at(col("purposes"), k))))).as("purpose_map"))
+        .orderBy("url", "subj", "pred", "obj")
     }),
 
-    // J1/A1: exact P/R against ground truth, computed distributed
+    // J1/A1: per-party P/R against ground truth (evaluate.py:53-65 — rows
+    // for we / 3rd-party / both), single-action full-outer-join eval
     "kg_eval_pr" -> ((s, _) => {
-      val got = KgPipeline.run(s, N_DOCS, SEED)
-        .select(col("url"), col("subj"), col("pred"), col("obj")).distinct()
-      val want = KgPipeline.truth(s, N_DOCS, SEED).toDF()
-        .select(col("url"), col("subj"), col("pred"), col("obj")).distinct()
-      val keys = Seq("url", "subj", "pred", "obj")
-      val tp = got.join(want, keys, "left_semi").count()
-      val fp = got.join(want, keys, "left_anti").count()
-      val fn = want.join(got, keys, "left_anti").count()
       import s.implicits._
-      Seq((tp, fp, fn,
-        math.round(tp.toDouble / math.max(1, tp + fp) * 10000) / 10000.0,
-        math.round(tp.toDouble / math.max(1, tp + fn) * 10000) / 10000.0))
-        .toDF("tp", "fp", "fn", "precision", "recall")
+      val got = KgApi.partyTuples(KgPipeline.run(s, N_DOCS, SEED)).cache()
+      val want = KgApi.partyTuples(truthTriples(s)).cache()
+      val j = got.withColumn("g", lit(1)).join(want.withColumn("w", lit(1)),
+        Seq("url", "party", "datatype"), "full_outer")
+      val per = j.groupBy(col("party")).agg(
+          count(when(col("g").isNotNull && col("w").isNotNull, 1)).as("tp"),
+          count(when(col("w").isNull, 1)).as("fp"),
+          count(when(col("g").isNull, 1)).as("fn"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.unpersist(); want.unpersist()
+      val both = ("both", per.map(_._2).sum, per.map(_._3).sum, per.map(_._4).sum)
+      def r4(x: Double): Double = math.round(x * 10000) / 10000.0
+      (per.toSeq :+ both).sortBy(_._1).map { case (p, tp, fp, fn) =>
+        (p, tp, fp, fn,
+          r4(tp.toDouble / math.max(1, tp + fp)),
+          r4(tp.toDouble / math.max(1, tp + fn)))
+      }.toDF("party", "tp", "fp", "fn", "precision", "recall")
     }),
 
     // A2: per-predicate edge statistics
@@ -103,40 +143,40 @@ object KgQueries {
         .orderBy("url", "subj", "obj", "purpose_text")
     }),
 
-    // KGraph.who_collect('email address'): direct collectors + collectors of
-    // a subsuming category (graph_utils.py:230-236 + ancestors 238-268)
+    // KGraph.who_collect('email address'): TRANSITIVE ancestors of the
+    // datatype that are ACTORs (graph_utils.py:230-236 + nx.ancestors) —
+    // walks SUBSUM chains and reversed actor subsumption
     "kg_who_collect" -> ((s, _) => {
-      val t = KgPipeline.run(s, N_DOCS, SEED).cache()
-      val collects = t.filter(col("pred") === "COLLECT")
-        .select(col("url"), col("subj"), col("obj"))
-      val sub = t.filter(col("pred") === "SUBSUM")
-        .select(col("url").as("surl"), col("subj").as("upper"), col("obj").as("lower"))
-      val direct = collects.filter(col("obj") === "email address")
-        .select(col("url"), col("subj"))
-      val viaCat = collects
-        .join(sub, collects("url") === sub("surl") &&
-          collects("obj") === sub("upper") && sub("lower") === "email address")
-        .select(collects("url"), collects("subj"))
-      direct.union(viaCat).distinct()
-        .withColumnRenamed("subj", "actor")
-        .orderBy("url", "actor")
+      KgApi.whoCollect(KgPipeline.run(s, N_DOCS, SEED), "email address")
     }),
 
-    // J9: contradiction pairs — same (url, subj, obj) with pred and NOT_pred
+    // §3.2: the same transitive who_collect expressed in SQL — a recursive
+    // CTE over the materialized triple view; Catalyst plans the fixpoint
+    "kg_sql_who_collect" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF().createOrReplaceTempView("triples")
+      s.sql("""
+        WITH RECURSIVE pos_edges AS (
+          SELECT DISTINCT url,
+            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN obj ELSE subj END AS src,
+            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN objType ELSE subjType END AS src_type,
+            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN subj ELSE obj END AS dst
+          FROM triples WHERE pred NOT LIKE 'NOT!_%' ESCAPE '!'
+        ),
+        anc (url, node, node_type) AS (
+          SELECT url, src, src_type FROM pos_edges WHERE dst = 'email address'
+          UNION ALL
+          SELECT e.url, e.src, e.src_type
+          FROM pos_edges e JOIN anc a ON e.url = a.url AND e.dst = a.node
+        )
+        SELECT DISTINCT url, node AS actor FROM anc WHERE node_type = 'ACTOR'
+        ORDER BY url, actor""")
+    }),
+
+    // J9: contradictions with the reference's narrowing — action match,
+    // purpose overlap, PolicyLint narrow-subsum exclusion, descendant-set
+    // overlap on both sides (get-poligraph-contradictions.py:12-84)
     "kg_contradictions" -> ((s, _) => {
-      val t = KgPipeline.run(s, N_DOCS, SEED).cache()
-      val pos = t.filter(!col("pred").startsWith("NOT_"))
-        .select(col("url"), col("subj"), col("pred"), col("obj"))
-      val neg = t.filter(col("pred").startsWith("NOT_"))
-        .select(col("url").as("nurl"), col("subj").as("nsubj"),
-          col("pred").as("npred"), col("obj").as("nobj"))
-      pos.join(neg,
-        pos("url") === col("nurl") && pos("subj") === col("nsubj") &&
-          pos("obj") === col("nobj") &&
-          concat(lit("NOT_"), pos("pred")) === col("npred"))
-        .select(pos("url"), pos("subj"), pos("pred"), pos("obj"))
-        .distinct()
-        .orderBy("url", "subj", "pred", "obj")
+      KgApi.contradictions(KgPipeline.run(s, N_DOCS, SEED))
     }),
 
     // G12: distributed connected components over the entity-alias graph
@@ -173,26 +213,42 @@ object KgQueries {
         .distinct().orderBy("url", "term")
     }),
 
-    // ExtKGraph.can_collect('phone number'): direct, per-policy SUBSUM
-    // ancestor, or data-ontology ancestor (G8+G9)
+    // ExtKGraph.can_collect('phone number'): transitive reach over the
+    // ontology-grafted graph (G8+G9, graph_utils.py:349-436)
     "kg_can_collect" -> ((s, _) => {
-      import s.implicits._
-      val dt = "phone number"
-      val t = KgPipeline.run(s, N_DOCS, SEED).toDF().cache()
-      val collects = t.filter(col("pred") === "COLLECT")
-        .select(col("url"), col("subj"), col("obj"))
-      val sub = t.filter(col("pred") === "SUBSUM")
-        .select(col("url").as("surl"), col("subj").as("upper"), col("obj").as("lower"))
-      val ontAnc = Ontology.dataClosure.filter(_._2 == dt).map(_._1).toDF("anc")
-      val direct = collects.filter(col("obj") === dt)
-      val viaSub = collects.join(sub, collects("url") === col("surl") &&
-        collects("obj") === col("upper") && col("lower") === dt)
-        .select(collects("url"), collects("subj"), collects("obj"))
-      val viaOnt = collects.join(broadcast(ontAnc), col("obj") === col("anc"))
-        .select(collects("url"), collects("subj"), collects("obj"))
-      direct.union(viaSub).union(viaOnt)
-        .select(col("url"), col("subj").as("actor")).distinct()
-        .orderBy("url", "actor")
+      KgApi.extWhoCollect(KgPipeline.run(s, N_DOCS, SEED), "phone number",
+        umbrella = false)
+    }),
+
+    // ExtKGraph who_collect with the UNSPECIFIED umbrella
+    // (accept_unspecific_data, graph_utils.py:408-417): collectors of
+    // UNSPECIFIED_DATA count for every datatype
+    "kg_ext_who_collect" -> ((s, _) => {
+      KgApi.extWhoCollect(KgPipeline.run(s, N_DOCS, SEED), "email address",
+        umbrella = true)
+    }),
+
+    // KGraph.purposes(entity, datatype): union of purpose labels along all
+    // shortest paths (graph_utils.py:297-310), exploded per pair
+    "kg_edge_purposes" -> ((s, _) => {
+      KgApi.edgePurposes(KgPipeline.run(s, N_DOCS, SEED))
+    }),
+
+    // KGraph.get_text(node1, node2): evidence sentences along all shortest
+    // paths between connected (actor, datatype) pairs (graph_utils.py:312-331)
+    "kg_get_text" -> ((s, _) => {
+      KgApi.edgeTexts(KgPipeline.run(s, N_DOCS, SEED))
+    }),
+
+    // KGraph.validate_collection over a probe list (graph_utils.py:333-339)
+    "kg_validate_collection" -> ((s, _) => {
+      KgApi.validateCollection(KgPipeline.run(s, N_DOCS, SEED), ValidateDts)
+    }),
+
+    // KGraph.validate_sharing over probe (entity, datatype) pairs
+    // (graph_utils.py:341-346)
+    "kg_validate_sharing" -> ((s, _) => {
+      KgApi.validateSharing(KgPipeline.run(s, N_DOCS, SEED), ValidatePairs)
     }),
 
     // A6: terms defined by SUBSUM in many policies
@@ -226,23 +282,6 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj")
     }),
 
-    // §3.2: the KGraph analysis surface is plain SQL over the materialized
-    // triple view — Catalyst plans/reorders the whole query (this is
-    // who_collect expressed in SQL rather than the DataFrame DSL)
-    "kg_sql_who_collect" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF().createOrReplaceTempView("triples")
-      s.sql("""
-        SELECT url, subj AS actor FROM triples
-        WHERE pred = 'COLLECT' AND obj = 'email address'
-        UNION
-        SELECT c.url, c.subj AS actor
-        FROM triples c
-        JOIN triples s0 ON c.url = s0.url AND s0.pred = 'SUBSUM'
-          AND c.obj = s0.subj AND s0.obj = 'email address'
-        WHERE c.pred = 'COLLECT'
-        ORDER BY url, actor""")
-    }),
-
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -254,6 +293,135 @@ object KgQueries {
           countDistinct(when(col("pred").startsWith("NOT_"), col("url"))).as("n_denied"))
         .orderBy("datatype")
     }))
+
+  val ValidateDts: Seq[String] = Seq("email address", "phone number", "age",
+    "usage information", "personal information")
+
+  val ValidatePairs: Seq[(String, String)] = Seq(
+    ("advertiser", "email address"), ("advertiser", "usage information"),
+    ("third party", "payment information"), ("google", "email address"),
+    ("stripe", "payment information"), ("we", "email address"))
+
+  // --------------------------------------------------------- truth-side graph
+
+  /** Oracle-side graph queries over truth rows — an independent, set-based
+    * implementation (transitive closure by fixpoint, not BFS) so the VALUES
+    * oracles don't share code with the engine's query layer. */
+  private final class TruthG(rows: Vector[CorpusGen.Truth]) {
+    val types: Map[String, String] =
+      rows.flatMap(t => Seq(t.subj -> t.subjType, t.obj -> t.objType)).toMap
+    // oriented positive edges (actor SUBSUM reversed)
+    val oriented: Vector[(String, String, CorpusGen.Truth)] =
+      rows.filterNot(_.pred.startsWith("NOT_")).map { t =>
+        if (t.pred == "SUBSUM" && t.subjType == "ACTOR") (t.obj, t.subj, t)
+        else (t.subj, t.obj, t)
+      }
+    val pairs: Set[(String, String)] = oriented.map(e => (e._1, e._2)).toSet
+    val closure: Set[(String, String)] = {
+      var cur = pairs
+      var grown = true
+      while (grown) {
+        val next = cur ++ (for ((a, b) <- cur; (c, d) <- cur if b == c) yield (a, d))
+        grown = next.size != cur.size
+        cur = next
+      }
+      cur
+    }
+    def isActor(n: String): Boolean = types.get(n).contains("ACTOR")
+    def isData(n: String): Boolean = types.get(n).contains("DATA")
+    def dataNodes: Vector[String] = types.collect { case (n, "DATA") => n }.toVector.sorted
+    def whoCollect(dt: String): Vector[String] =
+      if (!isData(dt)) Vector.empty
+      else closure.collect { case (a, d) if d == dt && isActor(a) => a }.toVector.sorted
+    def descendants(n: String): Set[String] = types.get(n) match {
+      case Some("DATA") => closure.collect { case (a, d) if a == n && isData(d) => d }
+      case Some("ACTOR") => closure.collect { case (a, d) if d == n && isActor(a) => a }
+      case _ => Set.empty
+    }
+    def subsum(n1: String, n2: String): Boolean =
+      (types.get(n1), types.get(n2)) match {
+        case (Some(t1), Some(t2)) if t1 == t2 =>
+          n1 == n2 || (if (t1 == "DATA") closure((n1, n2)) else closure((n2, n1)))
+        case _ => false
+      }
+    def firstParty: Set[String] = Set("we") ++ descendants("we")
+
+    // distances for shortest-path-union queries
+    private def dists(from: String, forward: Boolean): Map[String, Int] = {
+      var dist = Map(from -> 0)
+      var frontier = Set(from)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = oriented.collect {
+          case (a, b, _) if forward && frontier(a) && !dist.contains(b) => b
+          case (a, b, _) if !forward && frontier(b) && !dist.contains(a) => a
+        }.toSet
+        dist = dist ++ next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    private def spEdges(src: String, dst: String): Vector[(String, String, CorpusGen.Truth)] = {
+      val dF = dists(src, forward = true)
+      if (!dF.contains(dst)) return Vector.empty
+      val dR = dists(dst, forward = false)
+      val total = dF(dst)
+      oriented.filter { case (u, v, _) =>
+        dF.get(u).exists(du => dR.get(v).exists(dv => du + 1 + dv == total))
+      }
+    }
+    def purposes(entity: String, dt: String): Vector[String] =
+      spEdges(entity, dt).collect {
+        case (_, _, t) if PositiveEdgeTypes(t.pred) && t.purpose.nonEmpty =>
+          t.purpose.split(',').toSeq
+      }.flatten.distinct.sorted
+    def getText(n1: String, n2: String): Vector[String] = {
+      val (src, dst) = if (isActor(n2)) (n2, n1) else (n1, n2)
+      spEdges(src, dst).flatMap(_._3.evidence).distinct.sorted
+    }
+    // ontology-grafted reachability (ExtKGraph)
+    def extWhoCollect(dt: String, umbrella: Boolean): Vector[String] = {
+      val docNodes = types.keySet + dt
+      val dataCats = Ontology.dataEdges.map(_._1).toSet
+      val entityCats = Ontology.entityEdges.map(_._1).toSet
+      val extTypes = scala.collection.mutable.Map[String, String]() ++ types
+      val extPairs = scala.collection.mutable.Set[(String, String)]() ++ pairs
+      def tryAdd(u: String, v: String, tt: String): Unit = {
+        if (extTypes.getOrElse(u, tt) == tt && extTypes.getOrElse(v, tt) == tt) {
+          extTypes.getOrElseUpdate(u, tt); extTypes.getOrElseUpdate(v, tt)
+          extPairs += ((u, v))
+        }
+      }
+      Ontology.dataEdges.foreach { case (u, v) =>
+        if (dataCats.contains(v) || docNodes.contains(v)) tryAdd(u, v, "DATA")
+      }
+      Ontology.entityEdges.foreach { case (cat, member) =>
+        if (entityCats.contains(member) || docNodes.contains(member))
+          tryAdd(member, cat, "ACTOR")
+      }
+      if (umbrella) {
+        extTypes.getOrElseUpdate("UNSPECIFIED_DATA", "DATA")
+        (types.collect { case (n, "DATA") => n }.toSet + dt).foreach { n =>
+          if (n != "UNSPECIFIED_DATA") extPairs += (("UNSPECIFIED_DATA", n))
+        }
+      }
+      var cur = extPairs.toSet
+      var grown = true
+      while (grown) {
+        val next = cur ++ (for ((a, b) <- cur; (c, d) <- cur if b == c) yield (a, d))
+        grown = next.size != cur.size
+        cur = next
+      }
+      cur.collect { case (a, d) if d == dt && isActor(a) => a }.toVector.sorted
+    }
+  }
+
+  private lazy val truthByUrl: Map[String, TruthG] =
+    truthRows.groupBy(_.url).map { case (u, rs) => u -> new TruthG(rs) }
+
+  private def perUrl[T](f: (String, TruthG) => Seq[T]): Seq[T] =
+    truthByUrl.toSeq.sortBy(_._1).flatMap { case (u, g) => f(u, g) }
 
   // ------------------------------------------------------------------ oracles
 
@@ -288,24 +456,67 @@ object KgQueries {
       .flatMap(t => t.purpose.split(',').map(p => Seq(t.url, t.subj, t.pred, t.obj, p)))
       .distinct.sortBy(r => (r(0), r(1), r(3), r(4)))
 
-    val whoCollect = {
-      val collects = truthRows.filter(_.pred == "COLLECT")
-      val subs = truthRows.filter(_.pred == "SUBSUM")
-      val direct = collects.filter(_.obj == "email address").map(t => (t.url, t.subj))
-      val via = for {
-        s <- subs if s.obj == "email address"
-        c <- collects if c.url == s.url && c.obj == s.subj
-      } yield (c.url, c.subj)
-      (direct ++ via).distinct.sorted.map { case (u, a) => Seq(u, a) }
+    val whoCollect = perUrl((u, g) => g.whoCollect("email address").map(a => Seq(u, a)))
+
+    val extWho = perUrl((u, g) => g.extWhoCollect("email address", umbrella = true)
+      .map(a => Seq(u, a)))
+
+    val canCollect = perUrl((u, g) => g.extWhoCollect("phone number", umbrella = false)
+      .map(a => Seq(u, a)))
+
+    val edgePurp = perUrl((u, g) => for {
+      dt <- g.dataNodes
+      a <- g.whoCollect(dt)
+      p <- g.purposes(a, dt)
+    } yield Seq(u, a, dt, p))
+
+    val edgeText = perUrl((u, g) => for {
+      dt <- g.dataNodes
+      a <- g.whoCollect(dt)
+    } yield Seq(u, a, dt, g.getText(a, dt).mkString(" || ")))
+
+    val valColl = perUrl((u, g) =>
+      ValidateDts.filter(dt => g.whoCollect(dt).nonEmpty).sorted.map(dt => Seq(u, dt)))
+
+    val valShare = perUrl((u, g) =>
+      ValidatePairs.collect { case (e, dt) if g.whoCollect(dt).contains(e) => Seq(u, e, dt) }
+        .sortBy(r => (r(1), r(2))))
+
+    val contradictions = perUrl { (u, g) =>
+      def conflict(pos: String, neg: String): Boolean =
+        pos == neg || (!g.subsum(pos, neg) &&
+          ((g.descendants(neg) + neg) & (g.descendants(pos) + pos)).nonEmpty)
+      val rows = truthRows.filter(_.url == u)
+      val pos = rows.filter(t => PositiveEdgeTypes(t.pred))
+      val neg = rows.filter(_.pred.startsWith("NOT_"))
+      (for {
+        n <- neg
+        p <- pos
+        if p.pred == n.pred.stripPrefix("NOT_")
+        negPurp = if (n.purpose.isEmpty) Set.empty[String] else n.purpose.split(',').toSet
+        posPurp = if (p.purpose.isEmpty) Set.empty[String] else p.purpose.split(',').toSet
+        if negPurp.isEmpty || (negPurp & posPurp).nonEmpty
+        if conflict(p.obj, n.obj) && conflict(p.subj, n.subj)
+      } yield Seq(u, p.subj, p.pred, p.obj, n.subj, n.pred, n.obj)).distinct
+        .sortBy(r => (r(1), r(2), r(3), r(4), r(5), r(6)))
     }
 
-    val contradictions = {
-      val pos = truthRows.filterNot(_.pred.startsWith("NOT_"))
-      val neg = truthRows.filter(_.pred.startsWith("NOT_"))
-        .map(t => (t.url, t.subj, t.pred, t.obj)).toSet
-      pos.filter(t => neg.contains((t.url, t.subj, "NOT_" + t.pred, t.obj)))
-        .map(t => Seq(t.url, t.subj, t.pred, t.obj)).distinct
-        .sortBy(r => (r(0), r(1), r(2), r(3)))
+    val partyTuples = perUrl { (u, g) =>
+      val fp = g.firstParty
+      (for {
+        dt <- g.dataNodes
+        a <- g.whoCollect(dt)
+      } yield (if (fp(a)) "we" else "3rd-party", dt)).distinct.map {
+        case (p, dt) => Seq(u, p, dt)
+      }
+    }
+    val evalRows = {
+      val byParty = partyTuples.groupBy(_(1)).view.mapValues(_.size).toMap
+      val parties = byParty.keys.toSeq :+ "both"
+      parties.sorted.map { p =>
+        val tp = if (p == "both") byParty.values.sum else byParty(p)
+        Seq(p, tp.toString, "0", "0", "1.0", "1.0")
+      }
     }
 
     val comps = unionFindComponents(aliasEdges).toSeq.sorted.map { case (v, c) => Seq(v, c) }
@@ -313,28 +524,15 @@ object KgQueries {
     val flowVerdicts = FlowConsistency.classifyTruth(N_DOCS, SEED)
       .sortBy(identity).map { case (u, d, t0, v) => Seq(u, d, t0, v) }
 
-    val collectFamily = Model.CollectEdgeTypes
     val dataTerms = truthRows.flatMap { t =>
-      val fromObj = if (collectFamily(t.pred) || t.pred == "SUBSUM") Seq((t.url, t.obj)) else Nil
-      val fromSubj = if (t.pred == "SUBSUM") Seq((t.url, t.subj)) else Nil
-      fromObj ++ fromSubj
+      (if (t.objType == "DATA") Seq((t.url, t.obj)) else Nil) ++
+        (if (t.subjType == "DATA") Seq((t.url, t.subj)) else Nil)
     }.distinct.sorted.map { case (u, x) => Seq(u, x) }
 
-    val actorTerms = truthRows.filter(t => collectFamily(t.pred))
-      .map(t => (t.url, t.subj)).distinct.sorted.map { case (u, x) => Seq(u, x) }
-
-    val canCollect = {
-      val dt = "phone number"
-      val ontAnc = Ontology.dataClosure.filter(_._2 == dt).map(_._1).toSet
-      val collects = truthRows.filter(_.pred == "COLLECT")
-      val subs = truthRows.filter(_.pred == "SUBSUM")
-      val direct = collects.filter(_.obj == dt)
-      val viaSub = collects.filter(c => subs.exists(s =>
-        s.url == c.url && s.subj == c.obj && s.obj == dt))
-      val viaOnt = collects.filter(c => ontAnc(c.obj))
-      (direct ++ viaSub ++ viaOnt).map(c => (c.url, c.subj)).distinct.sorted
-        .map { case (u, a) => Seq(u, a) }
-    }
+    val actorTerms = truthRows.flatMap { t =>
+      (if (t.subjType == "ACTOR") Seq((t.url, t.subj)) else Nil) ++
+        (if (t.objType == "ACTOR") Seq((t.url, t.obj)) else Nil)
+    }.distinct.sorted.map { case (u, x) => Seq(u, x) }
 
     val termDefs = truthRows.filter(_.pred == "SUBSUM")
       .groupBy(_.subj).view.mapValues(_.map(_.url).distinct.size).toSeq
@@ -342,7 +540,7 @@ object KgQueries {
       .map { case (t0, n) => Seq(t0, n.toString) }
 
     val summary = truthRows
-      .filter(t => collectFamily(t.pred) || t.pred == "SUBSUM")
+      .filter(t => t.objType == "DATA")
       .groupBy(_.obj).toSeq.sortBy(_._1).map { case (dt, rs) =>
         Seq(dt,
           rs.filter(_.pred == "COLLECT").map(_.url).distinct.size.toString,
@@ -350,19 +548,43 @@ object KgQueries {
           rs.filter(_.pred.startsWith("NOT_")).map(_.url).distinct.size.toString)
       }
 
+    val fullRows = truthRows.map { t =>
+      val purposeMap =
+        if (t.purpose.isEmpty) ""
+        else t.purpose.split(',').sorted.map { label =>
+          val texts = t.purposeTexts.filter(pt =>
+            Normalizer.classifyPurpose(pt).contains(label)).sorted
+          s"$label=${texts.mkString("|")}"
+        }.mkString("; ")
+      Seq(t.url, t.subj, t.subjType, t.pred, t.obj, t.objType,
+        t.evidence.mkString(" || "), purposeMap)
+    }.sortBy(r => (r(0), r(1), r(3), r(4)))
+
     val m = scala.collection.mutable.Map[String, String]()
     m("kg_triples") = valuesSql(Seq("url", "subj", "pred", "obj"), t4,
       Seq("url", "subj", "pred", "obj"))
-    val t4orig = truthRows.collect {
-      case t if t.pred == "SUBSUM" => Seq(t.url, t.subj, t.pred, t.obj)
-      case t if Model.PositiveEdgeTypes(t.pred) => Seq(t.url, t.subj, "COLLECT", t.obj)
+    // original variant: negatives dropped, positives collapse to COLLECT —
+    // and trim_graph then removes SUBSUM rows no longer forward-reachable
+    // from any (positive) collect endpoint (build_graph.py:492-513)
+    val t4orig = truthRows.groupBy(_.url).toSeq.flatMap { case (u, rs) =>
+      val collects = rs.filter(t => Model.PositiveEdgeTypes(t.pred)).map(t => (t.subj, t.obj))
+      val subs = rs.filter(_.pred == "SUBSUM").map(t => (t.subj, t.obj))
+      var reach = collects.flatMap(c => Seq(c._1, c._2)).toSet
+      var grown = true
+      while (grown) {
+        val next = reach ++ subs.collect { case (a, b) if reach(a) => b }
+        grown = next.size != reach.size; reach = next
+      }
+      collects.map { case (a, b) => Seq(u, a, "COLLECT", b) } ++
+        subs.collect { case (a, b) if reach(a) && reach(b) => Seq(u, a, "SUBSUM", b) }
     }.distinct.sortBy(r => (r(0), r(1), r(2), r(3)))
     m("kg_triples_original") = valuesSql(Seq("url", "subj", "pred", "obj"), t4orig,
       Seq("url", "subj", "pred", "obj"))
-    m("kg_eval_pr") = {
-      val n = t4.size
-      s"SELECT CAST($n AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn, 1.0::DOUBLE AS precision, 1.0::DOUBLE AS recall"
-    }
+    m("kg_triples_full") = valuesSql(
+      Seq("url", "subj", "subjType", "pred", "obj", "objType", "evidence", "purpose_map"),
+      fullRows, Seq("url", "subj", "pred", "obj"))
+    m("kg_eval_pr") =
+      s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     // counts cast to BIGINT so dtypes match Spark's
     m("kg_collect_stats") =
       s"SELECT pred, CAST(n_edges_s AS BIGINT) AS n_edges, CAST(n_policies_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("pred", "n_edges_s", "n_policies_s"), stats)}) ORDER BY pred"
@@ -384,17 +606,33 @@ object KgQueries {
       m("kg_who_collect") = valuesSql(Seq("url", "actor"), whoCollect, Seq("url", "actor"))
       m("kg_sql_who_collect") = m("kg_who_collect")
     }
+    if (extWho.nonEmpty)
+      m("kg_ext_who_collect") = valuesSql(Seq("url", "actor"), extWho, Seq("url", "actor"))
+    if (canCollect.nonEmpty)
+      m("kg_can_collect") = valuesSql(Seq("url", "actor"), canCollect, Seq("url", "actor"))
+    if (edgePurp.nonEmpty)
+      m("kg_edge_purposes") = valuesSql(Seq("url", "actor", "datatype", "purpose"),
+        edgePurp, Seq("url", "actor", "datatype", "purpose"))
+    if (edgeText.nonEmpty)
+      m("kg_get_text") = valuesSql(Seq("url", "actor", "datatype", "texts"),
+        edgeText, Seq("url", "actor", "datatype"))
+    if (valColl.nonEmpty)
+      m("kg_validate_collection") = valuesSql(Seq("url", "datatype"), valColl,
+        Seq("url", "datatype"))
+    if (valShare.nonEmpty)
+      m("kg_validate_sharing") = valuesSql(Seq("url", "entity", "datatype"), valShare,
+        Seq("url", "entity", "datatype"))
     if (contradictions.nonEmpty)
-      m("kg_contradictions") = valuesSql(Seq("url", "subj", "pred", "obj"),
-        contradictions, Seq("url", "subj", "pred", "obj"))
+      m("kg_contradictions") = valuesSql(
+        Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"),
+        contradictions,
+        Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"))
     m("kg_alias_components") = valuesSql(Seq("vertex", "component"), comps, Seq("vertex"))
     if (flowVerdicts.nonEmpty)
       m("kg_flow_consistency") = valuesSql(Seq("url", "domain", "datatype", "verdict"),
         flowVerdicts, Seq("url", "domain", "datatype"))
     m("kg_datatypes") = valuesSql(Seq("url", "term"), dataTerms, Seq("url", "term"))
     m("kg_entities") = valuesSql(Seq("url", "term"), actorTerms, Seq("url", "term"))
-    if (canCollect.nonEmpty)
-      m("kg_can_collect") = valuesSql(Seq("url", "actor"), canCollect, Seq("url", "actor"))
     if (termDefs.nonEmpty)
       m("kg_term_defs") =
         s"SELECT term, CAST(n_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("term", "n_s"), termDefs)}) ORDER BY term"
@@ -409,10 +647,5 @@ object KgQueries {
     m("kg_summary_matrix") =
       s"SELECT datatype, CAST(c_s AS BIGINT) AS n_collect, CAST(s_s AS BIGINT) AS n_shared, CAST(d_s AS BIGINT) AS n_denied FROM (${valuesSqlNoOrder(Seq("datatype", "c_s", "s_s", "d_s"), summary)}) ORDER BY datatype"
     m.toMap
-  }
-
-  private def valuesSqlNoOrder(cols: Seq[String], rows: Seq[Seq[String]]): String = {
-    val vals = rows.map(r => r.map(esc).mkString("(", ", ", ")")).mkString(", ")
-    s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")})"
   }
 }

@@ -46,6 +46,27 @@ object Normalizer {
   /** ACTOR canonicalization (graft/phrase_map.yml). */
   val actorCanonical: Map[String, String] = graft.nlp.PhraseMapYaml.loaded.actorCanonical
 
+  private val dataCanonicalCs = graft.nlp.PhraseMapYaml.loaded.dataCanonicalCs
+  private val actorCanonicalCs = graft.nlp.PhraseMapYaml.loaded.actorCanonicalCs
+  private val dataNegative = graft.nlp.PhraseMapYaml.loaded.dataNegative
+  private val actorNegative = graft.nlp.PhraseMapYaml.loaded.actorNegative
+
+  /** Word-boundary phrase containment (the reference wraps every rule in
+    * \b...\b, phrase_normalization.py:57-62). */
+  private def containsPhrase(hay: String, needle: String): Boolean = {
+    var from = 0
+    while (from <= hay.length - needle.length) {
+      val at = hay.indexOf(needle, from)
+      if (at < 0) return false
+      val okL = at == 0 || !hay.charAt(at - 1).isLetterOrDigit
+      val okR = at + needle.length == hay.length ||
+        !hay.charAt(at + needle.length).isLetterOrDigit
+      if (okL && okR) return true
+      from = at + 1
+    }
+    false
+  }
+
   private def lookupEntity(text: String): Set[String] = {
     val lw = text.toLowerCase.trim
     Lexicon.entityInfo.collect {
@@ -67,17 +88,31 @@ object Normalizer {
     }
   }
 
-  private def canonicalOf(m: Mention, table: Map[String, String], generic: Set[String]): Set[String] = {
+  private def canonicalOf(m: Mention, table: Map[String, String],
+      csTable: Map[String, String], negOf: Map[String, Vector[String]],
+      generic: Set[String]): Set[String] = {
     // longest suffix/inner lemma n-gram that hits the canonical table; the
-    // dictionary NER guarantees some n-gram matched at tag time.
-    val lemmas = m.tokens.filterNot(t => t.pos == "DET").map(_.lemma.toLowerCase)
-    val texts = m.tokens.filterNot(t => t.pos == "DET").map(_.text.toLowerCase)
-    val grams = for {
+    // dictionary NER guarantees some n-gram matched at tag time. A canonical
+    // term whose negative rules match the FULL phrase is blocked — the
+    // reference checks negative regexes against original and lemma text
+    // before accepting a positive match (phrase_normalization.py:88-103).
+    val kept = m.tokens.filterNot(t => t.pos == "DET")
+    val lemmas = kept.map(_.lemma.toLowerCase)
+    val texts = kept.map(_.text.toLowerCase)
+    val exact = kept.map(_.text)
+    val fullLower = m.tokens.map(_.text).mkString(" ").toLowerCase
+    val fullLemma = m.tokens.map(_.lemma).mkString(" ").toLowerCase
+    def negated(c: String): Boolean = negOf.getOrElse(c, Vector.empty).exists(p =>
+      containsPhrase(fullLower, p) || containsPhrase(fullLemma, p))
+    val hits = for {
       n <- (math.min(4, lemmas.length) to 1 by -1).iterator
       i <- (0 to lemmas.length - n).iterator
-      g <- Iterator(lemmas.slice(i, i + n).mkString(" "), texts.slice(i, i + n).mkString(" "))
-    } yield g
-    grams.collectFirst { case g if table.contains(g) => table(g) } match {
+      c <- table.get(lemmas.slice(i, i + n).mkString(" ")).iterator ++
+        table.get(texts.slice(i, i + n).mkString(" ")).iterator ++
+        csTable.get(exact.slice(i, i + n).mkString(" ")).iterator
+      if !negated(c)
+    } yield c
+    hits.nextOption() match {
       case Some(c) => Set(c)
       case None =>
         val headLemma = m.tokens(m.head).lemma.toLowerCase
@@ -102,7 +137,7 @@ object Normalizer {
       val useStem = head.ner == tokenType
       tokenType match {
         case "DATA" =>
-          val terms = canonicalOf(m, dataCanonical, genericData)
+          val terms = canonicalOf(m, dataCanonical, dataCanonicalCs, dataNegative, genericData)
           if (terms.nonEmpty) terms
           else if (useStem && m.stem.nonEmpty) Set(m.stem)
           else Set.empty
@@ -113,7 +148,7 @@ object Normalizer {
             terms ++= matchEntityName(m)
             stemOk = stemOk && terms.isEmpty
           }
-          terms ++= canonicalOf(m, actorCanonical, genericActor)
+          terms ++= canonicalOf(m, actorCanonical, actorCanonicalCs, actorNegative, genericActor)
           if (terms.nonEmpty) terms
           else if (stemOk && m.stem.nonEmpty) Set(m.stem)
           else Set.empty

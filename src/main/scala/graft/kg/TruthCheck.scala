@@ -23,15 +23,29 @@ object TruthCheck {
         tp += got.intersect(want).size
         fp += (got -- want).size
         fn += (want -- got).size
-        // purposes agreement on matched triples
+        // purposes + evidence agreement on matched triples
         val purposeGot = triples.map(t => (t.subj, t.pred, t.obj) ->
           t.purposes.keys.toVector.sorted.mkString(",")).toMap
+        val evidenceGot = triples.map(t => (t.subj, t.pred, t.obj) ->
+          t.text.mkString(" || ")).toMap
+        val typesGot = triples.map(t => (t.subj, t.pred, t.obj) ->
+          (t.subjType, t.objType)).toMap
         gp.truth.foreach { tr =>
           if (got.contains((tr.subj, tr.pred, tr.obj))) {
             val g = purposeGot.getOrElse((tr.subj, tr.pred, tr.obj), "")
             if (g != tr.purpose) {
               purposeBad += 1
               if (shown < 10) println(s"PURPOSE ${page.url} (${tr.subj},${tr.pred},${tr.obj}): got '$g' want '${tr.purpose}'")
+            }
+            val ev = evidenceGot.getOrElse((tr.subj, tr.pred, tr.obj), "")
+            if (ev != tr.evidence.mkString(" || ")) {
+              purposeBad += 1
+              if (shown < 10) println(s"EVIDENCE ${page.url} (${tr.subj},${tr.pred},${tr.obj}):\n  got  '$ev'\n  want '${tr.evidence.mkString(" || ")}'")
+            }
+            val ty = typesGot.getOrElse((tr.subj, tr.pred, tr.obj), ("", ""))
+            if (ty != ((tr.subjType, tr.objType))) {
+              purposeBad += 1
+              if (shown < 10) println(s"TYPES ${page.url} (${tr.subj},${tr.pred},${tr.obj}): got $ty want ${(tr.subjType, tr.objType)}")
             }
           }
         }

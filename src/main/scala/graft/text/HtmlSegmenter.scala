@@ -138,6 +138,92 @@ object HtmlSegmenter {
       case Text(s) => buf.append(s)
     }
     flushText()
-    segs.toVector
+    fixNonHtmlLists(segs.toVector)
+  }
+
+  // --------------------------------------------------- non-HTML list repair
+
+  /** One bullet template family (reference BulletMatcher,
+    * poligrapher/document.py:583-608): `regex` recognizes/strips the bullet,
+    * `expected(k)` is the exact prefix the k-th item must start with. */
+  private final case class Bullet(regex: scala.util.matching.Regex, expected: Int => String)
+
+  private val CharBullet = "^[*>#-]".r
+  private val NumBullet = "^\\W*\\d+\\W".r
+  private val LowerBullet = "^\\W*[a-z]\\W".r
+  private val UpperBullet = "^\\W*[A-Z]\\W".r
+
+  private def bulletOf(text: String): Option[Bullet] =
+    CharBullet.findFirstIn(text).map(m => Bullet(CharBullet, _ => m))
+      .orElse(NumBullet.findFirstIn(text).map { m =>
+        // template cycles 1, 2, 3, ... (reference: m[0].replace("1", "{0}"),
+        // so numbered lists must start at 1 — bug-compatible)
+        Bullet(NumBullet, k => if (m.contains("1")) m.replace("1", (k + 1).toString) else m)
+      })
+      .orElse(LowerBullet.findFirstIn(text).map { m =>
+        Bullet(LowerBullet, k => m.replace("a", ('a' + (k % 26)).toChar.toString))
+      })
+      .orElse(UpperBullet.findFirstIn(text).map { m =>
+        Bullet(UpperBullet, k => m.replace("A", ('A' + (k % 26)).toChar.toString))
+      })
+
+  /** Turn runs (≥2) of text-bullet TEXT segments that follow a TEXT/HEADING
+    * ending in ":" into LISTITEM segments each holding one TEXT child with
+    * the bullet stripped — the same segment shape real HTML lists produce
+    * (reference fix_non_html_lists, poligrapher/document.py:516-570). */
+  private def fixNonHtmlLists(segs: Vector[Segment]): Vector[Segment] = {
+    if (segs.length < 3) return segs
+    val n = segs.length
+    val outType = new ArrayBuffer[String](n)
+    val outText = new ArrayBuffer[String](n)
+    // parent ref: Left(oldSegId) remapped at the end; Right(newSegId) direct
+    val outParent = new ArrayBuffer[Either[Int, Int]](n)
+    val oldToNew = new scala.collection.mutable.HashMap[Int, Int]()
+
+    def emitOld(s: Segment): Unit = {
+      oldToNew(s.segId) = outType.length
+      outType += s.segType; outText += s.text; outParent += Left(s.parentId)
+    }
+
+    var i = 0
+    while (i < n) {
+      val s = segs(i)
+      val bullet =
+        if (i >= 1 && s.segType == "TEXT" &&
+          (segs(i - 1).segType == "TEXT" || segs(i - 1).segType == "HEADING") &&
+          segs(i - 1).text.endsWith(":")) bulletOf(s.text)
+        else None
+      bullet match {
+        case Some(b) =>
+          var j = i
+          while (j < n && segs(j).segType == "TEXT" && segs(j).parentId == s.parentId &&
+            segs(j).text.startsWith(b.expected(j - i))) j += 1
+          if (j - i > 1) {
+            val introOld = segs(i - 1).segId
+            (i until j).foreach { k =>
+              val itemNew = outType.length
+              outType += "LISTITEM"; outText += ""; outParent += Left(introOld)
+              oldToNew(segs(k).segId) = outType.length
+              val trimmed = b.regex.replaceFirstIn(segs(k).text, "").trim
+              outType += "TEXT"
+              outText += (if (trimmed.nonEmpty) trimmed else segs(k).text)
+              outParent += Right(itemNew)
+            }
+            i = j
+          } else { emitOld(s); i += 1 }
+        case None => emitOld(s); i += 1
+      }
+    }
+    if (outType.length == n) segs // nothing converted
+    else {
+      val url = segs.head.url
+      (0 until outType.length).map { id =>
+        val p = outParent(id) match {
+          case Left(old) => if (old < 0) -1 else oldToNew.getOrElse(old, -1)
+          case Right(nw) => nw
+        }
+        Segment(url, id, outType(id), p, outText(id))
+      }.toVector
+    }
   }
 }

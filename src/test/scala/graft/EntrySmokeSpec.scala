@@ -9,9 +9,8 @@ class EntrySmokeSpec extends AnyFunSuite {
   }
   test("every query has either an oracle or is documented rows-only") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // LSH candidate sets + map/array outputs are brute-force-verified in
-    // OpsSpec instead of the SQL gate
-    assert(rowsOnly == Set("kg_triples_full", "q_dedup_minhash",
-      "q_dedup_simhash", "q_knn_ivf"), s"unexpected rows-only set: $rowsOnly")
+    // LSH candidate sets are additionally brute-force-verified in OpsSpec
+    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_knn_ivf"),
+      s"unexpected rows-only set: $rowsOnly")
   }
 }

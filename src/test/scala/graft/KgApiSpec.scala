@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.{DocKernel, KgApi}
+import graft.text.HtmlSegmenter
+
+/** Round-2 semantics: transitive reachability, first-party aliases,
+  * contradiction narrowing, negative/case-sensitive phrase rules, and
+  * non-HTML bullet repair — all through the real kernel + query graph. */
+class KgApiSpec extends AnyFunSuite {
+
+  private def graph(html: String): KgApi.PolicyGraph =
+    new KgApi.PolicyGraph(DocKernel.process("t", HtmlSegmenter.segment("t", html)))
+
+  test("who_collect walks depth-2 SUBSUM chains (transitive, G8)") {
+    val g = graph("<p>We collect personal information, such as contact information. " +
+      "Contact information includes your email address.</p>")
+    assert(g.whoCollect("email address") == Vector("we"))
+    assert(g.whoCollect("contact information") == Vector("we"))
+    assert(g.ancestors("email address") ==
+      Set("contact information", "personal information"))
+    assert(g.descendants("personal information") ==
+      Set("contact information", "email address"))
+  }
+
+  test("who_collect reaches members of a collecting actor category (SUBSUM_BY)") {
+    val g = graph("<p>We may share usage data with third parties, such as Stripe.</p>")
+    assert(g.whoCollect("usage information") == Vector("stripe", "third party", "we"))
+    // descendants of an ACTOR = its members (reversed orientation)
+    assert(g.descendants("third party") == Set("stripe"))
+  }
+
+  test("first-party set includes copula aliases (We are <Company>)") {
+    val g = graph("<p>We are Google. Google may collect your email address. " +
+      "We also collect your age.</p>")
+    assert(g.firstParty == Set("we", "google"))
+    assert(g.whoCollect("email address").contains("google"))
+  }
+
+  test("contradiction narrowing: descendant overlap fires, narrow subsum does not") {
+    // positive on leaf + negative on category + in-doc SUBSUM → conflict
+    val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We collect your email address.</p>" +
+        "<p>We do not collect personal information.</p>" +
+        "<p>Personal information includes your email address.</p>"))
+    val g = new KgApi.PolicyGraph(ts)
+    assert(g.subsum("personal information", "email address"))
+    assert(!g.subsum("email address", "personal information"))
+    // reversed case: positive on category + negative on leaf → PolicyLint
+    // narrow definition excludes it (pos subsumes neg)
+    val ts2 = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We collect personal information.</p>" +
+        "<p>We do not collect your email address.</p>" +
+        "<p>Personal information includes your email address.</p>"))
+    val g2 = new KgApi.PolicyGraph(ts2)
+    assert(g2.subsum("personal information", "email address"))
+  }
+
+  test("purposes and get_text union over shortest paths") {
+    val g = graph("<p>We use your email address for advertising purposes.</p>")
+    assert(g.purposes("we", "email address") == Vector("advertising"))
+    assert(g.getText("we", "email address") ==
+      Vector("We use your email address for advertising purposes."))
+    // entity-first argument order is normalized (get_text case 3)
+    assert(g.getText("email address", "we") == g.getText("we", "email address"))
+  }
+
+  test("negative phrase rules block the positive canonical term") {
+    val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We do not collect non personal information.</p>"))
+    assert(ts.map(t => (t.subj, t.pred, t.obj)).toSet ==
+      Set(("we", "NOT_COLLECT", "UNSPECIFIED_DATA")))
+    // hyphenated variant is blocked too (word-boundary containment)
+    val ts2 = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We may share non-personal information with advertisers.</p>"))
+    assert(!ts2.exists(_.obj == "personal information"))
+  }
+
+  test("case-sensitive (=) rules match exact case only") {
+    val up = DocKernel.process("t", HtmlSegmenter.segment("t", "<p>We collect your UDID.</p>"))
+    assert(up.exists(t => t.obj == "device identifier"))
+    val low = DocKernel.process("t", HtmlSegmenter.segment("t", "<p>We collect your udid.</p>"))
+    assert(!low.exists(t => t.obj == "device identifier"))
+  }
+
+  test("non-HTML bullet lists repair into LISTITEM structure (4 families)") {
+    def collect(items: String*): Set[String] = {
+      val html = "<p>We collect the following information:</p>" +
+        items.map(i => s"<p>$i</p>").mkString
+      DocKernel.process("t", HtmlSegmenter.segment("t", html))
+        .filter(_.pred == "COLLECT").map(_.obj).toSet
+    }
+    assert(collect("* Email address", "* Phone number") ==
+      Set("email address", "phone number"))
+    assert(collect("- Email address", "- Phone number") ==
+      Set("email address", "phone number"))
+    assert(collect("1. Email address", "2. Phone number") ==
+      Set("email address", "phone number"))
+    assert(collect("a. Email address", "b. Phone number") ==
+      Set("email address", "phone number"))
+    // numbering must cycle correctly: 1. then 3. breaks the run at one item,
+    // so no list forms and the intro alone yields the UNSPECIFIED node
+    assert(collect("1. Email address", "3. Phone number") == Set("UNSPECIFIED_DATA"))
+    // a single bullet is not a list
+    assert(collect("* Email address") == Set("UNSPECIFIED_DATA"))
+  }
+
+  test("ExtKGraph umbrella: UNSPECIFIED_DATA collectors count for any datatype") {
+    val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>Advertisers may collect the data.</p><p>We collect your age.</p>"))
+    val ext = new KgApi.ExtPolicyGraph(ts, Set("age"), umbrella = true)
+    assert(ext.whoCollect("age").contains("advertiser"))
+    val noUmbrella = new KgApi.ExtPolicyGraph(ts, Set("age"), umbrella = false)
+    assert(!noUmbrella.whoCollect("age").contains("advertiser"))
+  }
+
+  test("ExtKGraph ontology grafting: category collection reaches leaves") {
+    val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We collect contact information.</p>"))
+    val ext = new KgApi.ExtPolicyGraph(ts, Set("phone number"), umbrella = false)
+    assert(ext.whoCollect("phone number") == Vector("we"))
+  }
+}
