@@ -104,6 +104,10 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$triples8,"kg_sec_p2":$t2%.2f,"kg_sec_p8":$t8%.2f,"kg_sec_p32":$t32%.2f,"kg_docs_per_sec_p2":$thr2%.1f,"kg_docs_per_sec_p8":$thr8%.1f,"kg_docs_per_sec_p32":$thr32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff32%.3f}"""
     println(json)
+    // also write to a file: under sbt the stdout line carries an "[info] "
+    // prefix that broke the driver's JSON parse in round 1 (VERDICT wrong #6)
+    Files.createDirectories(Paths.get("/root/repo/BENCH"))
+    Files.writeString(Paths.get("/root/repo/BENCH/bench.json"), json + "\n")
 
     // ---- BENCH/BASELINE.md ----------------------------------------------
     val md =

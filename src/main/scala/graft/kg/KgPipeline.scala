@@ -166,32 +166,47 @@ object AliasResolution {
 
   /** edges: DataFrame(src: String, dst: String) undirected.
     * Returns DataFrame(vertex: String, component: String) where component is
-    * the lexicographic min vertex of the component. */
-  def connectedComponents(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 10)
+    * the lexicographic min vertex of the component.
+    *
+    * Iteration hygiene (round-2 ADVICE): the changed-count is folded into
+    * the propagate frame so each round is ONE action (no re-execution of the
+    * join), superseded label frames are unpersisted, and lineage is
+    * truncated with `localCheckpoint` every 3 rounds — without which the
+    * plan tree grows unboundedly and real-corpus alias graphs (10⁸ edges)
+    * blow up driver planning. Converges in O(diameter) shuffle rounds. */
+  def connectedComponents(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 25)
       : org.apache.spark.sql.DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
+      .withColumn("chg", lit(0L))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // propagate min component over one hop
+      val prev = labels
       val next = sym.join(labels, sym("dst") === labels("vertex"))
         .groupBy(sym("src").as("vertex"))
         .agg(min(col("component")).as("nbrMin"))
-      val updated = labels.join(next, Seq("vertex"), "left_outer")
+      val propagated = labels.drop("chg").join(next, Seq("vertex"), "left_outer")
         .select(col("vertex"),
-          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
-        .cache()
-      changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("vertex"))
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
+          (col("nbrMin") < col("component")).cast("long").as("chg"))
+      // one action per round (the sum below populates the cache);
+      // localCheckpoint every 3rd round truncates lineage
+      labels =
+        if (i % 3 == 2) propagated.localCheckpoint(true)
+        else propagated.cache()
+      changed = labels.agg(sum(col("chg"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      prev.unpersist()
       i += 1
     }
-    labels
+    sym.unpersist()
+    labels.select(col("vertex"), col("component"))
   }
 }

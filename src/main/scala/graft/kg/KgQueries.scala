@@ -179,12 +179,39 @@ object KgQueries {
       KgApi.contradictions(KgPipeline.run(s, N_DOCS, SEED))
     }),
 
-    // G12: distributed connected components over the entity-alias graph
+    // G12: distributed connected components over the entity-alias graph.
+    // The lexicon's 70 alias edges are unioned with a 10⁴-vertex synthetic
+    // graph (900 stars of 10 + 125 chains of 8) so the iterative hash-min
+    // join is measured at a size where iteration hygiene actually matters —
+    // the oracle derives every component arithmetically.
     "kg_alias_components" -> ((s, _) => {
       import s.implicits._
-      val edges = aliasEdges.toDF("src", "dst")
-      AliasResolution.connectedComponents(edges)
+      val stars = s.range(0, 9000).filter(col("id") % 10 =!= 0)
+        .select(format_string("v%05d", col("id")).as("src"),
+          format_string("v%05d", col("id") - col("id") % 10).as("dst"))
+      val chains = s.range(0, 1000).filter(col("id") % 8 =!= 7)
+        .select(format_string("c%04d", col("id")).as("src"),
+          format_string("c%04d", col("id") + 1).as("dst"))
+      val lex = aliasEdges.toDF("src", "dst")
+      AliasResolution.connectedComponents(stars.union(chains).union(lex))
         .orderBy("vertex")
+    }),
+
+    // Scale-invariant pipeline check (VERDICT #10): the full KG pipeline at
+    // 24,000 documents reduced to a per-predicate digest — count, distinct
+    // policies, and a sum of md5-derived row hashes — with a VALUES oracle
+    // computed from construction truth. Proves correctness is not a
+    // 60-document artifact.
+    "kg_scale_digest" -> ((s, _) => {
+      KgPipeline.run(s, ScaleDocs, SEED).toDF()
+        .select(col("pred"), col("url"),
+          (conv(substring(md5(concat_ws("|", col("url"), col("subj"),
+            col("pred"), col("obj"))), 1, 15), 16, 10).cast("long") % 1000003L).as("h"))
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("url")).as("n_policies"),
+          sum(col("h")).as("hash_sum"))
+        .orderBy("pred")
     }),
 
     // J7/J8/F7/G9: flow-to-policy consistency (broadcast ontology joins)
@@ -293,6 +320,10 @@ object KgQueries {
           countDistinct(when(col("pred").startsWith("NOT_"), col("url"))).as("n_denied"))
         .orderBy("datatype")
     }))
+
+  /** Fixed corpus size for the scale-invariant digest (independent of the
+    * sf dir so the static oracle matches). */
+  val ScaleDocs = 24000L
 
   val ValidateDts: Seq[String] = Seq("email address", "phone number", "age",
     "usage information", "personal information")
@@ -521,6 +552,22 @@ object KgQueries {
 
     val comps = unionFindComponents(aliasEdges).toSeq.sorted.map { case (v, c) => Seq(v, c) }
 
+    // scale digest from truth (md5 first 15 hex chars → 60-bit int, mod-summed)
+    val scaleDigest = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(sx: String): Long = {
+        val hex = md.digest(sx.getBytes("UTF-8")).take(8)
+          .map(b => f"$b%02x").mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 1000003L
+      }
+      val rows = (0L until ScaleDocs).iterator.flatMap(i =>
+        CorpusGen.genPage(i.toInt, SEED).truth).toVector
+      rows.groupBy(_.pred).toSeq.sortBy(_._1).map { case (p, rs) =>
+        Seq(p, rs.size.toString, rs.map(_.url).distinct.size.toString,
+          rs.map(t => h60(s"${t.url}|${t.subj}|${t.pred}|${t.obj}")).sum.toString)
+      }
+    }
+
     val flowVerdicts = FlowConsistency.classifyTruth(N_DOCS, SEED)
       .sortBy(identity).map { case (u, d, t0, v) => Seq(u, d, t0, v) }
 
@@ -627,7 +674,19 @@ object KgQueries {
         Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"),
         contradictions,
         Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"))
-    m("kg_alias_components") = valuesSql(Seq("vertex", "component"), comps, Seq("vertex"))
+    // the 10⁴ synthetic vertices are formula-derived in SQL; the lexicon
+    // part stays a VALUES literal from the independent union-find
+    m("kg_alias_components") =
+      s"""SELECT vertex, component FROM (
+         |  SELECT printf('v%05d', i) AS vertex, printf('v%05d', i - (i % 10)) AS component
+         |  FROM range(9000) t(i)
+         |  UNION ALL
+         |  SELECT printf('c%04d', j), printf('c%04d', j - (j % 8)) FROM range(1000) t(j)
+         |  UNION ALL
+         |  ${valuesSqlNoOrder(Seq("vertex", "component"), comps)}
+         |) ORDER BY vertex""".stripMargin
+    m("kg_scale_digest") =
+      s"SELECT pred, CAST(n_edges_s AS BIGINT) AS n_edges, CAST(n_policies_s AS BIGINT) AS n_policies, CAST(hash_s AS BIGINT) AS hash_sum FROM (${valuesSqlNoOrder(Seq("pred", "n_edges_s", "n_policies_s", "hash_s"), scaleDigest)}) ORDER BY pred"
     if (flowVerdicts.nonEmpty)
       m("kg_flow_consistency") = valuesSql(Seq("url", "domain", "datatype", "verdict"),
         flowVerdicts, Seq("url", "domain", "datatype"))

