@@ -23,7 +23,11 @@ object CorpusGen {
       subjType: String = "ACTOR", // node types — needed since round 2 adds
       objType: String = "DATA") // ACTOR-SUBSUM-ACTOR and DATA-SUBSUM-DATA rows
 
-  final case class GenPage(page: WebPage, truth: Vector[Truth])
+  /** corefLabels: (anaphor sentence text, antecedent canonical term) — the
+    * doccano-style label channel for the coref eval harness (reference
+    * evals/coref/validate-coref.py labels). */
+  final case class GenPage(page: WebPage, truth: Vector[Truth],
+      corefLabels: Vector[(String, String)] = Vector.empty)
 
   // (surface form with possessive, canonical term)
   private val dataTerms: Vector[(String, String)] = Vector(
@@ -128,7 +132,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(18)
+    val kind = rng.nextInt(19)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -227,6 +231,14 @@ object CorpusGen {
         val na = rng.pick(negAux)
         (s"We $na collect non personal information.",
           Vector(Truth(url, "we", "NOT_COLLECT", "UNSPECIFIED_DATA", "")))
+      case 18 => // pronoun coreference across sentences (J4): "This
+        // information" resolves to the previous sentence's datatype, so the
+        // BE_SHARED edge lands on the real term after coref contraction
+        val s1 = s"We collect $dtS."
+        val s2 = s"This information may be shared with ${acS.toLowerCase}."
+        (s"$s1 $s2", Vector(
+          Truth(url, "we", "COLLECT", dtC, "", Vector(s1)),
+          Truth(url, acC, "BE_SHARED", dtC, "", Vector(s1, s2))))
       case _ => ("", Vector.empty)
     }
   }
@@ -262,12 +274,17 @@ object CorpusGen {
     val nSent = 4 + rng.nextInt(4)
     val parts = Vector.newBuilder[String]
     val truth = Vector.newBuilder[Truth]
+    val corefLabels = Vector.newBuilder[(String, String)]
     parts += "<h1>Privacy Policy</h1>"
     (0 until nSent).foreach { _ =>
       val (s, t) = sentence(url, rng)
       parts += s"<p>$s</p>"
       truth ++= t.map(x =>
         if (x.evidence.isEmpty) x.copy(evidence = Vector(s)) else x)
+      // case 18 carries a coref label: anaphor sentence → antecedent term
+      if (s.contains("This information may be shared with"))
+        corefLabels += ((s.substring(s.indexOf("This information")),
+          t.find(_.pred == "BE_SHARED").get.obj))
     }
     if (rng.nextInt(3) == 0) {
       val (h, t) = listSection(url, rng)
@@ -280,7 +297,8 @@ object CorpusGen {
     // ~5% non-English pages exercise the lang gate (no truth)
     val lang = if (rng.nextInt(20) == 0) "de" else "en"
     val t = if (lang == "en") dedupTruth(truth.result()) else Vector.empty
-    GenPage(WebPage(url, ts, html.getBytes("UTF-8"), text, lang), t)
+    GenPage(WebPage(url, ts, html.getBytes("UTF-8"), text, lang), t,
+      if (lang == "en") corefLabels.result() else Vector.empty)
   }
 
   /** The pipeline merges repeated statements into one triple; truth follows

@@ -286,11 +286,13 @@ object DocKernel {
               // COREF: mention → main mention
               if (!(cp eq p) || cand.head != c.head) {
                 st.link(d, p, c.head, cand.head, Coref)
-                // the antecedent's mention/sentence come from its own parse
+                // the antecedent's mention/sentence come from its OWN parse —
+                // link() above just stamped it with the anaphor's sentence,
+                // so overwrite (evidence must cite the antecedent's sentence)
                 d.srcs(cand.head).foreach { s =>
                   st.mentions -= s
                   st.recordMention(d, cp, cand.head, s)
-                  st.sentText.getOrElseUpdate(s, cp.text)
+                  st.sentText(s) = cp.text
                 }
               }
             }
@@ -555,10 +557,10 @@ object DocKernel {
 
   // ----------------------------------------------------------------- build
 
-  /** Full kernel: segments → triples (variant = "extended" keeps all edge
-    * types; "original" collapses positives to COLLECT and drops negatives —
-    * reference build_graph.py:86-95). */
-  def process(url: String, segs: Vector[Segment], variant: String = "extended"): Vector[Triple] = {
+  /** Segmentation + all annotators, exposing the token-relationship state
+    * (consumed by the graph build and by the coref eval harness,
+    * evals/coref/validate-coref.py). */
+  def annotate(url: String, segs: Vector[Segment]): DocState = {
     val sorted = segs.sortBy(_.segId)
     val docs = buildDocs(sorted)
     val st = DocState(url, sorted, docs)
@@ -568,6 +570,12 @@ object DocKernel {
     annotatePurpose(st)
     annotateList(st)
     annotateSubject(st)
-    GraphBuilder.build(st, variant)
+    st
   }
+
+  /** Full kernel: segments → triples (variant = "extended" keeps all edge
+    * types; "original" collapses positives to COLLECT and drops negatives —
+    * reference build_graph.py:86-95). */
+  def process(url: String, segs: Vector[Segment], variant: String = "extended"): Vector[Triple] =
+    GraphBuilder.build(annotate(url, segs), variant)
 }

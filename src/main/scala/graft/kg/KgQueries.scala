@@ -278,6 +278,21 @@ object KgQueries {
       KgApi.validateSharing(KgPipeline.run(s, N_DOCS, SEED), ValidatePairs)
     }),
 
+    // Coref eval harness (reference evals/coref/validate-coref.py:52-103):
+    // labeled (anaphor sentence, antecedent term) links are checked by path
+    // existence in the predicted COREF∪SUBSUM token graph; predicted coref
+    // anaphors with no label count as incorrect
+    "kg_eval_coref" -> ((s, _) => {
+      import s.implicits._
+      val parts = math.max(s.sparkContext.defaultParallelism, 8)
+      s.range(0, N_DOCS, 1, parts)
+        .map(i => corefEval(CorpusGen.genPage(i.toInt, SEED)))
+        .toDF("links", "correct", "extra")
+        .agg(sum(col("links")).as("n_links"),
+          sum(col("correct")).as("n_correct"),
+          sum(col("extra")).as("n_incorrect"))
+    }),
+
     // A6: terms defined by SUBSUM in many policies
     "kg_term_defs" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -332,6 +347,52 @@ object KgQueries {
     ("advertiser", "email address"), ("advertiser", "usage information"),
     ("third party", "payment information"), ("google", "email address"),
     ("stripe", "payment information"), ("we", "email address"))
+
+  /** Per-document coref evaluation (validate-coref.py semantics): a labeled
+    * link is correct when a path exists from the anaphor's token through the
+    * predicted COREF (bidirectional) ∪ SUBSUM (directed) graph to a token
+    * whose mention normalizes to the antecedent term. */
+  private def corefEval(gp: CorpusGen.GenPage): (Long, Long, Long) = {
+    import graft.kg.Model.Src
+    if (gp.page.lang != "en") return (0L, 0L, 0L)
+    val segs = graft.text.HtmlSegmenter.segment(gp.page.url,
+      new String(gp.page.html, java.nio.charset.StandardCharsets.UTF_8))
+    val st = DocKernel.annotate(gp.page.url, segs)
+    val adj = scala.collection.mutable.Map[Src, scala.collection.mutable.Set[Src]]()
+    st.edges.foreach { case (a, b, rel) =>
+      if (rel == Model.Subsum)
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+      else if (rel == Model.Coref) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+    }
+    val corefSrcs: Vector[Src] =
+      st.edges.collect { case (a, _, rel) if rel == Model.Coref => a }.toVector.sorted
+    val matched = scala.collection.mutable.Set[Src]()
+    var nCorrect = 0L
+    gp.corefLabels.foreach { case (anaSent, anteTerm) =>
+      val hit = corefSrcs.filterNot(matched)
+        .filter(s0 => st.sentText.get(s0).contains(anaSent))
+        .find { s0 =>
+          val seen = scala.collection.mutable.Set(s0)
+          val q = scala.collection.mutable.Queue(s0)
+          var found = false
+          while (q.nonEmpty && !found) {
+            val x = q.dequeue()
+            if (x != s0 && st.mentions.get(x).exists(m =>
+              Normalizer.normalize(m, "DATA").contains(anteTerm))) found = true
+            else adj.getOrElse(x, Set.empty).foreach { y =>
+              if (!seen.contains(y)) { seen += y; q.enqueue(y) }
+            }
+          }
+          found
+        }
+      hit.foreach { s0 => matched += s0; nCorrect += 1 }
+    }
+    val nExtra = corefSrcs.count(!matched.contains(_)).toLong
+    (gp.corefLabels.size.toLong, nCorrect, nExtra)
+  }
 
   // --------------------------------------------------------- truth-side graph
 
@@ -685,6 +746,9 @@ object KgQueries {
          |  UNION ALL
          |  ${valuesSqlNoOrder(Seq("vertex", "component"), comps)}
          |) ORDER BY vertex""".stripMargin
+    val corefLinks = CorpusGen.corpus(N_DOCS, SEED).map(_.corefLabels.size).sum
+    m("kg_eval_coref") =
+      s"SELECT CAST($corefLinks AS BIGINT) AS n_links, CAST($corefLinks AS BIGINT) AS n_correct, CAST(0 AS BIGINT) AS n_incorrect"
     m("kg_scale_digest") =
       s"SELECT pred, CAST(n_edges_s AS BIGINT) AS n_edges, CAST(n_policies_s AS BIGINT) AS n_policies, CAST(hash_s AS BIGINT) AS hash_sum FROM (${valuesSqlNoOrder(Seq("pred", "n_edges_s", "n_policies_s", "hash_s"), scaleDigest)}) ORDER BY pred"
     if (flowVerdicts.nonEmpty)

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
-  * multimodal) over `documents` and `embeddings`. SQL-expressible queries
-  * carry DuckDB oracles; LSH/ANN approximations are rows-only here and
-  * verified against brute force in OpsSpec.
+  * multimodal) over `documents` and `embeddings`. EVERY query carries a
+  * DuckDB oracle: the approximate operators are designed so their output is
+  * deterministically recomputable (exact-recall banding, portable md5-based
+  * hashing, deterministic centroids), and OpsSpec additionally pins them
+  * against brute force.
   */
 object OpsQueries {
 
@@ -37,10 +39,10 @@ object OpsQueries {
 
     // ---- similarity search ----------------------------------------------
     "q_knn_bruteforce" -> ((s, d) =>
-      Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 8, k = 5)),
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 64, k = 5)),
 
     "q_knn_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(t(s, d, "embeddings"), nQueries = 8, k = 5)),
+      Similarity.ivfTopK(t(s, d, "embeddings"), nQueries = 64, k = 5)),
 
     // ---- text analysis ---------------------------------------------------
     "q_text_tokens" -> ((s, d) =>
@@ -133,7 +135,7 @@ object OpsQueries {
               ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cell_id
               LIMIT 1) AS cell_id
            FROM embeddings e),
-         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+         q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 64),
          probes AS (
            SELECT query_id, qe, cell_id FROM (
              SELECT q.query_id, q.qe, c.cell_id,
@@ -195,7 +197,7 @@ object OpsQueries {
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_fp
          FROM documents GROUP BY source ORDER BY source""",
     "q_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 64),
          scored AS (
            SELECT q.query_id, e.vec_id,
              list_cosine_similarity(q.qe, e.embedding) AS cosine

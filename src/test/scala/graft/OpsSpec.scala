@@ -45,6 +45,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("IVF top-k has recall >= 0.9 at nprobe=8/16") {
+    val brute = Similarity.bruteForceTopK(emb, 8, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 8, 5, cells = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall at nprobe=8")
+  }
+
   test("exact dedup keeps one winner per distinct text") {
     val n = docs.count()
     val u = docs.select(col("text")).distinct().count()
