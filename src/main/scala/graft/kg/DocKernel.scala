@@ -22,6 +22,15 @@ import graft.kg.Normalizer.Mention
   */
 object DocKernel {
 
+  // constant word sets hoisted out of per-token/per-chunk hot loops
+  private val SubsumCues = Set("especially", "particularly", "namely")
+  private val DataAnaphors = Set("it", "this", "that")
+  private val ActorAnaphors = Set("they", "these", "those")
+  private val DemonstrativeDets = Set("this", "that", "such", "these", "those")
+  private val GenericDataHeads = Set("data", "datum", "information", "detail")
+  private val PurposeNouns = Set("purpose", "reason", "use")
+  private val ChildWords = Set("child", "minor", "kid", "teenager")
+
   /** One context-expanded document: token array (with ancestor headings
     * joined by blank lines, list parents by ":"), provenance per token, and
     * its parses. */
@@ -96,6 +105,11 @@ object DocKernel {
     * holding its full ancestor context. */
   def buildDocs(segs: Vector[Segment]): Vector[CtxDoc] = {
     val byId = segs.map(s => s.segId -> s).toMap
+    // ancestor segments are tokenized once per document, not once per
+    // descendant context doc (headings repeat in every child's context)
+    val tokCache = mutable.Map[Int, (Vector[String], Vector[Boolean])]()
+    def tokensOf(s: Segment): (Vector[String], Vector[Boolean]) =
+      tokCache.getOrElseUpdate(s.segId, RuleNlp.tokenize(s.text))
     segs.filter(s => s.segType != "LISTITEM" && s.text.nonEmpty).map { seg =>
       // context chain: self :: parents (root last)
       var chain = List(seg)
@@ -110,7 +124,7 @@ object DocKernel {
       val srcs = mutable.ArrayBuffer[Option[Src]]()
       var prev: Option[Segment] = None
       ordered.foreach { s =>
-        val (ts, wf) = RuleNlp.tokenize(s.text)
+        val (ts, wf) = tokensOf(s)
         if (ts.nonEmpty || s.segType == "LISTITEM") {
           if (prev.nonEmpty && texts.nonEmpty) {
             prev.get.segType match {
@@ -192,7 +206,7 @@ object DocKernel {
           val t = p.tokens(i)
           t.lemma == "e.g." || t.lemma == "i.e." ||
           (t.lemma == "example" && i > p.start && p.tokens(i - 1).lemma == "for") ||
-          Set("especially", "particularly", "namely").contains(t.lemma)
+          SubsumCues.contains(t.lemma)
         }
         (p.start until p.end).foreach { i =>
           if (cueAt(i)) {
@@ -270,11 +284,10 @@ object DocKernel {
         p.chunks.foreach { c =>
           val head = p.tokens(c.head)
           val trigger: Option[String] =
-            if (head.pos == "PRON" && Set("it", "this", "that").contains(head.lemma)) Some("DATA")
-            else if (head.pos == "PRON" && Set("they", "these", "those").contains(head.lemma)) Some("ACTOR")
-            else if (c.start < c.head && Set("this", "that", "such", "these", "those")
-              .contains(p.tokens(c.start).lemma) &&
-              Set("data", "datum", "information", "detail").contains(head.lemma)) Some("DATA")
+            if (head.pos == "PRON" && DataAnaphors.contains(head.lemma)) Some("DATA")
+            else if (head.pos == "PRON" && ActorAnaphors.contains(head.lemma)) Some("ACTOR")
+            else if (c.start < c.head && DemonstrativeDets.contains(p.tokens(c.start).lemma) &&
+              GenericDataHeads.contains(head.lemma)) Some("DATA")
             else None
           trigger.foreach { expected =>
             val candidates =
@@ -431,7 +444,7 @@ object DocKernel {
     val denyDet = Set("this", "that", "these", "those", "any", "such", "various", "certain")
     val hasDenied = spanToks.exists { k =>
       val t = p.tokens(k)
-      Set("purpose", "reason", "use").contains(t.lemma) && {
+      PurposeNouns.contains(t.lemma) && {
         p.chunkOf(k).exists(c => (c.start until c.end).exists(j =>
           denyDet.contains(p.tokens(j).lemma) || p.tokens(j).pos == "NUM"))
       }
@@ -541,7 +554,7 @@ object DocKernel {
     st.docs.foreach { d =>
       d.parses.foreach { p =>
         val childish = (p.start until p.end).exists { k =>
-          Set("child", "minor", "kid", "teenager").contains(p.tokens(k).lemma)
+          ChildWords.contains(p.tokens(k).lemma)
         }
         if (childish) {
           p.chunks.foreach { c =>

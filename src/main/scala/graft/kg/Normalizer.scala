@@ -19,13 +19,15 @@ import graft.nlp.RuleNlp.Tok
   */
 object Normalizer {
 
+  private val Possessives = Set("your", "our", "their", "its", "my", "his", "her")
+
   final case class Mention(tokens: Vector[Tok], head: Int, ner: String) {
     def text: String = tokens.map(_.text).mkString(" ")
     /** Lemma join of non-determiner, non-possessive tokens (trim_phrase,
       * phrase_normalization.py:12-30). */
     def stem: String = tokens
       .filterNot(t => t.pos == "DET" || t.pos == "PUNCT" ||
-        Set("your", "our", "their", "its", "my", "his", "her").contains(t.text.toLowerCase))
+        Possessives.contains(t.text.toLowerCase))
       .map(_.lemma).mkString(" ").toLowerCase
   }
 

@@ -31,9 +31,52 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Bytes allocated per document by the kernel (ThreadMXBean-based) —
+    * the allocation-rate number behind the 8→32 memory-bandwidth analysis
+    * in BENCH/BASELINE.md. */
+  private def allocPerDoc(nDocs: Int): Double = {
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val a0 = tmx.getThreadAllocatedBytes(tid)
+    var i = 0
+    while (i < nDocs) {
+      val gp = CorpusGen.genPage(i, 42L)
+      if (gp.page.lang == "en") {
+        val segs = HtmlSegmenter.segment(gp.page.url, new String(gp.page.html, "UTF-8"))
+        DocKernel.process(gp.page.url, segs)
+      }
+      i += 1
+    }
+    (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / nDocs
+  }
+
+  /** Per-stage allocation breakdown (same ThreadMXBean counter). */
+  private def allocBreakdown(nDocs: Int): Unit = {
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    def measure(label: String)(f: Int => Unit): Unit = {
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      var i = 0
+      while (i < nDocs) { f(i); i += 1 }
+      println(f"  $label%-12s ${(tmx.getThreadAllocatedBytes(tid) - a0).toDouble / nDocs / 1024}%.1f KiB/doc")
+    }
+    measure("genPage")(i => CorpusGen.genPage(i, 42L))
+    val pages = (0 until nDocs).map(CorpusGen.genPage(_, 42L))
+      .filter(_.page.lang == "en").map(gp => (gp.page.url, new String(gp.page.html, "UTF-8")))
+    measure("segment")(i => if (i < pages.size) HtmlSegmenter.segment(pages(i)._1, pages(i)._2))
+    val segs = pages.map { case (u, h) => (u, HtmlSegmenter.segment(u, h)) }
+    measure("buildDocs")(i => if (i < segs.size) DocKernel.buildDocs(segs(i)._2))
+    measure("annotate")(i => if (i < segs.size) DocKernel.annotate(segs(i)._1, segs(i)._2))
+    measure("full")(i => if (i < segs.size) DocKernel.process(segs(i)._1, segs(i)._2))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(24000)
     run(2000, 8) // warmup
+    println(f"alloc/doc = ${allocPerDoc(4000) / 1024}%.1f KiB")
+    allocBreakdown(3000)
     Seq(1, 8, 32).foreach { th =>
       val t = run(n, th)
       println(f"threads=$th%2d wall=$t%.2f s throughput=${n / t}%.0f docs/s per-thread=${n / t / th}%.1f")

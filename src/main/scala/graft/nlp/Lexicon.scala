@@ -90,7 +90,23 @@ object Lexicon {
     "delete", "update", "give", "make", "notice", "purchase", "device",
     "operate", "administer")
 
+  /** Memoized lemma lookup — the suffix rules below allocate several interim
+    * strings per call and words repeat massively across documents, so a
+    * bounded shared cache removes most of the kernel's lemmatizer
+    * allocation (executor-wide, like the broadcast dictionaries). */
+  private val lemmaCache = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 16)
+
   def lemma(word: String): String = {
+    val cached = lemmaCache.get(word)
+    if (cached != null) cached
+    else {
+      val l = computeLemma(word)
+      if (lemmaCache.size < 200000) lemmaCache.put(word, l)
+      l
+    }
+  }
+
+  private def computeLemma(word: String): String = {
     val w = word.toLowerCase
     lemmaExceptions.get(w) match {
       case Some(l) => l

@@ -50,23 +50,66 @@ object RuleNlp {
 
   // ---------------------------------------------------------------- tokenize
 
-  private val TokenRe =
-    """e\.g\.|i\.e\.|[A-Za-z0-9]+(?:['\-][A-Za-z0-9]+)*|\n|[^\sA-Za-z0-9]""".r
+  private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
-  /** Tokenize a text; returns (texts, wsFlags). */
+  /** Tokenize a text; returns (texts, wsFlags). Hand-rolled scanner over the
+    * grammar `e.g.|i.e.|word(['-]word)*|\n|punct` — the regex version
+    * allocated a Match object per token and dominated the kernel's
+    * allocation profile (see ScaleProbe alloc/doc). */
   def tokenize(text: String): (Vector[String], Vector[Boolean]) = {
-    val ms = TokenRe.findAllMatchIn(text).toVector
-    val toks = ms.map(_.matched)
-    val ws = ms.zipWithIndex.map { case (m, idx) =>
-      val nextStart = if (idx + 1 < ms.length) ms(idx + 1).start else text.length
-      m.end < nextStart
+    val n = text.length
+    val toks = Vector.newBuilder[String]
+    val ws = new ArrayBuffer[Int]() // end offsets; ws flag derived after
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n') {
+        toks += "\n"; ws += i + 1; i += 1
+      } else if (c == ' ' || c == '\t' || c == '\r' || Character.isWhitespace(c)) {
+        i += 1
+      } else if (isWordChar(c)) {
+        // abbreviation lookahead: e.g. / i.e. (case-sensitive, matching the
+        // previous regex grammar byte-for-byte)
+        if ((c == 'e' || c == 'i') && i + 3 < n &&
+          (text.regionMatches(i, "e.g.", 0, 4) || text.regionMatches(i, "i.e.", 0, 4))) {
+          toks += text.substring(i, i + 4); ws += i + 4; i += 4
+        } else {
+          var j = i + 1
+          var go = true
+          while (go && j < n) {
+            if (isWordChar(text.charAt(j))) j += 1
+            else if ((text.charAt(j) == '\'' || text.charAt(j) == '-') &&
+              j + 1 < n && isWordChar(text.charAt(j + 1))) j += 2
+            else go = false
+          }
+          toks += text.substring(i, j); ws += j; i = j
+        }
+      } else {
+        toks += text.substring(i, i + 1); ws += i + 1; i += 1
+      }
     }
-    (toks, ws)
+    val tv = toks.result()
+    // whitespace flag: gap between this token's end and the next one's start
+    var k = 0
+    val flags = Vector.newBuilder[Boolean]
+    while (k < tv.length) {
+      val nextStart = if (k + 1 < tv.length) ws(k + 1) - tv(k + 1).length else n
+      flags += ws(k) < nextStart
+      k += 1
+    }
+    (tv, flags.result())
   }
 
   // -------------------------------------------------------------------- tag
 
   import Lexicon._
+
+  // constant word sets hoisted out of per-token/per-sentence hot loops
+  private val AccessVerbs = Set("have", "get", "gain")
+  private val Relativizers = Set("that", "which", "who")
+  private val WhWords = Set("what", "which", "who", "how", "why", "when", "where")
+  private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
   private def isCap(s: String): Boolean = s.nonEmpty && s.charAt(0).isUpper
 
@@ -102,7 +145,8 @@ object RuleNlp {
       toks += Tok(i, t, lem, pos, "", ws.lift(i).getOrElse(false))
       i += 1
     }
-    // second pass: contextual disambiguation
+    // second pass: contextual disambiguation — pos is a var, mutate in place
+    // (the previous copy-per-retag tripled Tok allocations in the kernel)
     i = 0
     def at(j: Int): String = if (j >= 0 && j < n) toks(j).pos else ""
     while (i < n) {
@@ -114,15 +158,15 @@ object RuleNlp {
           val nounish = prev == "DET" || prev == "ADJ" ||
             (prev == "ADP" && toks(i - 1).lemma == "of") ||
             (prev == "VERBC" || prev == "VERB") && toks(i - 1).lemma == "make" // "make use of"
-          toks(i) = t.copy(pos = if (nounish && toks(i).text == toks(i).text.toLowerCase) "NOUN" else "VERB")
-          if (i > 0 && toks(i - 1).lemma == "make" && toks(i).lemma == "use")
-            toks(i) = toks(i).copy(pos = "NOUN")
+          t.pos = if (nounish && t.text == t.text.toLowerCase) "NOUN" else "VERB"
+          if (i > 0 && toks(i - 1).lemma == "make" && t.lemma == "use")
+            t.pos = "NOUN"
           // "have/get/gain access to X": access is the object noun and the
           // auxiliary is in fact the main verb
-          if (i > 0 && toks(i).lemma == "access" &&
-            Set("have", "get", "gain").contains(toks(i - 1).lemma) && at(i - 1) == "AUX") {
-            toks(i) = toks(i).copy(pos = "NOUN")
-            toks(i - 1) = toks(i - 1).copy(pos = "VERB")
+          if (i > 0 && t.lemma == "access" &&
+            AccessVerbs.contains(toks(i - 1).lemma) && at(i - 1) == "AUX") {
+            t.pos = "NOUN"
+            toks(i - 1).pos = "VERB"
           }
         case "TO" =>
           // PART before a verb(ish) token, else ADP
@@ -132,24 +176,22 @@ object RuleNlp {
           val isPart = next != null &&
             (verbLemmas.contains(next.lemma) || next.pos == "VERBC" || next.pos == "VERB") &&
             next.text == next.text.toLowerCase
-          toks(i) = t.copy(pos = if (isPart) "PART" else "ADP")
+          t.pos = if (isPart) "PART" else "ADP"
         case "REL" =>
           // "that/which/who" as relativizer if a verb follows within 3 tokens
           // (possibly after a subject NP); SCONJ when introducing a clause.
-          toks(i) = t.copy(pos = "SCONJ")
+          t.pos = "SCONJ"
         case "PRON" if (t.lemma == "this" || t.lemma == "that" || t.lemma == "these" || t.lemma == "those") =>
           // determiner reading before a nominal
           val nxt = at(i + 1)
           if (nxt == "NOUN" || nxt == "PROPN" || nxt == "ADJ" || nxt == "VERBC")
-            toks(i) = t.copy(pos = "DET")
+            t.pos = "DET"
         case _ =>
       }
       i += 1
     }
     // final sweep: leftover VERBC → VERB
-    toks.indices.foreach { k =>
-      if (toks(k).pos == "VERBC") toks(k) = toks(k).copy(pos = "VERB")
-    }
+    toks.foreach { t => if (t.pos == "VERBC") t.pos = "VERB" }
     toks.toVector
   }
 
@@ -163,12 +205,11 @@ object RuleNlp {
     * phrase banks; pronoun first/second person → ACTOR; other nouns → NN.
     * Trie-based (see PhraseTrie) — no per-window allocation. */
   def nerTag(toks: Vector[Tok]): Vector[Tok] = {
-    val out = toks.toArray
     val n = toks.length
     val lemmas = new Array[String](n)
     val lowers = new Array[String](n)
     var k = 0
-    while (k < n) { lemmas(k) = out(k).lemma; lowers(k) = out(k).text.toLowerCase; k += 1 }
+    while (k < n) { lemmas(k) = toks(k).lemma; lowers(k) = toks(k).text.toLowerCase; k += 1 }
     var i = 0
     while (i < n) {
       val dLen = dataTrie.longestMatch(lemmas, lowers, i, n)
@@ -182,23 +223,22 @@ object RuleNlp {
         while (j < i + matched) {
           // a dictionary-entity token is nominal even when its lemma is also
           // a verb ("contact information", "log data")
-          val t = out(j)
-          val pos = if (t.pos == "VERB" || t.pos == "VERBC") "NOUN" else t.pos
-          out(j) = t.copy(ner = label, pos = pos)
+          val t = toks(j)
+          if (t.pos == "VERB" || t.pos == "VERBC") t.pos = "NOUN"
+          t.ner = label
           j += 1
         }
         i += matched
       } else {
-        val t = out(i)
-        val ner =
+        val t = toks(i)
+        t.ner =
           if (t.pos == "PRON" && actorProns.contains(lowers(i))) "ACTOR"
           else if (t.pos == "NOUN" || t.pos == "PROPN") "NN"
           else ""
-        out(i) = t.copy(ner = ner)
         i += 1
       }
     }
-    out.toVector
+    toks
   }
 
   // ------------------------------------------------------------- sentences
@@ -289,8 +329,7 @@ object RuleNlp {
         case _ => false
       }
     }
-    val whStart = Set("what", "which", "who", "how", "why", "when", "where")
-      .contains(toks(start).lemma)
+    val whStart = WhWords.contains(toks(start).lemma)
     if (lastReal.exists(k => toks(k).text == "?") || auxBeforeSubj || whStart)
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
@@ -372,7 +411,7 @@ object RuleNlp {
         case Some(cS) if cS.end == vg.auxStart || cS.end == beforeAux + 1 =>
           // is there another chunk or relativizer before cS?
           val gap = (cS.start - 1)
-          if (gap >= start && (toks(gap).pos == "SCONJ" && Set("that", "which", "who").contains(toks(gap).lemma))) {
+          if (gap >= start && (toks(gap).pos == "SCONJ" && Relativizers.contains(toks(gap).lemma))) {
             chunkBefore(gap).foreach { cX => relclUpper = cX.head; relclSubj = cS.head }
           } else {
             chunkBefore(cS.start).foreach { cX =>
@@ -617,8 +656,8 @@ object RuleNlp {
   /** Skip "but not limited to" / "without limitation" fillers. */
   private def skipButNotLimitedTo(toks: Vector[Tok], from: Int, end: Int): Int = {
     var k = from
-    while (k < end && (toks(k).pos == "PUNCT" || Set("but", "not", "limited", "limit", "to", "without", "limitation")
-      .contains(toks(k).text.toLowerCase))) k += 1
+    while (k < end && (toks(k).pos == "PUNCT" ||
+      LimitedToFiller.contains(toks(k).text.toLowerCase))) k += 1
     k
   }
 
