@@ -1,0 +1,54 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, LongAdder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.nlp.{BatchScorer, BatchScoring, KeywordPurposeScorer}
+
+/** The batched model-scoring slot (U1/U8): the ONNX-backed scorer drops in
+  * behind BatchScorer; these tests pin the Spark-side contract the slot
+  * relies on — distinct-before-score, partition-level batching, and
+  * agreement with the inline keyword model. */
+/** Counts invocations and total texts seen. Top-level object: a singleton
+  * in the shared local-mode JVM, so task-side deserialization resolves back
+  * to this instance and the adders observe executor-side calls. */
+object CountingScorer extends BatchScorer {
+  val calls = new AtomicInteger(0)
+  val texts = new LongAdder
+  override def scoreBatch(ts: Seq[String]): Seq[Seq[(String, Double)]] = {
+    calls.incrementAndGet()
+    texts.add(ts.size)
+    KeywordPurposeScorer.scoreBatch(ts)
+  }
+}
+
+class BatchScoringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("scoring batches at the partition level and dedups inputs first (A7)") {
+    import spark.implicits._
+    // 4000 rows but only 40 distinct texts — the model must see 40
+    val phrases = (0 until 4000).map(i => s"improve our services variant ${i % 40}")
+    CountingScorer.calls.set(0)
+    CountingScorer.texts.reset()
+    val out = BatchScoring.scorePurposeTexts(phrases.toDS(), CountingScorer, batchSize = 16)
+      .collect()
+    assert(out.length == 40)
+    assert(CountingScorer.texts.sum() == 40, "scorer saw non-distinct texts")
+    // 40 texts over 4 partitions at batch 16 → at most ceil-per-partition calls
+    assert(CountingScorer.calls.get() <= 8, s"too many batch calls: ${CountingScorer.calls.get()}")
+    assert(out.forall(_.getSeq[String](1) == Seq("services")))
+  }
+
+  test("keyword scorer agrees with the inline classifier") {
+    import spark.implicits._
+    val texts = Seq("for advertising purposes", "comply with legal obligations",
+      "detect fraud and abuse", "measure usage trends")
+    val out = BatchScoring.scorePurposeTexts(texts.toDS(), KeywordPurposeScorer)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      assert(out(t) == graft.kg.Normalizer.classifyPurpose(t).sorted.toSeq, t)
+    }
+  }
+}

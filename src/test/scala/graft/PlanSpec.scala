@@ -101,6 +101,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("IVF cell assignment is a narrow map — no shuffle, no window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(operators.Similarity.ivfAssign(emb, cells = 16))
+    assert(!p.contains("Exchange"), s"IVF assignment shuffles:\n$p")
+    assert(!p.contains("Window"), s"IVF assignment sorts through a window:\n$p")
+  }
+
+  test("kNN ranking pre-reduces with partial top-k before the window shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(operators.Similarity.bruteForceTopK(emb, 8, 5))
+    // the MapPartitions heap must sit below the window's exchange
+    val exchangeAt = p.indexOf("Exchange hashpartitioning(query_id")
+    val mapAt = p.indexOf("MapPartitions")
+    assert(exchangeAt >= 0 && mapAt > exchangeAt,
+      s"partial top-k not below the rank shuffle:\n$p")
+  }
+
   test("approx_count_distinct tracks exact counts within 5% (A2 scale path)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
