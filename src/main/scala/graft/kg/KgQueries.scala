@@ -324,6 +324,13 @@ object KgQueries {
         .orderBy("url", "subj", "pred", "obj")
     }),
 
+    // U9: keyword privacy scorer (analysis/privacy_scorer.py) — pure column
+    // expressions over lower(text): a narrow map over the page scan
+    "kg_privacy_scores" -> ((s, _) => {
+      PrivacyScorer.score(KgPipeline.pages(s, N_DOCS, SEED).toDF())
+        .orderBy("url")
+    }),
+
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -746,6 +753,17 @@ object KgQueries {
          |  UNION ALL
          |  ${valuesSqlNoOrder(Seq("vertex", "component"), comps)}
          |) ORDER BY vertex""".stripMargin
+    val scores = CorpusGen.corpus(N_DOCS, SEED).map { gp =>
+      val (cats, total, grade) = PrivacyScorer.scoreText(gp.page.text)
+      val catVals = PrivacyScorer.categories.map(c => cats(c.name).toString)
+      Seq(gp.page.url) ++ catVals ++ Seq(total.toString, grade)
+    }.sortBy(_.head)
+    val catNames = PrivacyScorer.categories.map(_.name)
+    m("kg_privacy_scores") = {
+      val castCols = catNames.map(c => s"CAST(${c}_s AS DOUBLE) AS $c").mkString(", ")
+      s"SELECT url, $castCols, CAST(total_s AS DOUBLE) AS total_score, grade FROM (${valuesSqlNoOrder(Seq("url") ++ catNames.map(_ + "_s") ++ Seq("total_s", "grade"), scores)}) ORDER BY url"
+    }
+
     val corefLinks = CorpusGen.corpus(N_DOCS, SEED).map(_.corefLabels.size).sum
     m("kg_eval_coref") =
       s"SELECT CAST($corefLinks AS BIGINT) AS n_links, CAST($corefLinks AS BIGINT) AS n_correct, CAST(0 AS BIGINT) AS n_incorrect"

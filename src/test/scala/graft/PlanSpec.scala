@@ -133,4 +133,38 @@ class PlanSpec extends AnyFunSuite {
     val n = GraphExport.nodes(t).collect()
     assert(n.nonEmpty)
   }
+
+  test("GraphML sink (S8) emits well-formed XML with every node and edge") {
+    val t = KgPipeline.run(spark, 8)
+    val docs = GraphExport.graphml(t).collect().toMap
+    val triples = t.collect().groupBy(_.url)
+    assert(docs.nonEmpty && docs.keySet == triples.keySet)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    docs.foreach { case (url, xml) =>
+      val dom = dbf.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+      val nNodes = dom.getElementsByTagName("node").getLength
+      val nEdges = dom.getElementsByTagName("edge").getLength
+      val want = triples(url)
+      assert(nEdges == want.length, url)
+      assert(nNodes == want.flatMap(x => Seq(x.subj, x.obj)).distinct.length, url)
+    }
+    // deterministic across runs
+    val again = GraphExport.graphml(KgPipeline.run(spark, 8)).collect().toMap
+    assert(again == docs)
+  }
+
+  test("privacy scorer (U9) matches its driver-side reimplementation") {
+    import graft.kg.PrivacyScorer
+    val pages = KgPipeline.pages(spark, 20).toDF()
+    val got = PrivacyScorer.score(pages).collect()
+      .map(r => r.getString(0) -> (r.getDouble(5), r.getString(6))).toMap
+    graft.gen.CorpusGen.corpus(20).foreach { gp =>
+      val (_, total, grade) = PrivacyScorer.scoreText(gp.page.text)
+      assert(got(gp.page.url) == ((total, grade)), gp.page.url)
+    }
+    // scoring is a narrow map — no shuffle
+    val p = plan(PrivacyScorer.score(pages))
+    assert(!p.contains("Exchange"), s"scorer shuffles:\n$p")
+  }
 }
