@@ -33,7 +33,7 @@ object FlowConsistency {
       val url = gp.page.url
       val i = url.replaceAll("[^0-9]", "").toInt
       val truths = gp.truth
-      i % 4 match {
+      i % 6 match {
         case 0 =>
           // consistent third-party flow: first shared edge whose actor has a
           // known domain
@@ -50,9 +50,28 @@ object FlowConsistency {
         case 2 =>
           // unknown tracker domain
           Seq(Flow(url, "trackers-r-us.example", "email address"))
-        case _ =>
+        case 3 =>
           // undisclosed: google flow of a datatype the policy never mentions
           Seq(Flow(url, "google.com", "voiceprint"))
+        case 4 =>
+          // member of a sharing actor category: consistent only through the
+          // per-policy ACTOR SUBSUM chain ("third parties, such as Stripe")
+          truths.collectFirst {
+            case t if t.pred == "SUBSUM" && t.subjType == "ACTOR" &&
+              domainOf.contains(t.obj) &&
+              truths.exists(x => x.pred == "BE_SHARED" && x.subj == t.subj) =>
+              Flow(url, domainOf(t.obj),
+                truths.find(x => x.pred == "BE_SHARED" && x.subj == t.subj).get.obj)
+          }.toSeq
+        case _ =>
+          // first-party flow of a chain leaf: consistent only through the
+          // TRANSITIVE per-policy data SUBSUM closure (depth-2 chains)
+          truths.collectFirst {
+            case t if t.pred == "SUBSUM" && t.subjType == "DATA" &&
+              truths.exists(c => c.pred == "SUBSUM" && c.subjType == "DATA" &&
+                c.obj == t.subj) =>
+              Flow(url, Ontology.registeredDomain(Ontology.hostOf(url)), t.obj)
+          }.toSeq
       }
     }
   }
@@ -81,22 +100,56 @@ object FlowConsistency {
       .filter(col("pred").isin(collectPreds: _*))
       .select(col("url").as("durl"), col("subj").as("dactor"), col("obj").as("ddt"))
 
-    // acceptable (actor, datatype) pairs per flow: entity itself or an
-    // entity-ontology ancestor; datatype itself, a data-ontology ancestor,
-    // or a per-policy SUBSUM ancestor
-    val subsumAnc = triples.filter(col("pred") === "SUBSUM")
-      .select(col("url").as("surl"), col("obj").as("sdt"), col("subj").as("sanc"))
+    // acceptable (actor, datatype) pairs per flow: entity itself, an
+    // entity-ontology ancestor, or a per-policy ACTOR-SUBSUM ancestor;
+    // datatype itself, a data-ontology ancestor, or a per-policy SUBSUM
+    // ancestor — TRANSITIVELY, matching the reference's hypernym BFS
+    // (flow_consistency_analysis.py:118-203): per-doc closures computed in
+    // one mapGroups pass over the (tiny) per-policy SUBSUM graphs
+    val subsumClosure = {
+      import spark.implicits._
+      triples.filter(col("pred") === "SUBSUM")
+        .select(col("url"), col("subj"), col("obj"), col("subjType"))
+        .as[(String, String, String, String)]
+        .groupByKey(_._1).flatMapGroups { (url, it) =>
+          val edges = it.toVector
+          // parent pointers per node type universe (data: subj SUBSUM obj;
+          // actors share the same orientation)
+          val radj = edges.groupBy(_._3).view
+            .mapValues(_.map(e => (e._2, e._4))).toMap
+          val descs = edges.map(e => (e._3, e._4)).distinct
+          descs.iterator.flatMap { case (d, _) =>
+            val seen = scala.collection.mutable.Set(d)
+            val q = scala.collection.mutable.Queue(d)
+            val out = Vector.newBuilder[(String, String, String, String)]
+            while (q.nonEmpty) {
+              radj.getOrElse(q.dequeue(), Vector.empty).foreach { case (a, at) =>
+                if (!seen.contains(a)) {
+                  seen += a; q.enqueue(a); out += ((url, d, a, at))
+                }
+              }
+            }
+            out.result().iterator
+          }
+        }.toDF("surl", "sdesc", "sanc", "sancType")
+    }
+    val dtSubsum = subsumClosure.filter(col("sancType") === "DATA")
+      .select(col("surl"), col("sdesc"), col("sanc"))
+    val entSubsum = subsumClosure.filter(col("sancType") === "ACTOR")
+      .select(col("surl").as("eurl"), col("sdesc").as("edesc"), col("sanc").as("eanc"))
 
     val withDtCandidates = resolved
       .join(broadcast(dataAnc), col("datatype") === col("fdt"), "left_outer")
-      .join(subsumAnc,
-        col("url") === col("surl") && col("datatype") === col("sdt"), "left_outer")
+      .join(dtSubsum,
+        col("url") === col("surl") && col("datatype") === col("sdesc"), "left_outer")
       .withColumn("dt_cand",
         array_distinct(filter(array(col("datatype"), col("anc_dt"), col("sanc")), _.isNotNull)))
     val withEntCandidates = withDtCandidates
       .join(broadcast(entAnc), col("entity") === col("fent"), "left_outer")
+      .join(entSubsum,
+        col("url") === col("eurl") && col("entity") === col("edesc"), "left_outer")
       .withColumn("ent_cand",
-        array_distinct(filter(array(col("entity"), col("anc_ent")), _.isNotNull)))
+        array_distinct(filter(array(col("entity"), col("anc_ent"), col("eanc")), _.isNotNull)))
 
     val matched = withEntCandidates
       .join(disclosures,
@@ -131,10 +184,26 @@ object FlowConsistency {
         case None => "unknown_entity"
         case Some(e) =>
           val truths = byUrl.getOrElse(f.url, Vector.empty)
-          val subsumAnc = truths.filter(_.pred == "SUBSUM")
-            .filter(_.obj == f.datatype).map(_.subj).toSet
-          val dtCand = Set(f.datatype) ++ dataAnc.getOrElse(f.datatype, Set.empty) ++ subsumAnc
-          val entCand = Set(e) ++ entAnc.getOrElse(e, Set.empty)
+          // per-policy transitive SUBSUM ancestors (fixpoint — independent
+          // of the engine's BFS)
+          def policyAnc(node: String, tpe: String): Set[String] = {
+            val up = truths.filter(t => t.pred == "SUBSUM" && t.subjType == tpe)
+              .map(t => t.obj -> t.subj)
+            var anc = Set.empty[String]
+            var frontier = Set(node)
+            var grown = true
+            while (grown) {
+              val next = up.collect { case (d, a) if frontier(d) && !anc(a) => a }.toSet
+              grown = next.nonEmpty
+              anc ++= next
+              frontier = next
+            }
+            anc
+          }
+          val dtCand = Set(f.datatype) ++ dataAnc.getOrElse(f.datatype, Set.empty) ++
+            policyAnc(f.datatype, "DATA")
+          val entCand = Set(e) ++ entAnc.getOrElse(e, Set.empty) ++
+            policyAnc(e, "ACTOR")
           val ok = truths.exists(t => collectPreds(t.pred) &&
             entCand(t.subj) && dtCand(t.obj))
           if (ok) "consistent" else "inconsistent"
