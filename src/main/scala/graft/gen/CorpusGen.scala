@@ -161,12 +161,13 @@ object CorpusGen {
           Vector(Truth(url, "we", "USE", dtC, pC, purposeTexts = Vector(phrase))))
       case 6 => // store
         (s"We store $dtS.", Vector(Truth(url, "we", "STORE", dtC, "")))
-      case 7 => // subsumption via such as
+      case 7 => // subsumption via such-as / including / like cues (U5)
         val (cS, cC) = rng.pick(categories)
         val (d1s, d1c) = dataTerms(rng.nextInt(dataTerms.length))
         var (d2s, d2c) = dataTerms(rng.nextInt(dataTerms.length))
         while (d2c == d1c) { val p = dataTerms(rng.nextInt(dataTerms.length)); d2s = p._1; d2c = p._2 }
-        (s"We collect $cS, such as $d1s and $d2s.",
+        val cue = rng.pick(Vector(", such as", ", including", " like"))
+        (s"We collect $cS$cue $d1s and $d2s.",
           Vector(Truth(url, "we", "COLLECT", cC, ""),
             Truth(url, cC, "SUBSUM", d1c, "", subjType = "DATA"),
             Truth(url, cC, "SUBSUM", d2c, "", subjType = "DATA")))

@@ -82,7 +82,7 @@ object Lexicon {
     "features" -> "feature", "profiles" -> "profile", "files" -> "file")
 
   /** Bases known to end in -e so -ed/-ing strip restores the e. */
-  private val eRestore: Set[String] = Set("use", "store", "share", "provide",
+  private val eRestore: Set[String] = Set("include", "use", "store", "share", "provide",
     "receive", "release", "exchange", "disclose", "lease", "acquire",
     "oblige", "enable", "authorize", "continue", "combine", "serve",
     "measure", "personalize", "improve", "customize", "analyze", "utilize",
