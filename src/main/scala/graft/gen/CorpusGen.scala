@@ -166,7 +166,8 @@ object CorpusGen {
         val (d1s, d1c) = dataTerms(rng.nextInt(dataTerms.length))
         var (d2s, d2c) = dataTerms(rng.nextInt(dataTerms.length))
         while (d2c == d1c) { val p = dataTerms(rng.nextInt(dataTerms.length)); d2s = p._1; d2c = p._2 }
-        val cue = rng.pick(Vector(", such as", ", including", " like"))
+        val cue = rng.pick(Vector(", such as", ", including", " like",
+          ", e.g.", ", for example"))
         (s"We collect $cS$cue $d1s and $d2s.",
           Vector(Truth(url, "we", "COLLECT", cC, ""),
             Truth(url, cC, "SUBSUM", d1c, "", subjType = "DATA"),

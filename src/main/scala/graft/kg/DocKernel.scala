@@ -362,8 +362,16 @@ object DocKernel {
 
   /** Purpose annotator (SURVEY.md U6; purpose_annotator.py:75-207). */
   def annotatePurpose(st: DocState): Unit = {
+    // the reference's TRIVIAL_WORDS (utils.py:9-14) + the domain nouns the
+    // purpose validator already ignored — a span of only these words is not
+    // a purpose ("for example ...", "for this reason", ...)
     val trivial = Set("purpose", "reason", "use", "data", "datum",
-      "information", "u", "period", "time")
+      "information", "u", "period", "time",
+      "some", "all", "any", "variety", "category", "example", "more", "such",
+      "another", "other", "following", "follow", "below", "additional",
+      "certain", "similar", "limited", "various", "further", "enough",
+      "e.g.", "i.e.", "etc", "which", "that", "collectively", "hereinafter",
+      "detailed")
     st.docs.foreach { d =>
       // data types already on the receiving end of a COLLECT-family edge
       d.parses.foreach { p =>

@@ -275,10 +275,19 @@ object RuleNlp {
       if (t.pos == "PRON") {
         chunks += Chunk(i, i + 1, i, t.ner)
         i += 1
+      } else if (t.lemma == "example" && i > start && toks(i - 1).lemma == "for" &&
+        ChunkPos(t.pos)) {
+        // "for example" cue: the cue noun never absorbs the following NP
+        chunks += Chunk(i, i + 1, i, t.ner)
+        i += 1
       } else if (ChunkPos(t.pos) && !(t.pos == "DET" && t.lemma == "such" && i + 1 < end && toks(i + 1).lemma == "as")) {
         var j = i
         while (j < end && ChunkPos(toks(j).pos) &&
-          !(toks(j).pos == "DET" && toks(j).lemma == "such" && j + 1 < end && toks(j + 1).lemma == "as"))
+          !(toks(j).pos == "DET" && toks(j).lemma == "such" && j + 1 < end && toks(j + 1).lemma == "as") &&
+          // a determiner right after a nominal starts a NEW noun phrase
+          // ("for example your email address" is two chunks, not one)
+          !(toks(j).pos == "DET" && j > i &&
+            (toks(j - 1).pos == "NOUN" || toks(j - 1).pos == "PROPN" || toks(j - 1).pos == "NUM")))
           j += 1
         // extend through a multi-token dictionary entity that spans an ADP
         // ("date of birth"): consecutive tokens sharing the DATA/ACTOR label
@@ -563,6 +572,7 @@ object RuleNlp {
     var k = v + 1
     var bareChunks = 0
     var lastNounHead = -1
+    var lastBareEnd = -1
     var pendingNeg = false
     while (k < regionEnd) {
       val t = toks(k)
@@ -633,11 +643,14 @@ object RuleNlp {
           case Some(c) =>
             val heads = conjChunkHeads(c)
             bareChunks += 1
+            // dative reading ("give us X") requires the second bare chunk to
+            // be ADJACENT to the first — a gap (", e.g.", parentheticals)
+            // means apposition/extension, not a dative
+            val adjacentToPrev = lastBareEnd == c.start
             if (bareChunks == 1) {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = heads
-            } else if (bareChunks == 2) {
-              // "give us X": first bare chunk was dative, second is obj
+            } else if (bareChunks == 2 && adjacentToPrev) {
               objOf.get(v).foreach { firstHeads =>
                 deps.filterInPlace(d => !(d.from == v && d.dep == "obj" && firstHeads.contains(d.to)))
                 firstHeads.foreach(h => addDep(v, h, "dative"))
@@ -647,6 +660,7 @@ object RuleNlp {
             }
             lastNounHead = heads.last
             k = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
+            lastBareEnd = k
           case None => k += 1
         }
       }

@@ -115,6 +115,26 @@ class KgApiSpec extends AnyFunSuite {
     assert(!noUmbrella.whoCollect("age").contains("advertiser"))
   }
 
+  test("all five subsumption cue surfaces produce the same structure (U5)") {
+    val want = Set(
+      ("we", "COLLECT", "personal information"),
+      ("personal information", "SUBSUM", "email address"),
+      ("personal information", "SUBSUM", "age"))
+    Seq(", such as", ", including", " like", ", e.g.", ", for example").foreach { cue =>
+      val got = DocKernel.process("t", HtmlSegmenter.segment("t",
+        s"<p>We collect personal information$cue your email address and your age.</p>"))
+        .map(t => (t.subj, t.pred, t.obj)).toSet
+      assert(got == want, s"cue '$cue' gave $got")
+    }
+  }
+
+  test("dative stays adjacent-only: 'give us X' vs parenthetical gaps") {
+    val got = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>You give us your email address.</p>"))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(got.contains(("we", "BE_SHARED", "email address")))
+  }
+
   test("ExtKGraph ontology grafting: category collection reaches leaves") {
     val ts = DocKernel.process("t", HtmlSegmenter.segment("t",
       "<p>We collect contact information.</p>"))
