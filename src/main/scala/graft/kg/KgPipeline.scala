@@ -194,11 +194,21 @@ object AliasResolution {
         .select(col("vertex"),
           least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"),
           (col("nbrMin") < col("component")).cast("long").as("chg"))
+      // pointer jumping: component := component(component). Halves the
+      // rounds on chain-shaped components (propagation alone needs
+      // O(diameter) rounds; with jumping the reach doubles per round).
+      val jumped = propagated.as("l")
+        .join(propagated.select(col("vertex").as("jv"), col("component").as("jc")).as("r"),
+          col("l.component") === col("jv"), "left_outer")
+        .select(col("l.vertex").as("vertex"),
+          least(col("l.component"), coalesce(col("jc"), col("l.component"))).as("component"),
+          greatest(col("l.chg"),
+            (coalesce(col("jc"), col("l.component")) < col("l.component")).cast("long")).as("chg"))
       // one action per round (the sum below populates the cache);
       // localCheckpoint every 3rd round truncates lineage
       labels =
-        if (i % 3 == 2) propagated.localCheckpoint(true)
-        else propagated.cache()
+        if (i % 3 == 2) jumped.localCheckpoint(true)
+        else jumped.cache()
       changed = labels.agg(sum(col("chg"))).collect()(0) match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
