@@ -83,7 +83,7 @@ object CorpusGen {
     ("to comply with legal obligations", "legal"))
 
   private val collectVerbs = Vector("collect", "gather", "obtain", "receive")
-  private val negAux = Vector("do not", "will not", "never")
+  private val negAux = Vector("do not", "will not", "never", "don't", "won't")
 
   // depth-2 SUBSUM chains (round 2, VERDICT #1): personal information →
   // mid category → leaf. Exercises transitive who_collect/can_collect —

@@ -30,7 +30,10 @@ object Lexicon {
     "certain", "various", "such", "no", "other", "additional", "more")
   val auxiliaries: Set[String] = Set("may", "might", "can", "could", "will",
     "would", "shall", "should", "must", "do", "does", "did", "is", "are",
-    "was", "were", "be", "been", "being", "am", "has", "have", "had")
+    "was", "were", "be", "been", "being", "am", "has", "have", "had",
+    // contraction stems left of a split "n't" (won't → wo + n't)
+    "wo", "ca", "sha", "ai", "don", "doesn", "didn", "isn", "aren", "wasn",
+    "weren", "hasn", "haven", "hadn", "couldn", "wouldn", "shouldn", "mustn")
   val adpositions: Set[String] = Set("with", "from", "to", "for", "of",
     "about", "by", "in", "on", "at", "as", "regarding", "through", "via",
     "into", "without", "within", "during", "under", "between", "like",

@@ -83,7 +83,16 @@ object RuleNlp {
               j + 1 < n && isWordChar(text.charAt(j + 1))) j += 2
             else go = false
           }
-          toks += text.substring(i, j); ws += j; i = j
+          val w = text.substring(i, j)
+          // split negation contractions ("won't" → "wo" + "n't", spaCy-style)
+          // — otherwise the negation PART is invisible and polarity flips
+          if (w.length > 3 && w.regionMatches(true, w.length - 3, "n't", 0, 3)) {
+            toks += w.substring(0, w.length - 3); ws += j - 3
+            toks += w.substring(w.length - 3); ws += j
+          } else {
+            toks += w; ws += j
+          }
+          i = j
         }
       } else {
         toks += text.substring(i, i + 1); ws += i + 1; i += 1

@@ -128,6 +128,17 @@ class KgApiSpec extends AnyFunSuite {
     }
   }
 
+  test("negation contractions keep polarity (won't / don't / can't / ’)") {
+    Seq("We won't share your email address with advertisers.",
+      "We don't share your email address with advertisers.",
+      "We can't share your email address with advertisers.",
+      "We don’t share your email address with advertisers.").foreach { s =>
+      val got = DocKernel.process("t", HtmlSegmenter.segment("t", s"<p>$s</p>"))
+        .map(t => (t.subj, t.pred, t.obj)).toSet
+      assert(got == Set(("advertiser", "NOT_BE_SHARED", "email address")), s)
+    }
+  }
+
   test("dative stays adjacent-only: 'give us X' vs parenthetical gaps") {
     val got = DocKernel.process("t", HtmlSegmenter.segment("t",
       "<p>You give us your email address.</p>"))
