@@ -132,7 +132,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(19)
+    val kind = rng.nextInt(20)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -233,6 +233,16 @@ object CorpusGen {
         val na = rng.pick(negAux)
         (s"We $na collect non personal information.",
           Vector(Truth(url, "we", "NOT_COLLECT", "UNSPECIFIED_DATA", "")))
+      case 19 => // coordinated verbs sharing one object (conjunct
+        // flattening, collection_annotator.py:67-90)
+        if (rng.nextInt(2) == 0)
+          (s"We collect and store $dtS.", Vector(
+            Truth(url, "we", "COLLECT", dtC, ""),
+            Truth(url, "we", "STORE", dtC, "")))
+        else
+          (s"We collect, use, and share $dtS.", Vector(
+            Truth(url, "we", "COLLECT", dtC, ""),
+            Truth(url, "we", "USE", dtC, "")))
       case 18 => // pronoun coreference across sentences (J4): "This
         // information" resolves to the previous sentence's datatype, so the
         // BE_SHARED edge lands on the real term after coref contraction

@@ -392,6 +392,7 @@ object RuleNlp {
     var lastVerb = -1
     val subjOf = scala.collection.mutable.Map[Int, List[Int]]() // verb -> subj chunk heads
     val objOf = scala.collection.mutable.Map[Int, List[Int]]()
+    val conjWith = scala.collection.mutable.Map[Int, Int]() // conj verb -> leader
 
     def addDep(from: Int, to: Int, dep: String): Unit = deps += Dep(from, to, dep)
 
@@ -442,8 +443,12 @@ object RuleNlp {
       val isConj = lastVerb >= 0 && !vg.toMarked && {
         val between = (lastVerbEndBound(vgs, vgIdx, end) until vg.auxStart)
           .filter(k => k >= 0 && k < end)
-        between.forall(k => toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",")) &&
-          between.exists(k => toks(k).pos == "CCONJ")
+        // "A and B" or list coordination "A, B, and C" — a bare comma
+        // between adjacent verbs counts (the closing CCONJ comes later);
+        // a comma-separated clause with its own subject has non-conj tokens
+        // in between, so it never matches
+        between.nonEmpty &&
+          between.forall(k => toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ","))
       }
 
       if (vg.toMarked && lastVerb >= 0) {
@@ -470,6 +475,7 @@ object RuleNlp {
       } else if (isConj) {
         // coordinated verb: share subject with group leader
         addDep(-1, v, "root")
+        conjWith(v) = vgs(vgIdx - 1).verb
         val lead = vgs(vgIdx - 1).verb
         subjOf.get(lead).foreach { hs =>
           hs.foreach(h => addDep(v, h, "subj"))
@@ -521,6 +527,27 @@ object RuleNlp {
       // --- right-side attachments: objects, datives, PPs ----------------
       val regionEnd = if (vgIdx + 1 < vgs.length) vgs(vgIdx + 1).auxStart else end
       attachRight(toks, chunks, start, end, v, regionEnd, vg, deps, neg, subjOf, objOf, conjChunkHeads)
+    }
+
+    // --- conjunct-verb object sharing (reference conjunct flattening,
+    // collection_annotator.py:67-90: children are copied across conj heads):
+    // "We collect, use, and share your email address" gives every verb in
+    // the chain the object of the member that has one -------------------
+    if (conjWith.nonEmpty) {
+      def leaderOf(v: Int): Int = conjWith.get(v).map(leaderOf).getOrElse(v)
+      val groups = (conjWith.keys ++ conjWith.values).toVector.distinct
+        .groupBy(leaderOf).values.filter(_.length > 1)
+      groups.foreach { vs =>
+        vs.find(objOf.get(_).exists(_.nonEmpty)).foreach { donor =>
+          val hs = objOf(donor)
+          vs.foreach { v =>
+            if (!objOf.get(v).exists(_.nonEmpty)) {
+              hs.foreach(h => addDep(v, h, "obj"))
+              objOf(v) = hs
+            }
+          }
+        }
+      }
     }
 
     // --- colon appositive: "<clause>: A, B and C" ----------------------
