@@ -24,6 +24,8 @@ object DocKernel {
 
   // constant word sets hoisted out of per-token/per-chunk hot loops
   private val SubsumCues = Set("especially", "particularly", "namely")
+  private val QuantOfNouns = Set("some", "all", "any", "type", "kind",
+    "variety", "category", "example")
   private val DataAnaphors = Set("it", "this", "that")
   private val ActorAnaphors = Set("they", "these", "those")
   private val DemonstrativeDets = Set("this", "that", "such", "these", "those")
@@ -231,6 +233,18 @@ object DocKernel {
             val (uT, lT) = (p.tokens(dep.from), p.tokens(dep.to))
             if (uT.pos != "PRON" && lT.pos != "PRON" && entCompatible(uT.ner, lT.ner))
               st.link(d, p, dep.from, dep.to, Subsum)
+          }
+        }
+        // COREF_SOME_OF (subsumption_annotator.py:310-336): "some / all /
+        // types / categories of X" — the quantifier head corefers with X,
+        // so coref contraction later folds it into the real term
+        p.deps.foreach { dep =>
+          if (dep.dep == "prep" && dep.from >= 0 && p.tokens(dep.to).lemma == "of" &&
+            QuantOfNouns.contains(p.tokens(dep.from).lemma) &&
+            (p.tokens(dep.from).pos == "NOUN" || p.tokens(dep.from).pos == "PRON")) {
+            p.out(dep.to).foreach { o =>
+              if (o.dep == "obj") st.link(d, p, dep.from, o.to, Coref)
+            }
           }
         }
         // first-party copula appositive ("We are <Company>." — the reference

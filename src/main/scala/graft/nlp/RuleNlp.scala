@@ -195,6 +195,11 @@ object RuleNlp {
           val nxt = at(i + 1)
           if (nxt == "NOUN" || nxt == "PROPN" || nxt == "ADJ" || nxt == "VERBC")
             t.pos = "DET"
+        case "DET" if (t.lemma == "some" || t.lemma == "all" || t.lemma == "any") &&
+          i + 1 < n && toks(i + 1).lemma == "of" =>
+          // partitive pronoun: "some of your information" (heads its own NP,
+          // resolved by the COREF_SOME_OF pattern)
+          t.pos = "PRON"
         case _ =>
       }
       i += 1

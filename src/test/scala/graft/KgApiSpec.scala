@@ -139,6 +139,23 @@ class KgApiSpec extends AnyFunSuite {
     }
   }
 
+  test("COREF_SOME_OF: quantifier-of phrases resolve to the real term") {
+    def triples(s: String) = DocKernel.process("t", HtmlSegmenter.segment("t", s"<p>$s</p>"))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(triples("We collect two types of information: personal information and usage data.") ==
+      Set(("we", "COLLECT", "personal information"), ("we", "COLLECT", "usage information")))
+    assert(triples("We may share some of your personal information with advertisers.") ==
+      Set(("advertiser", "BE_SHARED", "personal information"),
+        ("we", "COLLECT", "personal information")))
+  }
+
+  test("comma-coordinated verb chains share the object") {
+    val got = DocKernel.process("t", HtmlSegmenter.segment("t",
+      "<p>We collect, use, and share your email address.</p>"))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(got == Set(("we", "COLLECT", "email address"), ("we", "USE", "email address")))
+  }
+
   test("dative stays adjacent-only: 'give us X' vs parenthetical gaps") {
     val got = DocKernel.process("t", HtmlSegmenter.segment("t",
       "<p>You give us your email address.</p>"))
