@@ -75,7 +75,10 @@ class PropertySpec extends AnyFunSuite {
   test("kernel never crashes on garbage HTML (fuzz)") {
     val frag = Gen.oneOf("<p>", "</p>", "<li>", "<ul>", "<h2>", "we", "collect",
       "email", "<", ">", "&amp;", "你好", "<script>x</script>", ":", ".", "<!--",
-      "<div", "randomword", "\u0000", "é")
+      "<div", "randomword", "\u0000", "é",
+      // new token paths: contractions, bullets, partitives, abbreviations
+      "don't", "won't", "n't", "'", "e.g.", "i.e.", "e.g", "* item", "1.",
+      "a.", "some", "of", "such", "as", "for", "example", "-")
     forAll(Gen.listOf(frag)) { parts =>
       val html = parts.mkString(" ")
       val segs = HtmlSegmenter.segment("fuzz", html)
