@@ -132,7 +132,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(20)
+    val kind = rng.nextInt(21)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -233,6 +233,21 @@ object CorpusGen {
         val na = rng.pick(negAux)
         (s"We $na collect non personal information.",
           Vector(Truth(url, "we", "NOT_COLLECT", "UNSPECIFIED_DATA", "")))
+      case 20 => // parenthetical definition (SUBSUM_COLLECTIVELY,
+        // subsumption_annotator.py:293-312): the defined term subsumes the
+        // listed items and is then used by a later disclosure
+        val (d1s, d1c) = rng.pick(dataTerms)
+        var (d2s, d2c) = rng.pick(dataTerms)
+        while (d2c == d1c) { val q = rng.pick(dataTerms); d2s = q._1; d2c = q._2 }
+        val s1 = s"We may collect $d1s and $d2s (collectively, 'personal information')."
+        val s2 = "We may share your personal information with advertisers."
+        (s"$s1 $s2", Vector(
+          Truth(url, "we", "COLLECT", d1c, "", Vector(s1)),
+          Truth(url, "we", "COLLECT", d2c, "", Vector(s1)),
+          Truth(url, "personal information", "SUBSUM", d1c, "", Vector(s1), subjType = "DATA"),
+          Truth(url, "personal information", "SUBSUM", d2c, "", Vector(s1), subjType = "DATA"),
+          Truth(url, "advertiser", "BE_SHARED", "personal information", "", Vector(s2)),
+          Truth(url, "we", "COLLECT", "personal information", "", Vector(s2))))
       case 19 => // coordinated verbs sharing one object (conjunct
         // flattening, collection_annotator.py:67-90)
         if (rng.nextInt(2) == 0)

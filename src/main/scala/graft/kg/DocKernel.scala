@@ -235,6 +235,44 @@ object DocKernel {
               st.link(d, p, dep.from, dep.to, Subsum)
           }
         }
+        // SUBSUM_COLLECTIVELY (subsumption_annotator.py:293-312):
+        // "<A>, <B> and <C> (collectively, 'X')" — the defined term X
+        // subsumes every listed item
+        (p.start until p.end).foreach { i =>
+          val t = p.tokens(i)
+          if ((t.lemma == "collectively" || t.lemma == "hereinafter") &&
+            i > p.start && p.tokens(i - 1).text == "(") {
+            val upper = p.chunks.find(_.start > i)
+            val beforeParen = p.chunks.filter(_.end <= i - 1).lastOption
+            (upper, beforeParen) match {
+              case (Some(u), Some(b)) =>
+                val uT = p.tokens(u.head)
+                if (uT.pos != "PRON") {
+                  // conj group ending at b, walked backwards
+                  var lowers = List(b)
+                  var go = true
+                  while (go) {
+                    val prev = p.chunks.filter(_.end <= lowers.head.start).lastOption
+                    prev match {
+                      case Some(pc) =>
+                        val between = (pc.end until lowers.head.start)
+                        val conjOnly = between.nonEmpty && between.forall(k =>
+                          p.tokens(k).pos == "CCONJ" ||
+                            (p.tokens(k).pos == "PUNCT" && p.tokens(k).text == ","))
+                        if (conjOnly) { lowers = pc :: lowers } else go = false
+                      case None => go = false
+                    }
+                  }
+                  lowers.foreach { c =>
+                    val cT = p.tokens(c.head)
+                    if (cT.pos != "PRON" && entCompatible(uT.ner, cT.ner))
+                      st.link(d, p, u.head, c.head, Subsum)
+                  }
+                }
+              case _ =>
+            }
+          }
+        }
         // COREF_SOME_OF (subsumption_annotator.py:310-336): "some / all /
         // types / categories of X" — the quantifier head corefers with X,
         // so coref contraction later folds it into the real term

@@ -214,30 +214,6 @@ object KgApi {
 
   // ------------------------------------------------------- Spark query layer
 
-  /** Per-document positive-graph transitive closure, materialized as rows —
-    * the SQL view behind the recursive/relational query twins. */
-  def reachClosure(triples: Dataset[Triple]): DataFrame = {
-    import triples.sparkSession.implicits._
-    triples.groupByKey(_.url).flatMapGroups { (url, it) =>
-      val g = new PolicyGraph(it.toVector)
-      g.nodes.iterator.flatMap { n =>
-        forwardReach(g, n).map(d =>
-          (url, n, g.nodeType(n), d, g.nodeType.getOrElse(d, "")))
-      }
-    }.toDF("url", "src", "src_type", "dst", "dst_type")
-  }
-
-  private def forwardReach(g: PolicyGraph, n: String): Vector[String] = {
-    val seen = mutable.Set(n)
-    val q = mutable.Queue(n)
-    while (q.nonEmpty) {
-      g.adj.getOrElse(q.dequeue(), Vector.empty).foreach { x =>
-        if (!seen.contains(x)) { seen += x; q.enqueue(x) }
-      }
-    }
-    (seen - n).toVector.sorted
-  }
-
   /** KGraph.who_collect as a corpus query: (url, actor) pairs. */
   def whoCollect(triples: Dataset[Triple], datatype: String): DataFrame = {
     import triples.sparkSession.implicits._
