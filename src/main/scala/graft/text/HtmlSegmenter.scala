@@ -82,11 +82,16 @@ object HtmlSegmenter {
     var headingStack = List.empty[(Int, Int)]
     var lastBlockSeg = -1 // id of last emitted TEXT/HEADING segment (list intro)
     var ignoreDepth = 0
-    var liDepth = 0
-    var currentLi = -1 // segId of the open LISTITEM
+    // nested-list state: every open <ul>/<ol> remembers ITS intro segment
+    // (all items of one list share it, matching the reference's a11y-tree
+    // shape); every open <li> is a stack so a nested list's items parent to
+    // the inner item's own text
+    var listIntroStack = List.empty[(Int, Int)] // (intro segId, li depth at open)
+    var liStack = List.empty[Int]
     val buf = new StringBuilder
 
     def headingParent: Int = headingStack.headOption.map(_._2).getOrElse(-1)
+    def currentLi: Int = liStack.headOption.getOrElse(-1)
 
     def emit(segType: String, parentId: Int, text: String): Int = {
       val id = segs.length
@@ -99,7 +104,8 @@ object HtmlSegmenter {
       buf.clear()
       if (cleaned.nonEmpty) {
         if (currentLi >= 0) {
-          emit("TEXT", currentLi, cleaned)
+          // the item's own text can introduce a nested list
+          lastBlockSeg = emit("TEXT", currentLi, cleaned)
         } else {
           lastBlockSeg = emit("TEXT", headingParent, cleaned)
         }
@@ -122,15 +128,29 @@ object HtmlSegmenter {
           headingStack = (level, id) :: headingStack
           lastBlockSeg = id
         }
+      case Open("ul") | Open("ol") =>
+        flushText()
+        listIntroStack =
+          ((if (lastBlockSeg >= 0) lastBlockSeg else headingParent), liStack.length) :: listIntroStack
+      case Close("ul") | Close("ol") =>
+        flushText()
+        listIntroStack match {
+          case (_, depth) :: rest =>
+            // drop any unclosed <li> belonging to this list (sloppy HTML)
+            liStack = liStack.drop(liStack.length - depth)
+            listIntroStack = rest
+          case Nil =>
+        }
       case Open("li") =>
         flushText()
-        val parent = if (lastBlockSeg >= 0) lastBlockSeg else headingParent
-        currentLi = emit("LISTITEM", parent, "")
-        liDepth += 1
+        val (introParent, baseDepth) = listIntroStack.headOption
+          .getOrElse(((if (lastBlockSeg >= 0) lastBlockSeg else headingParent), liStack.length))
+        // an unclosed sibling <li> implicitly closes at the next one
+        if (liStack.length > baseDepth) liStack = liStack.drop(liStack.length - baseDepth)
+        liStack = emit("LISTITEM", introParent, "") :: liStack
       case Close("li") =>
         flushText()
-        currentLi = -1
-        if (liDepth > 0) liDepth -= 1
+        if (liStack.nonEmpty) liStack = liStack.tail
       case Open(b) if Block(b) => flushText()
       case Close(b) if Block(b) => flushText()
       case Open("br") => buf.append(' ')

@@ -84,6 +84,17 @@ class KgApiSpec extends AnyFunSuite {
     assert(!low.exists(t => t.obj == "device identifier"))
   }
 
+  test("nested and sloppy (unclosed-li) lists keep item structure") {
+    def collect(html: String) = DocKernel.process("t", HtmlSegmenter.segment("t", html))
+      .filter(_.pred == "COLLECT").map(_.obj).toSet
+    assert(collect("<p>We collect the following information:</p>" +
+      "<ul><li>Email address</li><li>Device data:<ul><li>IP address</li></ul></li></ul>") ==
+      Set("email address", "device information", "ip address"))
+    assert(collect("<p>We collect the following information:</p>" +
+      "<ul><li>Email address<li>Phone number</ul>") ==
+      Set("email address", "phone number"))
+  }
+
   test("non-HTML bullet lists repair into LISTITEM structure (4 families)") {
     def collect(items: String*): Set[String] = {
       val html = "<p>We collect the following information:</p>" +
