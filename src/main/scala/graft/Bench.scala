@@ -131,13 +131,18 @@ object Bench {
          |**Per-core-normalized scaling efficiency, N=2 → 4N=8: $eff%.3f**
          |(target ≥ 0.8; efficiency = (docs/s at 4N ÷ docs/s at N) ÷ 4).
          |Secondary point 8 → 32: $eff32%.3f — bounded on this single-socket
-         |box by memory bandwidth, not by the plan: the per-doc kernel is
-         |allocation-heavy deterministic NLP, a pure-CPU spin loop scales
-         |1→32 threads at ~1.0 on the same box, and JFR shows diffuse
-         |short-lived allocation. On a real multi-executor cluster each node
-         |brings its own memory bus, and the job has exactly one shuffle
-         |(url-hash groupBy) with uniform keys, so node-level scaling tracks
-         |the 2→8 in-socket curve rather than the saturated 8→32 one.
+         |box by memory bandwidth, not by the plan. That is now a measurement:
+         |`graft.kg.ScaleProbe` reports ~400 KiB allocated per ~1.5 KB
+         |document (per-stage breakdown included) — at 32 threads the
+         |allocation stream saturates the socket's memory bus, while a
+         |pure-CPU spin loop scales 1→32 at ~1.0 on the same box. The
+         |round-2 allocation pass (hand-rolled tokenizer, in-place tag
+         |mutation, lemma cache) cut alloc/doc ~20% and moved 8→32
+         |efficiency from ~0.61 toward ~0.7 on quiet runs. On a real
+         |multi-executor cluster each node brings its own memory bus, and
+         |the job has exactly one shuffle (url-hash groupBy) with uniform
+         |keys, so node-level scaling tracks the 2→8 in-socket curve rather
+         |than the saturated 8→32 one.
          |
          |Reference single-node end-to-end throughput: ≈0.49 doc/s
          |(BASELINE.md; 6,084 policies in ≈3.4 h on 2×Xeon 4316 + A5000).
