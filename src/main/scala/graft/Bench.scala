@@ -137,7 +137,7 @@ object Bench {
          |allocation stream saturates the socket's memory bus, while a
          |pure-CPU spin loop scales 1→32 at ~1.0 on the same box. The
          |round-2 allocation pass (hand-rolled tokenizer, in-place tag
-         |mutation, lemma cache) cut alloc/doc ~20% and moved 8→32
+         |mutation, lemma cache) cut alloc/doc ~20%% and moved 8→32
          |efficiency from ~0.61 toward ~0.7 on quiet runs. On a real
          |multi-executor cluster each node brings its own memory bus, and
          |the job has exactly one shuffle (url-hash groupBy) with uniform
