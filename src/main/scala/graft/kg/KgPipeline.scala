@@ -33,15 +33,21 @@ object KgPipeline {
     }
   }
 
-  /** North-rule skew defense: salted repartition on url-hash. Hot domains
-    * produce many near-identical pages; hashing (url, salt) spreads any hot
-    * key across `parts` partitions before the expensive per-doc work, and
-    * AQE skew-join splitting covers the join side. */
-  def saltedRepartition[T](ds: Dataset[T], parts: Int, salt: Int = 0): Dataset[T] =
+  /** North-rule skew defense: salted repartition on url-hash. Hot keys
+    * (domains crawled thousands of times, retry storms producing duplicate
+    * urls) would otherwise pile into one task before the expensive per-doc
+    * work. With `saltBuckets > 1` every row gets a PER-ROW salt bucket, so a
+    * single hot url spreads across up to `saltBuckets` partitions — the rows
+    * are processed independently, so correctness is unaffected. AQE
+    * skew-join splitting covers the join side. */
+  def saltedRepartition[T](ds: Dataset[T], parts: Int, saltBuckets: Int = 1): Dataset[T] = {
     // note: partition by the raw 64-bit hash, NOT pmod(hash, parts) — Spark
     // murmur-hashes the expression value again, and re-hashing a tiny value
     // domain collides (empty partitions)
-    ds.repartition(parts, xxhash64(col("url"), lit(salt)))
+    if (saltBuckets <= 1) ds.repartition(parts, xxhash64(col("url")))
+    else ds.repartition(parts, xxhash64(col("url")),
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+  }
 
   /** S10: content-checksum page dedup (reference datasets/deduplicate.py:
     * 25-36 blake2s over cleaned HTML → here sha2 over the html bytes; one

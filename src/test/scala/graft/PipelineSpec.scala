@@ -50,6 +50,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(fresh.sameElements(ckpt))
   }
 
+  test("salted repartition spreads a hot key across partitions") {
+    import spark.implicits._
+    // 400 rows with the SAME url — the degenerate hot key
+    val hot = KgPipeline.pages(spark, 400)
+      .map(p => p.copy(url = "https://hot.example/privacy"))
+    val unsalted = KgPipeline.saltedRepartition(hot, 8)
+      .mapPartitions(it => Iterator.single(it.size)).filter(_ > 0).count()
+    val salted = KgPipeline.saltedRepartition(hot, 8, saltBuckets = 8)
+      .mapPartitions(it => Iterator.single(it.size)).filter(_ > 0).count()
+    assert(unsalted == 1L, s"hot key should collapse to one partition unsalted, got $unsalted")
+    assert(salted >= 4L, s"salting should spread the hot key, got $salted partitions")
+    // row count is preserved either way
+    assert(KgPipeline.saltedRepartition(hot, 8, saltBuckets = 8).count() == 400)
+  }
+
   test("alias components merge aliases of the same entity") {
     import spark.implicits._
     val edges = Seq(
