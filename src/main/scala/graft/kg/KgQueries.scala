@@ -331,6 +331,27 @@ object KgQueries {
         .orderBy("url")
     }),
 
+    // A3 (purpose axis of collect-and-purpose-statistics.py): purpose label
+    // × datatype policy counts
+    "kg_purpose_matrix" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .select(col("obj").as("datatype"), col("url"),
+          explode(map_keys(col("purposes"))).as("purpose"))
+        .groupBy(col("purpose"), col("datatype"))
+        .agg(countDistinct(col("url")).as("n_policies"))
+        .orderBy("purpose", "datatype")
+    }),
+
+    // W5 over the KG: most-collected datatypes (top-k, deterministic ties)
+    "kg_top_datatypes" -> ((s, _) => {
+      KgPipeline.run(s, N_DOCS, SEED).toDF()
+        .filter(col("pred") === "COLLECT")
+        .groupBy(col("obj").as("datatype"))
+        .agg(countDistinct(col("url")).as("n_policies"))
+        .orderBy(desc("n_policies"), col("datatype"))
+        .limit(5)
+    }),
+
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
       KgPipeline.run(s, N_DOCS, SEED).toDF()
@@ -763,6 +784,22 @@ object KgQueries {
       val castCols = catNames.map(c => s"CAST(${c}_s AS DOUBLE) AS $c").mkString(", ")
       s"SELECT url, $castCols, CAST(total_s AS DOUBLE) AS total_score, grade FROM (${valuesSqlNoOrder(Seq("url") ++ catNames.map(_ + "_s") ++ Seq("total_s", "grade"), scores)}) ORDER BY url"
     }
+
+    val purposeMatrix = truthRows.filter(_.purpose.nonEmpty)
+      .flatMap(t => t.purpose.split(',').map(p => (p, t.obj, t.url)))
+      .groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1)
+      .map { case ((p, dt), rs) => Seq(p, dt, rs.map(_._3).distinct.size.toString) }
+    if (purposeMatrix.nonEmpty)
+      m("kg_purpose_matrix") =
+        s"SELECT purpose, datatype, CAST(n_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("purpose", "datatype", "n_s"), purposeMatrix)}) ORDER BY purpose, datatype"
+
+    val topDts = truthRows.filter(_.pred == "COLLECT")
+      .groupBy(_.obj).toSeq
+      .map { case (dt, rs) => (dt, rs.map(_.url).distinct.size) }
+      .sortBy { case (dt, n) => (-n, dt) }.take(5)
+      .map { case (dt, n) => Seq(dt, n.toString) }
+    m("kg_top_datatypes") =
+      s"SELECT datatype, CAST(n_s AS BIGINT) AS n_policies FROM (${valuesSqlNoOrder(Seq("datatype", "n_s"), topDts)}) ORDER BY n_policies DESC, datatype"
 
     val corefLinks = CorpusGen.corpus(N_DOCS, SEED).map(_.corefLabels.size).sum
     m("kg_eval_coref") =
