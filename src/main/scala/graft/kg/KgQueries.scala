@@ -331,6 +331,23 @@ object KgQueries {
         .orderBy("url")
     }),
 
+    // A2 corpus roll-up (poligraph-stats.py:17-76): policy/triple counts +
+    // distinct evidence sentences and purpose phrases (exact here;
+    // approx_count_distinct is the 10^12-scale variant)
+    "kg_corpus_stats" -> ((s, _) => {
+      import s.implicits._
+      val t = KgPipeline.run(s, N_DOCS, SEED).toDF().cache()
+      val Array(nPol, nTri) = t.agg(countDistinct(col("url")), count(lit(1)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val nSent = t.select(explode(col("text")).as("x"))
+        .agg(countDistinct(col("x"))).collect()(0).getLong(0)
+      val nPurp = t.select(explode(flatten(map_values(col("purposes")))).as("x"))
+        .agg(countDistinct(col("x"))).collect()(0).getLong(0)
+      t.unpersist()
+      Seq((nPol, nTri, nSent, nPurp))
+        .toDF("n_policies", "n_triples", "n_sentences", "n_purpose_phrases")
+    }),
+
     // A3 (purpose axis of collect-and-purpose-statistics.py): purpose label
     // × datatype policy counts
     "kg_purpose_matrix" -> ((s, _) => {
@@ -784,6 +801,15 @@ object KgQueries {
       val castCols = catNames.map(c => s"CAST(${c}_s AS DOUBLE) AS $c").mkString(", ")
       s"SELECT url, $castCols, CAST(total_s AS DOUBLE) AS total_score, grade FROM (${valuesSqlNoOrder(Seq("url") ++ catNames.map(_ + "_s") ++ Seq("total_s", "grade"), scores)}) ORDER BY url"
     }
+
+    val corpusStats = {
+      val nPol = truthRows.map(_.url).distinct.size
+      val nTri = truthRows.size
+      val nSent = truthRows.flatMap(_.evidence).distinct.size
+      val nPurp = truthRows.flatMap(_.purposeTexts).distinct.size
+      s"SELECT CAST($nPol AS BIGINT) AS n_policies, CAST($nTri AS BIGINT) AS n_triples, CAST($nSent AS BIGINT) AS n_sentences, CAST($nPurp AS BIGINT) AS n_purpose_phrases"
+    }
+    m("kg_corpus_stats") = corpusStats
 
     val purposeMatrix = truthRows.filter(_.purpose.nonEmpty)
       .flatMap(t => t.purpose.split(',').map(p => (p, t.obj, t.url)))
