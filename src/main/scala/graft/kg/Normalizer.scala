@@ -69,12 +69,15 @@ object Normalizer {
     false
   }
 
-  private def lookupEntity(text: String): Set[String] = {
-    val lw = text.toLowerCase.trim
-    Lexicon.entityInfo.collect {
-      case (canon, (aliases, _)) if aliases.contains(lw) => canon
-    }.toSet
-  }
+  /** alias → canonical entities, inverted once (the per-call scan over the
+    * whole entity table dominated PROPN-mention normalization). */
+  private val aliasToCanon: Map[String, Set[String]] =
+    Lexicon.entityInfo.toSeq
+      .flatMap { case (canon, (aliases, _)) => aliases.map(_ -> canon) }
+      .groupBy(_._1).map { case (a, cs) => a -> cs.map(_._2).toSet }
+
+  private def lookupEntity(text: String): Set[String] =
+    aliasToCanon.getOrElse(text.toLowerCase.trim, Set.empty)
 
   /** Match a phrase against the entity-alias bank (broadcast-dictionary
     * semantics of J3, phrase_normalization.py:111-152). */

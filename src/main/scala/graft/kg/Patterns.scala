@@ -40,7 +40,11 @@ object Patterns {
       root: TokenMatcher,
       chains: Vector[Vector[(TokenMatcher, Option[String])]],
       required: Set[Int],
-      transform: Vector[String])
+      transform: Vector[String]) {
+    /** reusable empty DFS state (immutable) — was rebuilt per dep edge */
+    lazy val emptyProgress: Map[Int, List[Int]] =
+      chains.indices.map(_ -> List.empty[Int]).toMap
+  }
 
   /** action, negated?, captured args (token indices per transform arg). */
   final case class Match(action: String, neg: Boolean, args: Vector[List[Int]])
@@ -178,23 +182,27 @@ object Patterns {
           if (!truncated) unmatchedRequired -= chainIdx
         }
 
-        def dfs(node: Int, dep: String, progress: Map[Int, List[Int]]): Unit = {
-          val continued = scala.collection.mutable.Map[Int, List[Int]]()
+        def dfs(node: Int, dep: String, progress: collection.Map[Int, List[Int]]): Unit = {
+          var continued: scala.collection.mutable.Map[Int, List[Int]] = null
           progress.foreach { case (ci, prog) =>
             val chain = pat.chains(ci)
             val (tm, _) = chain(prog.length)
             if (tm.matches(lemmaOf(node), dep)) {
               val np = prog :+ node
               if (np.length == chain.length) onSuccess(ci, np)
-              else continued(ci) = np
+              else {
+                if (continued == null) continued = scala.collection.mutable.Map()
+                continued(ci) = np
+              }
             }
           }
-          if (continued.nonEmpty) {
-            p.out(node).foreach(e => dfs(e.to, e.dep, continued.toMap))
+          // children share the same (no longer mutated) map — no copy
+          if (continued != null) {
+            p.out(node).foreach(e => dfs(e.to, e.dep, continued))
           }
         }
 
-        p.out(v).foreach(e => dfs(e.to, e.dep, pat.chains.indices.map(_ -> List.empty[Int]).toMap))
+        p.out(v).foreach(e => dfs(e.to, e.dep, pat.emptyProgress))
 
         if (unmatchedRequired.isEmpty) {
           val action +: argNames = pat.transform
