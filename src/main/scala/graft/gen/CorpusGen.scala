@@ -132,7 +132,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(21)
+    val kind = rng.nextInt(22)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -233,6 +233,12 @@ object CorpusGen {
         val na = rng.pick(negAux)
         (s"We $na collect non personal information.",
           Vector(Truth(url, "we", "NOT_COLLECT", "UNSPECIFIED_DATA", "")))
+      case 21 => // fronted adverbial clause — the wh/conditional opener
+        // must not trip the interrogative filter
+        val opener = rng.pick(Vector("When you visit our site",
+          "If you contact us", "When you create an account"))
+        (s"$opener, we may collect $dtS.",
+          Vector(Truth(url, "we", "COLLECT", dtC, "")))
       case 20 => // parenthetical definition (SUBSUM_COLLECTIVELY,
         // subsumption_annotator.py:293-312): the defined term subsumes the
         // listed items and is then used by a later disclosure

@@ -117,7 +117,6 @@ object RuleNlp {
   // constant word sets hoisted out of per-token/per-sentence hot loops
   private val AccessVerbs = Set("have", "get", "gain")
   private val Relativizers = Set("that", "which", "who")
-  private val WhWords = Set("what", "which", "who", "how", "why", "when", "where")
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
   private def isCap(s: String): Boolean = s.nonEmpty && s.charAt(0).isUpper
@@ -342,18 +341,22 @@ object RuleNlp {
     // build_dependency_graph, collection_annotator.py:37-52,183-184):
     // trailing '?' or an auxiliary preceding the first subject
     val lastReal = (end - 1 to start by -1).find(k => toks(k).pos != "SPACE")
+    // an auxiliary before the first nominal = inverted (interrogative) order
+    // — the reference's aux-before-subject test. Fronted adverbial clauses
+    // ("When you create an account, we collect ...") put a nominal first,
+    // so they pass; wh-questions without '?' fall through to the matcher,
+    // which finds no object and emits nothing.
     val auxBeforeSubj = {
       val firstAux = (start until end).find(k => toks(k).pos == "AUX")
       val firstNom = (start until end).find(k =>
         toks(k).pos == "PRON" || toks(k).pos == "NOUN" || toks(k).pos == "PROPN")
       (firstAux, firstNom) match {
-        case (Some(a), Some(nm)) => a < nm && a == start
+        case (Some(a), Some(nm)) => a < nm
         case (Some(_), None) => true
         case _ => false
       }
     }
-    val whStart = WhWords.contains(toks(start).lemma)
-    if (lastReal.exists(k => toks(k).text == "?") || auxBeforeSubj || whStart)
+    if (lastReal.exists(k => toks(k).text == "?") || auxBeforeSubj)
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
