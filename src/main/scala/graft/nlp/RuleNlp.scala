@@ -199,6 +199,11 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
+        case "ADP" if t.lemma == "as" && i + 2 < n &&
+          toks(i + 1).lemma == "well" && toks(i + 2).lemma == "as" =>
+          // "as well as" coordinates like and/or — retag the triple CCONJ so
+          // every conjunct walk passes through it
+          t.pos = "CCONJ"; toks(i + 1).pos = "CCONJ"; toks(i + 2).pos = "CCONJ"
         case _ =>
       }
       i += 1

@@ -160,6 +160,16 @@ class KgApiSpec extends AnyFunSuite {
         ("we", "COLLECT", "personal information")))
   }
 
+  test("'as well as' coordinates objects and recipients; fronted clauses pass") {
+    def triples(s: String) = DocKernel.process("t", HtmlSegmenter.segment("t", s"<p>$s</p>"))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(triples("We collect your email address as well as your age.") ==
+      Set(("we", "COLLECT", "email address"), ("we", "COLLECT", "age")))
+    assert(triples("When you create an account, we collect your email address.") ==
+      Set(("we", "COLLECT", "email address")))
+    assert(triples("Do we collect your email address?").isEmpty)
+  }
+
   test("comma-coordinated verb chains share the object") {
     val got = DocKernel.process("t", HtmlSegmenter.segment("t",
       "<p>We collect, use, and share your email address.</p>"))
