@@ -169,6 +169,13 @@ object RuleNlp {
           t.pos = if (nounish && t.text == t.text.toLowerCase) "NOUN" else "VERB"
           if (i > 0 && toks(i - 1).lemma == "make" && t.lemma == "use")
             t.pos = "NOUN"
+          // plural noun misread ("newsletters and promotional offers."): a
+          // lowercase -s verb candidate squeezed between a nominal and a
+          // boundary token is a noun
+          if (t.pos == "VERB" && t.text.endsWith("s") && t.text == t.text.toLowerCase &&
+            (prev == "NOUN" || prev == "PROPN") &&
+            (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
+            t.pos = "NOUN"
           // "have/get/gain access to X": access is the object noun and the
           // auxiliary is in fact the main verb
           if (i > 0 && t.lemma == "access" &&
