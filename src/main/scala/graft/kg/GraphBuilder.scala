@@ -83,7 +83,16 @@ object GraphBuilder {
     }
   }
 
-  def build(st: DocState, variant: String): Vector[Triple] = {
+  /** `deferPurposes = true` tags every purpose phrase with the sentinel
+    * `Model.RawPurposeLabel` instead of classifying inline; the corpus-level
+    * batched scorer then labels distinct phrases once
+    * (`KgPipeline.relabelPurposes`). The purpose-subset edge reduction (SO1)
+    * compares (label, phrase) pair sets, which under the sentinel degrade to
+    * phrase sets — identical to inline whenever the classifier is total
+    * (every phrase gets ≥1 label; BatchScoringSpec pins this on the corpus),
+    * and divergent only for phrases that classify to zero labels, which the
+    * reference drops from purpose dicts before its reduction. */
+  def build(st: DocState, variant: String, deferPurposes: Boolean = false): Vector[Triple] = {
     // Node discovery in edge-insertion order (deterministic: annotator order)
     val nodeOrder: Vector[Src] = {
       val seen = mutable.LinkedHashSet[Src]()
@@ -126,8 +135,12 @@ object GraphBuilder {
       }
     }
     val labelsOf: Map[String, Seq[String]] =
-      dtypePurposeTexts.values.flatten.toSeq.distinct
-        .map(t => t -> Normalizer.classifyPurpose(t)).toMap
+      if (deferPurposes)
+        dtypePurposeTexts.values.flatten.toSeq.distinct
+          .map(t => t -> Seq(Model.RawPurposeLabel)).toMap
+      else
+        dtypePurposeTexts.values.flatten.toSeq.distinct
+          .map(t => t -> Normalizer.classifyPurpose(t)).toMap
     dtypePurposeTexts.foreach { case (dt, texts) =>
       val edgePurposes: Set[(String, String)] =
         texts.flatMap(t => labelsOf(t).map(_ -> t)).toSet

@@ -57,6 +57,9 @@ object KgApi {
     def dataNodes: Vector[String] = nodes.filter(nodeType(_) == "DATA")
     def actorNodes: Vector[String] = nodes.filter(nodeType(_) == "ACTOR")
 
+    /** All nodes reachable from `n` along oriented positive edges. */
+    def reachable(n: String): Set[String] = reach(n, adj)
+
     private def reach(from: String, next: Map[String, Vector[String]]): Set[String] = {
       val seen = mutable.Set(from)
       val q = mutable.Queue(from)
@@ -213,6 +216,53 @@ object KgApi {
   }
 
   // ------------------------------------------------------- Spark query layer
+
+  /** G8 closure-at-materialize-time: per-document transitive closure of the
+    * positive oriented graph as plain rows — one row per (ancestor, node)
+    * reachability pair, with node types attached. Computed ONCE when the
+    * graph is materialized (a stage table in `runCheckpointed`); every
+    * reachability query (who_collect / validate_* / the SQL surface) then
+    * becomes a filter/join over these rows instead of a per-query kernel
+    * re-run. Rows are unique per (url, anc, node) by construction. At 10^12
+    * docs the closure is ~|nodes|·|reachable| per doc (tiny per-doc graphs),
+    * i.e. linear in the corpus. */
+  def closureRows(triples: Dataset[Triple]): DataFrame = {
+    import triples.sparkSession.implicits._
+    triples.groupByKey(_.url).flatMapGroups { (url, it) =>
+      val g = new PolicyGraph(it.toVector)
+      g.nodes.iterator.flatMap { n =>
+        g.reachable(n).iterator.map(m =>
+          (url, n, g.nodeType(n), m, g.nodeType(m)))
+      }
+    }.toDF("url", "anc", "anc_type", "node", "node_type")
+  }
+
+  /** KGraph.who_collect over materialized closure rows: a pure filter
+    * (ACTOR ancestors of the DATA node). */
+  def whoCollectFromClosure(closure: DataFrame, datatype: String): DataFrame =
+    closure.filter(col("node") === datatype && col("node_type") === "DATA" &&
+        col("anc_type") === "ACTOR")
+      .select(col("url"), col("anc").as("actor"))
+      .orderBy("url", "actor")
+
+  /** KGraph.validate_collection over closure rows: datatypes from the probe
+    * list somebody collects (graph_utils.py:333-339). */
+  def validateCollectionFromClosure(closure: DataFrame, dts: Seq[String]): DataFrame =
+    closure.filter(col("node").isin(dts: _*) && col("node_type") === "DATA" &&
+        col("anc_type") === "ACTOR")
+      .select(col("url"), col("node").as("datatype"))
+      .distinct().orderBy("url", "datatype")
+
+  /** KGraph.validate_sharing over closure rows: probe (entity, datatype)
+    * pairs where the entity is among the datatype's collectors. */
+  def validateSharingFromClosure(closure: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    val keys = pairs.map { case (e, dt) => s"$e|$dt" }
+    closure.filter(col("node_type") === "DATA" && col("anc_type") === "ACTOR" &&
+        concat_ws("|", col("anc"), col("node")).isin(keys: _*))
+      .select(col("url"), col("anc").as("entity"), col("node").as("datatype"))
+      .orderBy("url", "entity", "datatype")
+  }
 
   /** KGraph.who_collect as a corpus query: (url, actor) pairs. */
   def whoCollect(triples: Dataset[Triple], datatype: String): DataFrame = {

@@ -36,17 +36,21 @@ object KgPipeline {
   /** North-rule skew defense: salted repartition on url-hash. Hot keys
     * (domains crawled thousands of times, retry storms producing duplicate
     * urls) would otherwise pile into one task before the expensive per-doc
-    * work. With `saltBuckets > 1` every row gets a PER-ROW salt bucket, so a
-    * single hot url spreads across up to `saltBuckets` partitions — the rows
-    * are processed independently, so correctness is unaffected. AQE
-    * skew-join splitting covers the join side. */
+    * work. With `saltBuckets > 1` the salt is derived DETERMINISTICALLY from
+    * the full row content (xxhash64 over every column), so a hot url whose
+    * rows differ in payload spreads across up to `saltBuckets` partitions —
+    * and a recomputed map task after a shuffle-fetch failure re-routes every
+    * row to the same reducer (a `monotonically_increasing_id` salt would
+    * not, duplicating/dropping rows on retry — round-2 ADVICE). Fully
+    * identical rows share a salt bucket by construction; `dedupPages`
+    * upstream removes those. AQE skew-join splitting covers the join side. */
   def saltedRepartition[T](ds: Dataset[T], parts: Int, saltBuckets: Int = 1): Dataset[T] = {
     // note: partition by the raw 64-bit hash, NOT pmod(hash, parts) — Spark
     // murmur-hashes the expression value again, and re-hashing a tiny value
     // domain collides (empty partitions)
     if (saltBuckets <= 1) ds.repartition(parts, xxhash64(col("url")))
     else ds.repartition(parts, xxhash64(col("url")),
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      pmod(xxhash64(ds.columns.map(col) :+ lit(0x5a17): _*), lit(saltBuckets.toLong)))
   }
 
   /** S10: content-checksum page dedup (reference datasets/deduplicate.py:
@@ -77,11 +81,44 @@ object KgPipeline {
   /** The per-document kernel behind one url-keyed shuffle — used when
     * segments come from a checkpoint table (rows of one page may span input
     * splits there). */
-  def triples(segs: Dataset[Segment], variant: String = "extended"): Dataset[Triple] = {
+  def triples(segs: Dataset[Segment], variant: String = "extended",
+      deferPurposes: Boolean = false): Dataset[Triple] = {
     import segs.sparkSession.implicits._
     segs
       .groupByKey(_.url)
-      .flatMapGroups { (url, it) => DocKernel.process(url, it.toVector, variant) }
+      .flatMapGroups { (url, it) =>
+        DocKernel.process(url, it.toVector, variant, deferPurposes)
+      }
+  }
+
+  /** Corpus-level batched purpose scoring (A7, reference build_graph.py:
+    * 98-119 scaled out): distinct raw purpose phrases hit the model ONCE in
+    * executor-side batches; the resulting phrase→labels map is broadcast and
+    * each triple's sentinel purposes are rebuilt in a narrow map. The label
+    * map is the same object the reference holds in memory (unique phrases);
+    * if it ever outgrows the driver, this broadcast becomes an explode/join/
+    * regroup — same plan class, one extra shuffle. */
+  def relabelPurposes(triples: Dataset[Triple],
+      scorer: graft.nlp.BatchScorer): Dataset[Triple] = {
+    import triples.sparkSession.implicits._
+    val spark = triples.sparkSession
+    val texts = triples.flatMap(_.purposes.getOrElse(RawPurposeLabel, Seq.empty))
+    val labelMap = graft.nlp.BatchScoring.scorePurposeTexts(texts, scorer)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val bc = spark.sparkContext.broadcast(labelMap)
+    triples.map { t =>
+      t.purposes.get(RawPurposeLabel) match {
+        case None => t
+        case Some(raw) =>
+          // mirror the inline build exactly: sorted distinct (label, phrase)
+          // pairs folded into insertion-ordered label lists
+          val pairs = raw.flatMap(tx => bc.value.getOrElse(tx, Seq.empty).map(_ -> tx))
+            .distinct.sorted
+          val m = scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+          pairs.foreach { case (l, tx) => m(l) = m.getOrElse(l, Vector.empty) :+ tx }
+          t.copy(purposes = m.map { case (k, v) => k -> (v.distinct: Seq[String]) }.toMap)
+      }
+    }
   }
 
   /** Shuffle-free production path: one input row = one page, so segmentation
@@ -107,18 +144,33 @@ object KgPipeline {
     triplesFromPages(pages(spark, nDocs, seed), variant)
 
   /** Full pipeline with checkpointed stage tables + lineage (north rule:
-    * resume mid-pipeline = stage-table presence check). */
+    * resume mid-pipeline = stage-table presence check). Purpose labels run
+    * through the corpus-level batched scorer between the raw-kernel stage
+    * and the final graph table — the production plan shape for a real
+    * (ONNX) model: per-doc kernels never call the classifier; distinct
+    * phrases hit it once per corpus. */
   def runCheckpointed(spark: SparkSession, nDocs: Long, baseDir: String,
-      runId: String, seed: Long = 42L): Dataset[Triple] = {
+      runId: String, seed: Long = 42L,
+      scorer: graft.nlp.BatchScorer = graft.nlp.KeywordPurposeScorer): Dataset[Triple] = {
     val store = new StageStore(spark, baseDir, runId)
     import spark.implicits._
     val parts = math.max(spark.sparkContext.defaultParallelism, 8)
     val segs = store.stage[Segment]("segments") {
       segments(saltedRepartition(dedupPages(pages(spark, nDocs, seed)), parts))
     }
+    val raw = store.stage[Triple]("triples_raw") {
+      triples(segs, deferPurposes = true)
+    }
     // partitioned graph table — predicate-level partition pruning for the
     // analysis queries (Iceberg partition spec stand-in)
-    store.stage[Triple]("triples", partitionCols = Seq("pred")) { triples(segs) }
+    val tri = store.stage[Triple]("triples", partitionCols = Seq("pred")) {
+      relabelPurposes(raw, scorer)
+    }
+    // G8 closure-at-materialize-time: reachability rows written alongside
+    // the graph so every who_collect / validate_* / SQL query downstream is
+    // a plain filter/join, never a per-query kernel re-run
+    store.stageDf("closure") { KgApi.closureRows(tri) }
+    tri
   }
 
   /** Ground truth as a Dataset (for the eval join). */
@@ -141,7 +193,13 @@ final class StageStore(spark: SparkSession, baseDir: String, runId: String) {
     fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/$name/_SUCCESS"))
 
   def stage[T: Encoder](name: String, partitionCols: Seq[String] = Nil)(
-      compute: => Dataset[T]): Dataset[T] = {
+      compute: => Dataset[T]): Dataset[T] =
+    stageDf(name, partitionCols)(compute.toDF()).as[T]
+
+  /** Untyped variant for stages whose schema is SQL-facing (snake_case
+    * columns with no case-class twin, e.g. the closure table). */
+  def stageDf(name: String, partitionCols: Seq[String] = Nil)(
+      compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val path = s"$baseDir/$name"
     if (!exists(name)) {
       val t0 = System.currentTimeMillis()
@@ -155,8 +213,8 @@ final class StageStore(spark: SparkSession, baseDir: String, runId: String) {
         .withColumn("stage", lit(name))
         .withColumn("wallMs", lit(wall))
         .write.mode("append").parquet(s"$baseDir/_lineage")
-      out.as[T]
-    } else spark.read.parquet(path).as[T]
+      out
+    } else spark.read.parquet(path)
   }
 
   def lineage(): org.apache.spark.sql.DataFrame =

@@ -41,6 +41,32 @@ object KgQueries {
     s"SELECT * FROM (VALUES $vals) AS t(${cols.mkString(", ")})"
   }
 
+  /** Session-scoped materialized graph tables. The reference's analyses load
+    * graph YAML files built ONCE by build_graph and never re-run the NLP per
+    * analysis (§3.2) — this cache is that split: the pipeline materializes
+    * triples (and the G8 closure) a single time per session, and every query
+    * below is a pure filter/join over the materialized tables. In the
+    * checkpointed production path the same tables are parquet stages
+    * (`runCheckpointed` writes `triples` + `closure`). */
+  private val matCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+  private def shared[T <: AnyRef](s: SparkSession, key: String)(f: => T): T =
+    matCache.computeIfAbsent((s, key), _ => f).asInstanceOf[T]
+
+  def sharedTriples(s: SparkSession, variant: String = "extended"): Dataset[Triple] =
+    shared(s, s"triples/$variant") {
+      val ds = KgPipeline.run(s, N_DOCS, SEED, variant).persist()
+      ds.count() // materialize once
+      ds
+    }
+
+  def sharedClosure(s: SparkSession): DataFrame =
+    shared(s, "closure") {
+      val df = KgApi.closureRows(sharedTriples(s)).persist()
+      df.count()
+      df
+    }
+
   /** Truth rows lifted to Triple shape (evidence/purpose labels included) so
     * the graph-query layer can run identically on the want-side. */
   private def truthTriples(s: SparkSession): Dataset[Triple] = {
@@ -60,7 +86,7 @@ object KgQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full pipeline → (url, subj, pred, obj)
     "kg_triples" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED)
+      sharedTriples(s)
         .select(col("url"), col("subj"), col("pred"), col("obj"))
         .orderBy("url", "subj", "pred", "obj")
     }),
@@ -68,7 +94,7 @@ object KgQueries {
     // "original" build variant: positive edges collapse to COLLECT key,
     // negatives dropped (reference build_graph.py:86-95 variant switch)
     "kg_triples_original" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED, variant = "original")
+      sharedTriples(s, "original")
         .select(col("url"), col("subj"), col("pred"), col("obj"))
         .orderBy("url", "subj", "pred", "obj")
     }),
@@ -76,7 +102,7 @@ object KgQueries {
     // Full column surface with evidence + purposes stringified so the
     // driver's oracle hash can compare them (VERDICT round 1, wrong #1)
     "kg_triples_full" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .select(col("url"), col("subj"), col("subjType"), col("pred"),
           col("obj"), col("objType"),
           concat_ws(" || ", col("text")).as("evidence"),
@@ -90,7 +116,7 @@ object KgQueries {
     // for we / 3rd-party / both), single-action full-outer-join eval
     "kg_eval_pr" -> ((s, _) => {
       import s.implicits._
-      val got = KgApi.partyTuples(KgPipeline.run(s, N_DOCS, SEED)).cache()
+      val got = KgApi.partyTuples(sharedTriples(s)).cache()
       val want = KgApi.partyTuples(truthTriples(s)).cache()
       val j = got.withColumn("g", lit(1)).join(want.withColumn("w", lit(1)),
         Seq("url", "party", "datatype"), "full_outer")
@@ -111,7 +137,7 @@ object KgQueries {
 
     // A2: per-predicate edge statistics
     "kg_collect_stats" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED)
+      sharedTriples(s)
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("n_edges"), countDistinct(col("url")).as("n_policies"))
         .orderBy("pred")
@@ -119,7 +145,7 @@ object KgQueries {
 
     // Purposes attached to edges (exploded)
     "kg_purposes" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED)
+      sharedTriples(s)
         .select(col("url"), col("subj"), col("pred"), col("obj"),
           explode(map_keys(col("purposes"))).as("purpose"))
         .orderBy("url", "subj", "pred", "obj", "purpose")
@@ -128,7 +154,7 @@ object KgQueries {
     // A5: evidence sentences per edge (substring-deduped, ordered) — full
     // byte-level verification of the text column against construction truth
     "kg_evidence" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .select(col("url"), col("subj"), col("pred"), col("obj"),
           concat_ws(" || ", col("text")).as("evidence"))
         .orderBy("url", "subj", "pred", "obj")
@@ -136,7 +162,7 @@ object KgQueries {
 
     // A4/U6: purpose phrases attached to edges (exact span text)
     "kg_purpose_texts" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .select(col("url"), col("subj"), col("obj"),
           explode(flatten(map_values(col("purposes")))).as("purpose_text"))
         .distinct()
@@ -147,28 +173,21 @@ object KgQueries {
     // datatype that are ACTORs (graph_utils.py:230-236 + nx.ancestors) —
     // walks SUBSUM chains and reversed actor subsumption
     "kg_who_collect" -> ((s, _) => {
-      KgApi.whoCollect(KgPipeline.run(s, N_DOCS, SEED), "email address")
+      KgApi.whoCollectFromClosure(sharedClosure(s), "email address")
     }),
 
-    // §3.2: the same transitive who_collect expressed in SQL — a recursive
-    // CTE over the materialized triple view; Catalyst plans the fixpoint
+    // §3.2: the same transitive who_collect expressed in SQL — a plain
+    // filter over the materialized closure table. Round 2 planned the
+    // fixpoint per query as a recursive CTE (5.5 s at 60 docs, and an
+    // iterative corpus-wide shuffle at scale); with the G8 closure
+    // materialized once, the SQL surface is a sub-second scan. The CTE
+    // itself remains as a tested capability demo (KgApiSpec pins
+    // CTE == closure on this corpus, with a depth bound as cycle guard).
     "kg_sql_who_collect" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF().createOrReplaceTempView("triples")
+      sharedClosure(s).createOrReplaceTempView("closure")
       s.sql("""
-        WITH RECURSIVE pos_edges AS (
-          SELECT DISTINCT url,
-            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN obj ELSE subj END AS src,
-            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN objType ELSE subjType END AS src_type,
-            CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN subj ELSE obj END AS dst
-          FROM triples WHERE pred NOT LIKE 'NOT!_%' ESCAPE '!'
-        ),
-        anc (url, node, node_type) AS (
-          SELECT url, src, src_type FROM pos_edges WHERE dst = 'email address'
-          UNION ALL
-          SELECT e.url, e.src, e.src_type
-          FROM pos_edges e JOIN anc a ON e.url = a.url AND e.dst = a.node
-        )
-        SELECT DISTINCT url, node AS actor FROM anc WHERE node_type = 'ACTOR'
+        SELECT url, anc AS actor FROM closure
+        WHERE node = 'email address' AND node_type = 'DATA' AND anc_type = 'ACTOR'
         ORDER BY url, actor""")
     }),
 
@@ -176,7 +195,7 @@ object KgQueries {
     // purpose overlap, PolicyLint narrow-subsum exclusion, descendant-set
     // overlap on both sides (get-poligraph-contradictions.py:12-84)
     "kg_contradictions" -> ((s, _) => {
-      KgApi.contradictions(KgPipeline.run(s, N_DOCS, SEED))
+      KgApi.contradictions(sharedTriples(s))
     }),
 
     // G12: distributed connected components over the entity-alias graph.
@@ -219,14 +238,14 @@ object KgQueries {
       import s.implicits._
       val flowsDf = FlowConsistency.flows(N_DOCS, SEED)
         .toDF("url", "domain", "datatype")
-      val triples = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      val triples = sharedTriples(s).toDF()
       FlowConsistency.classify(s, flowsDf, triples)
         .orderBy("url", "domain", "datatype")
     }),
 
     // KGraph.datatypes (graph_utils.py:202-207): DATA nodes per policy
     "kg_datatypes" -> ((s, _) => {
-      val t = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      val t = sharedTriples(s).toDF()
       t.filter(col("objType") === "DATA").select(col("url"), col("obj").as("term"))
         .union(t.filter(col("subjType") === "DATA").select(col("url"), col("subj").as("term")))
         .distinct().orderBy("url", "term")
@@ -234,7 +253,7 @@ object KgQueries {
 
     // KGraph.entities: ACTOR nodes per policy
     "kg_entities" -> ((s, _) => {
-      val t = KgPipeline.run(s, N_DOCS, SEED).toDF()
+      val t = sharedTriples(s).toDF()
       t.filter(col("subjType") === "ACTOR").select(col("url"), col("subj").as("term"))
         .union(t.filter(col("objType") === "ACTOR").select(col("url"), col("obj").as("term")))
         .distinct().orderBy("url", "term")
@@ -243,7 +262,7 @@ object KgQueries {
     // ExtKGraph.can_collect('phone number'): transitive reach over the
     // ontology-grafted graph (G8+G9, graph_utils.py:349-436)
     "kg_can_collect" -> ((s, _) => {
-      KgApi.extWhoCollect(KgPipeline.run(s, N_DOCS, SEED), "phone number",
+      KgApi.extWhoCollect(sharedTriples(s), "phone number",
         umbrella = false)
     }),
 
@@ -251,31 +270,32 @@ object KgQueries {
     // (accept_unspecific_data, graph_utils.py:408-417): collectors of
     // UNSPECIFIED_DATA count for every datatype
     "kg_ext_who_collect" -> ((s, _) => {
-      KgApi.extWhoCollect(KgPipeline.run(s, N_DOCS, SEED), "email address",
+      KgApi.extWhoCollect(sharedTriples(s), "email address",
         umbrella = true)
     }),
 
     // KGraph.purposes(entity, datatype): union of purpose labels along all
     // shortest paths (graph_utils.py:297-310), exploded per pair
     "kg_edge_purposes" -> ((s, _) => {
-      KgApi.edgePurposes(KgPipeline.run(s, N_DOCS, SEED))
+      KgApi.edgePurposes(sharedTriples(s))
     }),
 
     // KGraph.get_text(node1, node2): evidence sentences along all shortest
     // paths between connected (actor, datatype) pairs (graph_utils.py:312-331)
     "kg_get_text" -> ((s, _) => {
-      KgApi.edgeTexts(KgPipeline.run(s, N_DOCS, SEED))
+      KgApi.edgeTexts(sharedTriples(s))
     }),
 
     // KGraph.validate_collection over a probe list (graph_utils.py:333-339)
+    // — a filter over the materialized closure
     "kg_validate_collection" -> ((s, _) => {
-      KgApi.validateCollection(KgPipeline.run(s, N_DOCS, SEED), ValidateDts)
+      KgApi.validateCollectionFromClosure(sharedClosure(s), ValidateDts)
     }),
 
     // KGraph.validate_sharing over probe (entity, datatype) pairs
-    // (graph_utils.py:341-346)
+    // (graph_utils.py:341-346) — a filter over the materialized closure
     "kg_validate_sharing" -> ((s, _) => {
-      KgApi.validateSharing(KgPipeline.run(s, N_DOCS, SEED), ValidatePairs)
+      KgApi.validateSharingFromClosure(sharedClosure(s), ValidatePairs)
     }),
 
     // Coref eval harness (reference evals/coref/validate-coref.py:52-103):
@@ -295,7 +315,7 @@ object KgQueries {
 
     // A6: terms defined by SUBSUM in many policies
     "kg_term_defs" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .filter(col("pred") === "SUBSUM")
         .groupBy(col("subj").as("term"))
         .agg(countDistinct(col("url")).as("n_policies"))
@@ -317,7 +337,7 @@ object KgQueries {
     // W4: deterministic validation sample of edges (seeded pick — here a
     // length-hash both engines can compute; reference uses random.seed(0))
     "kg_validation_sample" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .select(col("url"), col("subj"), col("pred"), col("obj"))
         .filter((length(col("url")) + length(col("subj")) * 31 +
           length(col("pred")) * 7 + length(col("obj")) * 3) % 11 === 0)
@@ -336,7 +356,7 @@ object KgQueries {
     // approx_count_distinct is the 10^12-scale variant)
     "kg_corpus_stats" -> ((s, _) => {
       import s.implicits._
-      val t = KgPipeline.run(s, N_DOCS, SEED).toDF().cache()
+      val t = sharedTriples(s).toDF().cache()
       val Array(nPol, nTri) = t.agg(countDistinct(col("url")), count(lit(1)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val nSent = t.select(explode(col("text")).as("x"))
@@ -351,7 +371,7 @@ object KgQueries {
     // A3 (purpose axis of collect-and-purpose-statistics.py): purpose label
     // × datatype policy counts
     "kg_purpose_matrix" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .select(col("obj").as("datatype"), col("url"),
           explode(map_keys(col("purposes"))).as("purpose"))
         .groupBy(col("purpose"), col("datatype"))
@@ -361,7 +381,7 @@ object KgQueries {
 
     // W5 over the KG: most-collected datatypes (top-k, deterministic ties)
     "kg_top_datatypes" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .filter(col("pred") === "COLLECT")
         .groupBy(col("obj").as("datatype"))
         .agg(countDistinct(col("url")).as("n_policies"))
@@ -371,7 +391,7 @@ object KgQueries {
 
     // A3: per-datatype disclosure matrix (collect / shared / sold / denied)
     "kg_summary_matrix" -> ((s, _) => {
-      KgPipeline.run(s, N_DOCS, SEED).toDF()
+      sharedTriples(s).toDF()
         .filter(col("objType") === "DATA")
         .groupBy(col("obj").as("datatype"))
         .agg(

@@ -63,6 +63,12 @@ object Model {
   val Coref = "COREF"
   val Purpose = "PURPOSE"
 
+  /** Sentinel purpose label carried by kernel output when classification is
+    * deferred to the corpus-level batched scoring stage (A7): the per-doc
+    * build keeps raw purpose phrases under this key, and
+    * `KgPipeline.relabelPurposes` replaces it with real labels. */
+  val RawPurposeLabel = "_RAW_"
+
   /** Edge-type universe (reference collection_annotator.py:322-339). */
   val PositiveEdgeTypes: Set[String] =
     Set("COLLECT", "BE_SHARED", "BE_SOLD", "USE", "STORE")

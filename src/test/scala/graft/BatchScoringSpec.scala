@@ -41,6 +41,18 @@ class BatchScoringSpec extends AnyFunSuite {
     assert(out.forall(_.getSeq[String](1) == Seq("services")))
   }
 
+  test("classifier is total over corpus purpose phrases (batched == inline precondition)") {
+    // the deferred-label path degrades the SO1 purpose-subset reduction to
+    // phrase sets; that equals inline labeling iff every phrase classifies
+    // to >= 1 label — pin that over every phrase the corpus can generate
+    val phrases = graft.gen.CorpusGen.corpus(graft.kg.KgQueries.N_DOCS, graft.kg.KgQueries.SEED)
+      .flatMap(_.truth).flatMap(_.purposeTexts).distinct
+    assert(phrases.nonEmpty)
+    phrases.foreach { p =>
+      assert(graft.kg.Normalizer.classifyPurpose(p).nonEmpty, s"unlabeled phrase: $p")
+    }
+  }
+
   test("keyword scorer agrees with the inline classifier") {
     import spark.implicits._
     val texts = Seq("for advertising purposes", "comply with legal obligations",

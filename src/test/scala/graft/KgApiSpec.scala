@@ -190,4 +190,37 @@ class KgApiSpec extends AnyFunSuite {
     val ext = new KgApi.ExtPolicyGraph(ts, Set("phone number"), umbrella = false)
     assert(ext.whoCollect("phone number") == Vector("we"))
   }
+
+  test("recursive-CTE who_collect equals the materialized closure (Catalyst fixpoint demo)") {
+    // The production SQL surface reads the closure stage table; this pins
+    // that a recursive CTE over raw triples computes the same answer. The
+    // depth bound is the cycle guard (round-2 ADVICE): extracted triples
+    // from noisy real text could contain a SUBSUM cycle, and UNION ALL
+    // recursion without a visited set would otherwise never terminate.
+    val spark = SparkTestSession.spark
+    val triples = graft.kg.KgQueries.sharedTriples(spark)
+    triples.toDF().createOrReplaceTempView("cte_triples")
+    val cte = spark.sql("""
+      WITH RECURSIVE pos_edges AS (
+        SELECT DISTINCT url,
+          CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN obj ELSE subj END AS src,
+          CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN objType ELSE subjType END AS src_type,
+          CASE WHEN pred = 'SUBSUM' AND subjType = 'ACTOR' THEN subj ELSE obj END AS dst
+        FROM cte_triples WHERE pred NOT LIKE 'NOT!_%' ESCAPE '!'
+      ),
+      anc (url, node, node_type, depth) AS (
+        SELECT url, src, src_type, 1 FROM pos_edges WHERE dst = 'email address'
+        UNION ALL
+        SELECT e.url, e.src, e.src_type, a.depth + 1
+        FROM pos_edges e JOIN anc a ON e.url = a.url AND e.dst = a.node
+        WHERE a.depth < 20
+      )
+      SELECT DISTINCT url, node AS actor FROM anc WHERE node_type = 'ACTOR'""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val closure = KgApi.whoCollectFromClosure(
+        graft.kg.KgQueries.sharedClosure(spark), "email address")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cte.nonEmpty)
+    assert(cte == closure)
+  }
 }

@@ -24,8 +24,19 @@ class PipelineSpec extends AnyFunSuite {
     // lineage has per-partition rows for both stages
     val lineage = new StageStore(spark, dir, "x").lineage()
     val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).toSet
-    assert(stages == Set("segments", "triples"))
+    assert(stages == Set("segments", "triples_raw", "triples", "closure"))
     assert(lineage.filter(col("rowsOut") > 0).count() > 0)
+    // the closure stage table answers who_collect as a pure filter,
+    // identically to recomputing reachability from the triples
+    val fromStage = graft.kg.KgApi.whoCollectFromClosure(
+        spark.read.parquet(s"$dir/closure"), "email address")
+      .collect().map(_.toString).sorted
+    val recomputed = graft.kg.KgApi.whoCollect(
+        spark.read.parquet(s"$dir/triples").as[graft.kg.Model.Triple](
+          org.apache.spark.sql.Encoders.product[graft.kg.Model.Triple]),
+        "email address")
+      .collect().map(_.toString).sorted
+    assert(fromStage.nonEmpty && fromStage.sameElements(recomputed))
   }
 
   test("pred-partitioned stage table prunes partitions on pred filters") {
@@ -41,13 +52,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(scan.count() > 0)
   }
 
-  test("fresh pipeline equals checkpointed pipeline") {
+  test("fresh pipeline equals checkpointed pipeline (batched == inline purposes)") {
+    // the checkpointed path labels purposes via the corpus-level batched
+    // scorer; the fresh path labels inline per document — full-row equality
+    // (incl. the purpose maps) pins batched == inline
+    def rows(ds: org.apache.spark.sql.Dataset[graft.kg.Model.Triple]) =
+      ds.collect().map(t => (t.url, t.subj, t.pred, t.obj, t.text,
+        t.purposes.toSeq.map { case (k, v) => (k, v.toVector) }.sortBy(_._1)))
+        .sortBy(_.toString)
     val dir = Files.createTempDirectory("graft-ckpt2").toString
-    val fresh = KgPipeline.run(spark, 20)
-      .select("url", "subj", "pred", "obj").collect().map(_.toString).sorted
-    val ckpt = KgPipeline.runCheckpointed(spark, 20, dir, "run1")
-      .select("url", "subj", "pred", "obj").collect().map(_.toString).sorted
+    val fresh = rows(KgPipeline.run(spark, 20))
+    val ckpt = rows(KgPipeline.runCheckpointed(spark, 20, dir, "run1"))
+    assert(fresh.nonEmpty)
     assert(fresh.sameElements(ckpt))
+    assert(fresh.exists(_._6.nonEmpty), "no purposes exercised by the corpus")
   }
 
   test("salted repartition spreads a hot key across partitions") {
