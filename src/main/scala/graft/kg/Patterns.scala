@@ -47,7 +47,8 @@ object Patterns {
   }
 
   /** action, negated?, captured args (token indices per transform arg). */
-  final case class Match(action: String, neg: Boolean, args: Vector[List[Int]])
+  final case class Match(action: String, neg: Boolean, args: Vector[List[Int]],
+      verb: Int = -1)
 
   def compile(specs: Seq[(String, Seq[String], Seq[String])]): Vector[Pattern] = {
     val tm = Lexicon.tokenMap
@@ -96,9 +97,17 @@ object Patterns {
     // E1 store DT
     ("*VERB_STORE:root|ccomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("STORE", "E1", "DT")),
-    // E1 have/get/gain access to DT
-    ("have|get|gain:root|ccomp",
+    // E1 have/get/gain/request access to DT
+    ("have|get|gain|request:root|ccomp",
       Seq(":subj@E1", "!access:obj,to,:obj@DT"), Seq("USE", "E1", "DT")),
+    // E1 ask for/about DT
+    ("ask:root|ccomp",
+      Seq(":subj@E1", "!for|about,:obj@DT"), Seq("COLLECT", "E1", "DT")),
+    // E1 link/combine/associate X to/with DT (both X and DT are processed)
+    ("link|combine|associate|merge:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "to|with,:obj@X"), Seq("USE", "E1", "DT")),
+    ("link|combine|associate|merge:root|ccomp",
+      Seq(":subj@E1", "!to|with,:obj@DT"), Seq("USE", "E1", "DT")),
     // E1 make use of DT
     ("make:root|ccomp",
       Seq(":subj@E1", "!use:obj", "!of,:obj@DT"), Seq("USE", "E1", "DT")),
@@ -108,6 +117,19 @@ object Patterns {
         "!*VERB_SHARE_WITH:xcomp|ccomp,:obj@DT",
         "*VERB_SHARE_WITH:xcomp|ccomp,with,:obj@E3"),
       Seq("SHARE", "E2", "DT", "E3|E1")),
+    // E1 require/ask E2 to provide E3 with DT
+    ("*VERB_REQUIRE_TODO:root|ccomp",
+      Seq(":subj@E1", "*VERB_PROVIDE_WITH:xcomp|ccomp,:subj@E2",
+        "*VERB_PROVIDE_WITH:xcomp|ccomp,:obj@E3",
+        "!*VERB_PROVIDE_WITH:xcomp|ccomp,with,:obj@DT"),
+      Seq("SHARE", "E2", "DT", "E3|E1")),
+    // E1 require/ask E2 to provide DT to E3
+    ("*VERB_REQUIRE_TODO:root|ccomp",
+      Seq(":subj@E1", "*VERB_PROVIDE_TO:xcomp|ccomp,:subj@E2",
+        "!*VERB_PROVIDE_TO:xcomp|ccomp,:obj@DT",
+        "*VERB_PROVIDE_TO:xcomp|ccomp,to,:obj@E3",
+        "*VERB_PROVIDE_TO:xcomp|ccomp,:dative@E4"),
+      Seq("SHARE", "E2", "DT", "E3|E4|E1")),
     // ... allow E1 to collect DT from E2
     ("*VERB_ALLOW_TODO:root|ccomp",
       Seq("*VERB_COLLECT_FROM:xcomp,:subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT",
@@ -211,7 +233,7 @@ object Patterns {
               case n if named.contains(n) => named(n)
             }.getOrElse(Nil)
           }
-          out += Match(action, p.neg.contains(v), args)
+          out += Match(action, p.neg.contains(v), args, v)
         }
       }
     }

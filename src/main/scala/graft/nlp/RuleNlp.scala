@@ -37,7 +37,8 @@ object RuleNlp {
       chunks: Vector[Chunk],
       deps: Vector[Dep],
       neg: Set[Int],
-      text: String) {
+      text: String,
+      passiveVerbs: Set[Int] = Set.empty) { // verbs in agent-capable passive voice
     lazy val out: Map[Int, Vector[Dep]] = deps.groupBy(_.from).withDefaultValue(Vector.empty)
     lazy val in: Map[Int, Vector[Dep]] = deps.groupBy(_.to).withDefaultValue(Vector.empty)
     private lazy val chunkIdx: java.util.HashMap[Int, Chunk] = {
@@ -206,6 +207,13 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
+        case "ADJ" if at(i - 1) == "DET" && at(i + 1) != "NOUN" &&
+          at(i + 1) != "PROPN" && at(i + 1) != "ADJ" && at(i + 1) != "NUM" &&
+          at(i + 1) != "VERBC" =>
+          // substantive adjective heads its own NP ("we share the following
+          // with...", "see the above") — nominal reading so the chunker
+          // keeps it and verb patterns can capture it as an object
+          t.pos = "NOUN"
         case "ADP" if t.lemma == "as" && i + 2 < n &&
           toks(i + 1).lemma == "well" && toks(i + 2).lemma == "as" =>
           // "as well as" coordinates like and/or — retag the triple CCONJ so
@@ -428,6 +436,14 @@ object RuleNlp {
           if (toks(k).pos == "CCONJ" || toks(k).text == ",") sawConj = true
           k += 1
         }
+        // skip a comma-bounded parenthetical clause between conjuncts
+        // ("credentials and, if you opt in, your contact list")
+        if (sawConj && k < end && toks(k).pos == "SCONJ" && k > start &&
+          toks(k - 1).text == ",") {
+          var j = k + 1
+          while (j < end && j - k < 8 && toks(j).text != ",") j += 1
+          if (j < end && toks(j).text == ",") k = j + 1
+        }
         chunks.find(_.start == k) match {
           case Some(nc) if sawConj => heads += nc.head; cur = nc
           case _ => go = false
@@ -458,6 +474,18 @@ object RuleNlp {
             }
           }
         case _ =>
+      }
+      if (relclUpper < 0) {
+        // "[NP], which/who/that VERB ...": the relativizer itself is the
+        // subject, resolved to its antecedent chunk (nearest NP across an
+        // optional comma)
+        val r = vg.auxStart - 1
+        if (r >= start && toks(r).pos == "SCONJ" && Relativizers.contains(toks(r).lemma)) {
+          val before = if (r - 1 >= start && toks(r - 1).text == ",") r - 1 else r
+          chunkBefore(before).foreach { cX =>
+            relclUpper = cX.head; relclSubj = cX.head
+          }
+        }
       }
 
       val isConj = lastVerb >= 0 && !vg.toMarked && {
@@ -537,6 +565,12 @@ object RuleNlp {
             } else {
               heads.foreach(h => addDep(v, h, "subj"))
               subjOf(v) = heads
+              // "Neither X nor Y <verb> ...": the negation opens the
+              // subject conj group, outside the verb's aux window
+              val subjStart = chunks.filter(ch => heads.contains(ch.head))
+                .map(_.start).minOption.getOrElse(c.start)
+              if (subjStart - 1 >= start && toks(subjStart - 1).pos == "PART" &&
+                toks(subjStart - 1).lemma == "neither") neg += v
             }
           case _ =>
         }
@@ -573,7 +607,8 @@ object RuleNlp {
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
-    Parse(start, end, toks, chunks, deps.toVector.distinct, neg.toSet, text)
+    Parse(start, end, toks, chunks, deps.toVector.distinct, neg.toSet, text,
+      vgs.iterator.filter(_.passive).map(_.verb).toSet)
   }
 
   private def lastVerbEndBound(vgs: ArrayBuffer[VGroup], vgIdx: Int, end: Int): Int =
@@ -628,6 +663,13 @@ object RuleNlp {
     var k = v + 1
     var bareChunks = 0
     var lastNounHead = -1
+    // head of the nominal CHAIN the parser is inside: stays at the owning
+    // noun while noun-attached PPs extend it ("information about your
+    // device" keeps chainRoot=information), so a comma-separated
+    // subsumption cue attaches high — ", including X" subsumes under the
+    // NP the verb governs, not under the PP-internal noun it happens to
+    // follow (spaCy's high attachment for comma-separated "including")
+    var chainRoot = -1
     var lastBareEnd = -1
     var pendingNeg = false
     while (k < regionEnd) {
@@ -646,9 +688,15 @@ object RuleNlp {
           ("access", "to"), ("information", "about"), ("information", "on"),
           ("data", "about"), ("datum", "about"), ("detail", "about"))
           .contains((toks(lastNounHead).lemma, t.lemma)))
-        val nounAttach = (t.lemma == "of") || collocation ||
-          ((t.lemma == "as" && p > start && toks(p - 1).lemma == "such") ||
-            t.lemma == "like" || t.lemma == "include") && lastNounHead >= 0
+        val subsumCue = ((t.lemma == "as" && p > start && toks(p - 1).lemma == "such") ||
+          t.lemma == "like" || t.lemma == "include") && lastNounHead >= 0
+        val cueStart = if (t.lemma == "as") p - 1 else p
+        val commaBefore = cueStart > start && toks(cueStart - 1).text == ","
+        // comma-separated cue → attach to the chain root (high); tight cue
+        // ("services like X") → nearest noun
+        val subsumAnchor =
+          if (subsumCue && commaBefore && chainRoot >= 0) chainRoot else lastNounHead
+        val nounAttach = (t.lemma == "of") || collocation || subsumCue
         // skip "in order to" here (handled as purpose acl by clause pass)
         val isInOrder = t.lemma == "in" && p + 2 < end &&
           toks(p + 1).lemma == "order" && toks(p + 2).lemma == "to"
@@ -664,6 +712,9 @@ object RuleNlp {
               } else if (nounAttach && t.lemma == "of" && lastNounHead >= 0) {
                 addDep(lastNounHead, p, "prep")
                 heads.foreach(h => addDep(p, h, "obj"))
+              } else if (subsumCue) {
+                addDep(subsumAnchor, p, "prep")
+                heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
               } else if (nounAttach) {
                 addDep(lastNounHead, p, "prep")
                 heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
@@ -671,6 +722,7 @@ object RuleNlp {
                 addDep(v, p, "prep")
                 if (pendingNeg) neg += p
                 heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
+                chainRoot = heads.last
               }
               lastNounHead = heads.last
               // jump past the conj group
@@ -685,7 +737,7 @@ object RuleNlp {
                   case Some(c) =>
                     val heads = conjChunkHeads(c)
                     if (lastNounHead >= 0) {
-                      addDep(lastNounHead, p, "prep")
+                      addDep(subsumAnchor, p, "prep")
                       heads.foreach(h => addDep(p, h, "obj"))
                     }
                     k = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
@@ -715,6 +767,7 @@ object RuleNlp {
               objOf(v) = heads
             }
             lastNounHead = heads.last
+            chainRoot = heads.last
             k = chunks.filter(ch => heads.contains(ch.head)).map(_.end).max
             lastBareEnd = k
           case None => k += 1
