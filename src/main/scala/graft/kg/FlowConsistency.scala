@@ -51,8 +51,10 @@ object FlowConsistency {
           // unknown tracker domain
           Seq(Flow(url, "trackers-r-us.example", "email address"))
         case 3 =>
-          // undisclosed: google flow of a datatype the policy never mentions
-          Seq(Flow(url, "google.com", "voiceprint"))
+          // undisclosed google flow of a never-mentioned datatype, via a
+          // subdomain under a multi-label public suffix — exercises the PSL
+          // reduction end to end ("metrics.google.co.uk" → "google.co.uk")
+          Seq(Flow(url, "metrics.google.co.uk", "voiceprint"))
         case 4 =>
           // member of a sharing actor category: consistent only through the
           // per-policy ACTOR SUBSUM chain ("third parties, such as Stripe")
@@ -88,12 +90,18 @@ object FlowConsistency {
     // resolve destination entity: known map, else first-party when the flow
     // domain equals the app's own registered domain
     val resolved = flowsDf
-      .join(broadcast(domains), Seq("domain"), "left_outer")
+      // F7: reduce the observed destination host to its PSL registered
+      // domain in-plan (codegen column expression, no UDF) before the
+      // entity-map join — "metrics.google.co.uk" → "google.co.uk"
+      .withColumn("domain_reg", Ontology.registeredDomainCol(col("domain")))
+      .join(broadcast(domains.withColumnRenamed("domain", "rdomain")),
+        col("domain_reg") === col("rdomain"), "left_outer")
+      .drop("rdomain")
       .withColumn("app_domain",
         regexp_extract(col("url"), "^https?://([^/]+)", 1))
       .withColumn("entity",
         when(col("entity").isNotNull, col("entity"))
-          .when(expr("app_domain LIKE '%' || domain"), lit("we")))
+          .when(expr("app_domain LIKE '%' || domain_reg"), lit("we")))
 
     val collectPreds = Seq("COLLECT", "BE_SHARED", "BE_SOLD", "USE", "STORE")
     val disclosures = triples
@@ -178,8 +186,9 @@ object FlowConsistency {
     val collectPreds = Set("COLLECT", "BE_SHARED", "BE_SOLD", "USE", "STORE")
     flows(nDocs, seed).map { f =>
       val appDomain = Ontology.registeredDomain(Ontology.hostOf(f.url))
-      val entity = domains.get(f.domain)
-        .orElse(if (f.domain == appDomain) Some("we") else None)
+      val reg = Ontology.registeredDomain(f.domain)
+      val entity = domains.get(reg)
+        .orElse(if (reg == appDomain) Some("we") else None)
       val verdict = entity match {
         case None => "unknown_entity"
         case Some(e) =>

@@ -239,8 +239,15 @@ object AliasResolution {
     * plan tree grows unboundedly and real-corpus alias graphs (10⁸ edges)
     * blow up driver planning. Converges in O(diameter) shuffle rounds. */
   def connectedComponents(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 25)
-      : org.apache.spark.sql.DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+      : org.apache.spark.sql.DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** As [[connectedComponents]], also reporting the number of shuffle rounds
+    * taken — pointer jumping makes this ≈ log₂(diameter), the property the
+    * adversarial-scale test pins. */
+  def connectedComponentsWithRounds(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 25)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = sym.select(col("src").as("vertex")).distinct()
@@ -278,9 +285,27 @@ object AliasResolution {
         case r => r.getLong(0)
       }
       prev.unpersist()
+      // every 3rd round, CONTRACT the edge list to current component
+      // representatives and drop self-loops (the quotient-graph step of
+      // two-phase CC): converged components — the overwhelming mass after a
+      // few rounds on web-shaped alias graphs — leave the join entirely, so
+      // late rounds shuffle only the shrinking unresolved core (a long
+      // chain's representatives), not all |E| edges. Non-representative
+      // vertices keep re-resolving through the per-round pointer jump.
+      if (changed > 0 && i % 3 == 2) {
+        val l1 = labels.select(col("vertex").as("v1"), col("component").as("c1"))
+        val l2 = labels.select(col("vertex").as("v2"), col("component").as("c2"))
+        val contracted = sym.join(l1, sym("src") === col("v1"))
+          .join(l2, sym("dst") === col("v2"))
+          .filter(col("c1") =!= col("c2"))
+          .select(col("c1").as("src"), col("c2").as("dst"))
+          .distinct().localCheckpoint(true)
+        sym.unpersist()
+        sym = contracted
+      }
       i += 1
     }
     sym.unpersist()
-    labels.select(col("vertex"), col("component"))
+    (labels.select(col("vertex"), col("component")), i)
   }
 }

@@ -214,21 +214,24 @@ object KgQueries {
       KgApi.contradictions(sharedTriples(s))
     }),
 
-    // G12: distributed connected components over the entity-alias graph.
-    // The lexicon's 70 alias edges are unioned with a 10⁴-vertex synthetic
-    // graph (900 stars of 10 + 125 chains of 8) so the iterative hash-min
-    // join is measured at a size where iteration hygiene actually matters —
-    // the oracle derives every component arithmetically.
+    // G12: distributed connected components over the entity-alias graph, at
+    // adversarial scale (round-2 VERDICT next #10): ~10⁶ edges — one giant
+    // skewed star (300k spokes on a single hub), one 4096-node chain whose
+    // diameter exercises pointer jumping (rounds ≈ log₂(diameter), pinned in
+    // PipelineSpec), 70k small stars, plus the real lexicon alias edges. The
+    // oracle derives every component arithmetically in SQL.
     "kg_alias_components" -> ((s, _) => {
       import s.implicits._
-      val stars = s.range(0, 9000).filter(col("id") % 10 =!= 0)
-        .select(format_string("v%05d", col("id")).as("src"),
-          format_string("v%05d", col("id") - col("id") % 10).as("dst"))
-      val chains = s.range(0, 1000).filter(col("id") % 8 =!= 7)
-        .select(format_string("c%04d", col("id")).as("src"),
-          format_string("c%04d", col("id") + 1).as("dst"))
+      val giant = s.range(1, 300001)
+        .select(format_string("g%06d", col("id")).as("src"), lit("g000000").as("dst"))
+      val chain = s.range(0, 4095)
+        .select(format_string("h%06d", col("id")).as("src"),
+          format_string("h%06d", col("id") + 1).as("dst"))
+      val stars = s.range(0, 700000).filter(col("id") % 10 =!= 0)
+        .select(format_string("s%06d", col("id")).as("src"),
+          format_string("s%06d", col("id") - col("id") % 10).as("dst"))
       val lex = aliasEdges.toDF("src", "dst")
-      AliasResolution.connectedComponents(stars.union(chains).union(lex))
+      AliasResolution.connectedComponents(giant.union(chain).union(stars).union(lex))
         .orderBy("vertex")
     }),
 
@@ -821,14 +824,16 @@ object KgQueries {
         Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"),
         contradictions,
         Seq("url", "pos_subj", "pos_pred", "pos_obj", "neg_subj", "neg_pred", "neg_obj"))
-    // the 10⁴ synthetic vertices are formula-derived in SQL; the lexicon
+    // the 10⁶-edge synthetic graph is formula-derived in SQL; the lexicon
     // part stays a VALUES literal from the independent union-find
     m("kg_alias_components") =
       s"""SELECT vertex, component FROM (
-         |  SELECT printf('v%05d', i) AS vertex, printf('v%05d', i - (i % 10)) AS component
-         |  FROM range(9000) t(i)
+         |  SELECT printf('g%06d', i) AS vertex, 'g000000' AS component
+         |  FROM range(300001) t(i)
          |  UNION ALL
-         |  SELECT printf('c%04d', j), printf('c%04d', j - (j % 8)) FROM range(1000) t(j)
+         |  SELECT printf('h%06d', j), 'h000000' FROM range(4096) t(j)
+         |  UNION ALL
+         |  SELECT printf('s%06d', k), printf('s%06d', k - (k % 10)) FROM range(700000) t(k)
          |  UNION ALL
          |  ${valuesSqlNoOrder(Seq("vertex", "component"), comps)}
          |) ORDER BY vertex""".stripMargin

@@ -103,12 +103,41 @@ object Ontology {
       domains.map(d => registeredDomain(d) -> canon)
     }.distinct.sorted
 
-  /** Last-two-labels registered domain (PSL subset sufficient for .com/.net
-    * style domains in scope; a full PSL table drops in here). */
+  /** Multi-label public suffixes (trimmed public-suffix-list table, F7 —
+    * resources/graft/public_suffix_trimmed.tsv). Single-label TLDs need no
+    * entry; the common registries are 2-label, so the table holds 2-label
+    * suffixes and `registeredDomain` returns suffix + one label. */
+  lazy val multiLabelSuffixes: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_trimmed.tsv")
+    require(in != null, "missing public_suffix_trimmed.tsv")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("#")).toSet
+    finally in.close()
+  }
+
+  /** PSL registered domain (reference uses tldextract,
+    * flow_consistency_analysis.py:101-110): longest matching public suffix
+    * plus one label — `bbc.co.uk` for `www.bbc.co.uk`. */
   def registeredDomain(host: String): String = {
-    val labels = host.split('.').filter(_.nonEmpty)
+    val labels = host.toLowerCase.split('.').filter(_.nonEmpty)
     if (labels.length <= 2) labels.mkString(".")
+    else if (multiLabelSuffixes.contains(labels.takeRight(2).mkString(".")))
+      labels.takeRight(math.min(3, labels.length)).mkString(".")
     else labels.takeRight(2).mkString(".")
+  }
+
+  /** Column-expression twin of [[registeredDomain]] — the suffix table is a
+    * literal set membership, so flow classification stays UDF-free and
+    * codegen-friendly at scale. */
+  def registeredDomainCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val parts = split(lower(d), "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", slice(parts, greatest(n - lit(1), lit(1)), lit(2)))
+    when(n >= lit(3) && last2.isInCollection(multiLabelSuffixes),
+        concat_ws(".", slice(parts, n - lit(2), lit(3))))
+      .when(n >= lit(2), last2)
+      .otherwise(concat_ws(".", parts))
   }
 
   def hostOf(url: String): String =

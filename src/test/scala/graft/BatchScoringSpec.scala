@@ -53,6 +53,34 @@ class BatchScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("committed MLP model runs the batched executor path and matches the teacher (U1/U8)") {
+    import spark.implicits._
+    // real learned model (trained weights fixture, loaded once per JVM like
+    // an ONNX session) scored in executor-side batches over the corpus's
+    // distinct purpose phrases
+    val phrases = graft.gen.CorpusGen.corpus(graft.kg.KgQueries.N_DOCS, graft.kg.KgQueries.SEED)
+      .flatMap(_.truth).flatMap(_.purposeTexts).distinct
+    val out = BatchScoring.scorePurposeTexts(phrases.toDS(), graft.nlp.MlpPurposeScorer,
+        batchSize = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    phrases.foreach { p =>
+      assert(out(p) == graft.kg.Normalizer.classifyPurpose(p).toSet,
+        s"MLP disagrees with teacher on: $p")
+    }
+  }
+
+  test("pipeline output is identical with the neural scorer swapped in") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlp").toString
+    def rows(ds: org.apache.spark.sql.Dataset[graft.kg.Model.Triple]) =
+      ds.collect().map(t => (t.url, t.subj, t.pred, t.obj,
+        t.purposes.toSeq.map { case (k, v) => (k, v.toVector) }.sortBy(_._1)))
+        .sortBy(_.toString)
+    val keyword = rows(graft.kg.KgPipeline.run(spark, 20))
+    val neural = rows(graft.kg.KgPipeline.runCheckpointed(spark, 20, dir, "mlp",
+      scorer = graft.nlp.MlpPurposeScorer))
+    assert(keyword.nonEmpty && keyword.sameElements(neural))
+  }
+
   test("keyword scorer agrees with the inline classifier") {
     import spark.implicits._
     val texts = Seq("for advertising purposes", "comply with legal obligations",

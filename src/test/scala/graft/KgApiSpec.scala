@@ -191,6 +191,24 @@ class KgApiSpec extends AnyFunSuite {
     assert(ext.whoCollect("phone number") == Vector("we"))
   }
 
+  test("PSL registered domain handles multi-label suffixes (F7), column twin agrees") {
+    import graft.kg.Ontology
+    import org.apache.spark.sql.functions.col
+    assert(Ontology.registeredDomain("www.bbc.co.uk") == "bbc.co.uk")
+    assert(Ontology.registeredDomain("metrics.google.co.uk") == "google.co.uk")
+    assert(Ontology.registeredDomain("a.b.example.com") == "example.com")
+    assert(Ontology.registeredDomain("example.com") == "example.com")
+    assert(Ontology.registeredDomain("sub.domain.com.au") == "domain.com.au")
+    assert(Ontology.registeredDomain("localhost") == "localhost")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val hosts = Seq("www.bbc.co.uk", "metrics.google.co.uk", "a.b.example.com",
+      "example.com", "sub.domain.com.au", "localhost")
+    val got = hosts.toDF("h").select(Ontology.registeredDomainCol(col("h")))
+      .as[String].collect().toSeq
+    assert(got == hosts.map(Ontology.registeredDomain))
+  }
+
   test("recursive-CTE who_collect equals the materialized closure (Catalyst fixpoint demo)") {
     // The production SQL surface reads the closure stage table; this pins
     // that a recursive CTE over raw triples computes the same answer. The

@@ -34,6 +34,68 @@ class PdfSourceSpec extends AnyFunSuite {
     assert(html.contains("<p>We collect your email address. We may share usage data with advertisers.</p>"))
   }
 
+  /** Builds a structurally real PDF: header, catalog/pages/page objects, a
+    * FlateDecode content stream with BT/Td/Tj/ET text operators, trailer.
+    * Deterministic, so the fixture is reviewable instead of opaque bytes. */
+  def buildPdf(paragraphs: Seq[String], compress: Boolean): Array[Byte] = {
+    def esc(t: String) = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val content = paragraphs.map { p =>
+      s"BT /F1 12 Tf 72 720 Td (${esc(p)}) Tj ET"
+    }.mkString("\n")
+    val raw = content.getBytes("ISO-8859-1")
+    val data = if (!compress) raw else {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+      d.end()
+      buf.toByteArray
+    }
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val head =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj << /Length ${data.length}$filter >> stream
+         |""".stripMargin.getBytes("ISO-8859-1")
+    val tail = "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n".getBytes("ISO-8859-1")
+    head ++ data ++ tail
+  }
+
+  test("real PDF extraction: FlateDecode content streams decode to the same triples as HTML") {
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L)
+    val paras = Seq(
+      "We collect your email address.",
+      "We may share usage data with advertisers.")
+    for (compress <- Seq(true, false)) {
+      val pdfBytes = buildPdf(paras, compress)
+      val pdfs = Seq(PdfSource.PdfDoc("https://pdf.example/real", ts, pdfBytes, "en")).toDS()
+      val viaPdf = KgPipeline.triplesFromPages(
+          PdfSource.pages(pdfs, PdfSource.PdfTextParser))
+        .collect().map(t => (t.subj, t.pred, t.obj)).toSet
+      val html = "<p>We collect your email address.</p>" +
+        "<p>We may share usage data with advertisers.</p>"
+      val viaHtml = graft.kg.DocKernel.process("t",
+        graft.text.HtmlSegmenter.segment("t", html))
+        .map(t => (t.subj, t.pred, t.obj)).toSet
+      assert(viaPdf.nonEmpty)
+      assert(viaPdf == viaHtml, s"compress=$compress")
+    }
+  }
+
+  test("PDF text operators: escapes, TJ arrays, octal, line moves") {
+    val content = "BT (Your \\(personal\\) data) Tj 0 -14 Td " +
+      "[(We store) ( your ) (\\160urchase history.)] TJ ET"
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length " + content.length +
+      " >> stream\n" + content + "\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    val md2 = PdfSource.PdfTextParser.toMarkdown(pdf)
+    assert(md2.contains("Your (personal) data"))
+    assert(md2.contains("We store your purchase history."))
+  }
+
   test("PDF rows flow through the normal pipeline and match the HTML path") {
     import spark.implicits._
     val ts = new Timestamp(1700000000000L)

@@ -83,6 +83,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(KgPipeline.saltedRepartition(hot, 8, saltBuckets = 8).count() == 400)
   }
 
+  test("pointer jumping keeps rounds logarithmic in the component diameter") {
+    import spark.implicits._
+    // 1024-node chain: propagation alone needs ~1024 rounds; with pointer
+    // jumping the reach doubles per round → ≤ log2(1023) + 2 = 12
+    val chain = spark.range(0, 1023)
+      .select(format_string("c%04d", col("id")).as("src"),
+        format_string("c%04d", col("id") + 1).as("dst"))
+    val (labels, rounds) = graft.kg.AliasResolution.connectedComponentsWithRounds(chain)
+    assert(labels.select("component").distinct().count() == 1)
+    assert(rounds <= 12, s"rounds=$rounds for diameter 1023")
+  }
+
   test("alias components merge aliases of the same entity") {
     import spark.implicits._
     val edges = Seq(
