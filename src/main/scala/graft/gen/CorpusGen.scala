@@ -26,8 +26,14 @@ object CorpusGen {
   /** corefLabels: (anaphor sentence text, antecedent canonical term) — the
     * doccano-style label channel for the coref eval harness (reference
     * evals/coref/validate-coref.py labels). */
-  final case class GenPage(page: WebPage, truth: Vector[Truth],
-      corefLabels: Vector[(String, String)] = Vector.empty)
+  final class GenPage(val page: WebPage,
+      truthThunk: () => Vector[Truth],
+      corefThunk: () => Vector[(String, String)]) {
+    /** Lazy: the KG bench path reads only `page`; truth dedup (the oracle's
+      * evidence/purpose merge) is paid only by oracle/eval consumers. */
+    lazy val truth: Vector[Truth] = truthThunk()
+    lazy val corefLabels: Vector[(String, String)] = corefThunk()
+  }
 
   // (surface form with possessive, canonical term)
   private val dataTerms: Vector[(String, String)] = Vector(
@@ -329,9 +335,9 @@ object CorpusGen {
     val text = html.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim
     // ~5% non-English pages exercise the lang gate (no truth)
     val lang = if (rng.nextInt(20) == 0) "de" else "en"
-    val t = if (lang == "en") dedupTruth(truth.result()) else Vector.empty
-    GenPage(WebPage(url, ts, html.getBytes("UTF-8"), text, lang), t,
-      if (lang == "en") corefLabels.result() else Vector.empty)
+    new GenPage(WebPage(url, ts, html.getBytes("UTF-8"), text, lang),
+      () => if (lang == "en") dedupTruth(truth.result()) else Vector.empty,
+      () => if (lang == "en") corefLabels.result() else Vector.empty)
   }
 
   /** The pipeline merges repeated statements into one triple; truth follows

@@ -157,8 +157,10 @@ object DocKernel {
                 ws(ws.length - 1) = true
             }
           }
-          ts.zipWithIndex.foreach { case (t, i) =>
-            texts += t; ws += wf(i); srcs += Some(Src(s.segId, i))
+          var ti = 0
+          while (ti < ts.length) {
+            texts += ts(ti); ws += wf(ti); srcs += Some(Src(s.segId, ti))
+            ti += 1
           }
           if (ts.nonEmpty || s.segType == "LISTITEM") prev = Some(s)
         }
@@ -419,13 +421,14 @@ object DocKernel {
     * (collection_annotator.py:354-375). */
   private def validateType(st: DocState, d: CtxDoc, p: Parse, toks: List[Int], target: String): Boolean = {
     if (toks.isEmpty) return false
+    // quick local check by token ner first — the common case; the BFS
+    // structures below are only allocated when the walk is actually needed
+    if (toks.exists(t => d.toks(t).ner == target)) return true
     val srcs0 = toks.flatMap(t => d.srcs(t))
     val entOf = mutable.Map[Src, String]()
     toks.foreach(t => d.srcs(t).foreach(s => entOf(s) = d.toks(t).ner))
     val queue = mutable.Queue[Src](srcs0: _*)
     val visited = mutable.Set[Src](srcs0: _*)
-    // quick local check by token ner first
-    if (toks.exists(t => d.toks(t).ner == target)) return true
     while (queue.nonEmpty) {
       val s = queue.dequeue()
       val ner = entOf.getOrElse(s, st.mentions.get(s).map(_.ner).getOrElse("NN"))

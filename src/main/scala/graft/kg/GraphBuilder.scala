@@ -14,17 +14,35 @@ import graft.kg.Normalizer.Mention
   */
 object GraphBuilder {
 
-  /** Small deterministic directed multigraph keyed by (u, v, rel). */
+  /** Small deterministic directed multigraph keyed by (u, v, rel), with
+    * per-endpoint adjacency indexes — inE/outE were linear edge scans
+    * allocating a Vector per call inside per-node loops (kernel allocation
+    * hot spot). */
   final class MultiDigraph {
     val edges = mutable.LinkedHashSet[(Src, Src, String)]()
     val purposes = mutable.Map[(Src, Src, String), Set[(String, String)]]()
+    private val outIdx = mutable.Map[Src, mutable.LinkedHashSet[(Src, Src, String)]]()
+    private val inIdx = mutable.Map[Src, mutable.LinkedHashSet[(Src, Src, String)]]()
+    def add(e: (Src, Src, String)): Unit = if (edges.add(e)) {
+      outIdx.getOrElseUpdate(e._1, mutable.LinkedHashSet()) += e
+      inIdx.getOrElseUpdate(e._2, mutable.LinkedHashSet()) += e
+    }
+    def removeEdge(e: (Src, Src, String)): Unit = if (edges.remove(e)) {
+      purposes -= e
+      outIdx.get(e._1).foreach(_ -= e)
+      inIdx.get(e._2).foreach(_ -= e)
+    }
+    def contains(e: (Src, Src, String)): Boolean = edges.contains(e)
     def nodes: Set[Src] = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    def hasNode(n: Src): Boolean = edges.exists(e => e._1 == n || e._2 == n)
-    def inE(n: Src): Vector[(Src, Src, String)] = edges.iterator.filter(_._2 == n).toVector
-    def outE(n: Src): Vector[(Src, Src, String)] = edges.iterator.filter(_._1 == n).toVector
+    def hasNode(n: Src): Boolean =
+      outIdx.get(n).exists(_.nonEmpty) || inIdx.get(n).exists(_.nonEmpty)
+    def inE(n: Src): Vector[(Src, Src, String)] =
+      inIdx.get(n).map(_.toVector).getOrElse(Vector.empty)
+    def outE(n: Src): Vector[(Src, Src, String)] =
+      outIdx.get(n).map(_.toVector).getOrElse(Vector.empty)
     def remove(n: Src): Unit = {
-      val dead = edges.filter(e => e._1 == n || e._2 == n).toVector
-      dead.foreach { e => edges -= e; purposes -= e }
+      val dead = (inE(n) ++ outE(n)).distinct
+      dead.foreach(removeEdge)
     }
   }
 
@@ -116,11 +134,11 @@ object GraphBuilder {
         if (setdefault(s1, "ACTOR") == "ACTOR" && setdefault(s2, "DATA") == "DATA") {
           variant match {
             case "extended" =>
-              gCollect.edges += ((s1, s2, rel))
+              gCollect.add((s1, s2, rel))
               dtypePurposeTexts.getOrElseUpdate(s2, mutable.ListBuffer())
             case _ => // original / per_sentence / per_section: positives only
               if (!rel.startsWith("NOT_")) {
-                gCollect.edges += ((s1, s2, Collect))
+                gCollect.add((s1, s2, Collect))
                 dtypePurposeTexts.getOrElseUpdate(s2, mutable.ListBuffer())
               }
           }
@@ -316,11 +334,14 @@ object GraphBuilder {
   /** Longest-first substring dedup preserving original order
     * (build_graph.py:452-477). */
   def dedupBySubstring(texts: Vector[String]): Vector[String] = {
+    if (texts.length <= 1) return texts // common case: one evidence sentence
+    val d = texts.distinct
+    if (d.length == 1) return d
     val kept = mutable.Set[String]()
-    texts.distinct.sortBy(-_.length).foreach { t =>
+    d.sortBy(-_.length).foreach { t =>
       if (!kept.exists(e => e.contains(t))) kept += t
     }
-    texts.distinct.filter(kept.contains)
+    d.filter(kept.contains)
   }
 
   /** Contract node v into u in a multigraph (graph_utils.py:115-142). */
@@ -329,8 +350,8 @@ object GraphBuilder {
     remap.foreach { case e @ (a, b, rel) =>
       val w = if (a == v) u else a
       val x = if (b == v) u else b
-      if (w != x && !g.edges.contains((w, x, rel))) {
-        g.edges += ((w, x, rel))
+      if (w != x && !g.contains((w, x, rel))) {
+        g.add((w, x, rel))
         g.purposes.get(e).foreach(p => g.purposes((w, x, rel)) = p)
       }
     }
@@ -382,7 +403,7 @@ object GraphBuilder {
         }
       }
     }
-    toRemove.foreach { e => gc.edges -= e; gc.purposes -= e }
+    toRemove.foreach(gc.removeEdge)
   }
 
   /** Splice an un-normalizable subsuming node out of both graphs
@@ -392,8 +413,8 @@ object GraphBuilder {
       if (tt == "DATA") {
         gc.inE(src).foreach { case e @ (u, _, rel) =>
           gs.out(src).foreach { v =>
-            if (!gc.edges.contains((u, v, rel))) {
-              gc.edges += ((u, v, rel))
+            if (!gc.contains((u, v, rel))) {
+              gc.add((u, v, rel))
               gc.purposes.get(e).foreach(p => gc.purposes((u, v, rel)) = p)
             }
           }
@@ -401,8 +422,8 @@ object GraphBuilder {
       } else if (tt == "ACTOR") {
         gc.outE(src).foreach { case e @ (_, v0, rel) =>
           gs.out(src).foreach { u =>
-            if (!gc.edges.contains((u, v0, rel))) {
-              gc.edges += ((u, v0, rel))
+            if (!gc.contains((u, v0, rel))) {
+              gc.add((u, v0, rel))
               gc.purposes.get(e).foreach(p => gc.purposes((u, v0, rel)) = p)
             }
           }

@@ -44,6 +44,10 @@ object Patterns {
     /** reusable empty DFS state (immutable) — was rebuilt per dep edge */
     lazy val emptyProgress: Map[Int, List[Int]] =
       chains.indices.map(_ -> List.empty[Int]).toMap
+    /** transform precompiled: action + per-arg fallback name lists (parsing
+      * `E2|E3` specs per match was a measurable allocator) */
+    lazy val action: String = transform.head
+    lazy val argSpecs: Vector[Array[String]] = transform.tail.map(_.split('|'))
   }
 
   /** action, negated?, captured args (token indices per transform arg). */
@@ -195,11 +199,14 @@ object Patterns {
         def onSuccess(chainIdx: Int, progress: List[Int]): Unit = {
           val chain = pat.chains(chainIdx)
           var truncated = false
-          chain.zip(progress).foreach { case ((_, save), node) =>
-            if (!truncated) {
-              if (p.neg.contains(node)) truncated = true
-              else save.foreach(s => named(s) = named(s) :+ node)
-            }
+          var k = 0
+          var prog = progress
+          while (!truncated && k < chain.length && prog.nonEmpty) {
+            val node = prog.head
+            if (p.neg.contains(node)) truncated = true
+            else chain(k)._2.foreach(s => named(s) = named(s) :+ node)
+            prog = prog.tail
+            k += 1
           }
           if (!truncated) unmatchedRequired -= chainIdx
         }
@@ -227,13 +234,16 @@ object Patterns {
         p.out(v).foreach(e => dfs(e.to, e.dep, pat.emptyProgress))
 
         if (unmatchedRequired.isEmpty) {
-          val action +: argNames = pat.transform
-          val args = argNames.map { spec =>
-            spec.split('|').collectFirst {
-              case n if named.contains(n) => named(n)
-            }.getOrElse(Nil)
+          val args = pat.argSpecs.map { spec =>
+            var r: List[Int] = Nil
+            var k = 0
+            while (r.isEmpty && k < spec.length) {
+              r = named.getOrElse(spec(k), Nil)
+              k += 1
+            }
+            r
           }
-          out += Match(action, p.neg.contains(v), args, v)
+          out += Match(pat.action, p.neg.contains(v), args, v)
         }
       }
     }

@@ -70,6 +70,32 @@ object ScaleProbe {
     measure("buildDocs")(i => if (i < segs.size) DocKernel.buildDocs(segs(i)._2))
     measure("annotate")(i => if (i < segs.size) DocKernel.annotate(segs(i)._1, segs(i)._2))
     measure("full")(i => if (i < segs.size) DocKernel.process(segs(i)._1, segs(i)._2))
+    // per-annotator deltas: cumulative prefixes of the annotator chain (each
+    // includes buildDocs; successive differences isolate one annotator)
+    val chain = Seq[(String, DocKernel.DocState => Unit)](
+      "subsum" -> DocKernel.annotateSubsumption,
+      "coref" -> DocKernel.annotateCoreference,
+      "collect" -> DocKernel.annotateCollection,
+      "purpose" -> DocKernel.annotatePurpose,
+      "list" -> DocKernel.annotateList,
+      "subject" -> DocKernel.annotateSubject)
+    (0 to chain.length).foreach { k =>
+      val label = if (k == 0) "state-only" else s"+${chain(k - 1)._1}"
+      measure(label) { i =>
+        if (i < segs.size) {
+          val st = DocKernel.DocState(segs(i)._1, segs(i)._2,
+            DocKernel.buildDocs(segs(i)._2))
+          chain.take(k).foreach(_._2(st))
+        }
+      }
+    }
+    // graph build in isolation (build() does not mutate the state)
+    val states = segs.map { case (u, ss) =>
+      val st = DocKernel.DocState(u, ss, DocKernel.buildDocs(ss))
+      chain.foreach(_._2(st))
+      st
+    }
+    measure("build-only")(i => if (i < states.size) GraphBuilder.build(states(i), "extended"))
   }
 
   def main(args: Array[String]): Unit = {

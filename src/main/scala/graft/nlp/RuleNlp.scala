@@ -39,14 +39,39 @@ object RuleNlp {
       neg: Set[Int],
       text: String,
       passiveVerbs: Set[Int] = Set.empty) { // verbs in agent-capable passive voice
-    lazy val out: Map[Int, Vector[Dep]] = deps.groupBy(_.from).withDefaultValue(Vector.empty)
-    lazy val in: Map[Int, Vector[Dep]] = deps.groupBy(_.to).withDefaultValue(Vector.empty)
-    private lazy val chunkIdx: java.util.HashMap[Int, Chunk] = {
-      val m = new java.util.HashMap[Int, Chunk]()
-      chunks.foreach(c => (c.start until c.end).foreach(k => m.put(k, c)))
-      m
+    // adjacency as sentence-local arrays, not groupBy maps: the per-sentence
+    // Map[Int, Vector[Dep]] pair (boxed keys + builders) was a top kernel
+    // allocator; slot 0 holds the root (-1) entries
+    private def slot(i: Int): Int = if (i < 0) 0 else i - start + 1
+    private def adjacency(key: Dep => Int): Array[Vector[Dep]] = {
+      val a = Array.fill(end - start + 1)(Vector.empty[Dep])
+      deps.foreach { d =>
+        val k = slot(key(d))
+        if (k >= 0 && k < a.length) a(k) = a(k) :+ d
+      }
+      a
     }
-    def chunkOf(tok: Int): Option[Chunk] = Option(chunkIdx.get(tok))
+    private lazy val outIdx: Array[Vector[Dep]] = adjacency(_.from)
+    private lazy val inIdx: Array[Vector[Dep]] = adjacency(_.to)
+    def out(i: Int): Vector[Dep] = {
+      val k = slot(i)
+      if (k >= 0 && k < outIdx.length) outIdx(k) else Vector.empty
+    }
+    def in(i: Int): Vector[Dep] = {
+      val k = slot(i)
+      if (k >= 0 && k < inIdx.length) inIdx(k) else Vector.empty
+    }
+    private lazy val chunkIdx: Array[Chunk] = {
+      val a = new Array[Chunk](end - start)
+      chunks.foreach(c => (c.start until c.end).foreach { k =>
+        if (k >= start && k < end) a(k - start) = c
+      })
+      a
+    }
+    def chunkOf(tok: Int): Option[Chunk] =
+      if (tok >= start && tok < end && chunkIdx(tok - start) != null)
+        Some(chunkIdx(tok - start))
+      else None
   }
 
   // ---------------------------------------------------------------- tokenize

@@ -64,14 +64,18 @@ object TextClean {
   private val idRe = "\\bid\\b".r // case-sensitive on purpose
   private val pluralS = "\\b(\\w+)\\(s\\)".r
 
-  /** The five tokenizer-workaround fixups (document.py:420-425). */
+  /** The five tokenizer-workaround fixups (document.py:420-425). Each regex
+    * is gated by a cheap substring probe — replaceAllIn allocates a Matcher
+    * and rebuilds the string even on zero matches, and most segments match
+    * none of the five. */
   def fixups(text: String): String = {
     var t = text
-    t = emailRe.replaceAllIn(t, "email")
-    t = wifiRe.replaceAllIn(t, "WiFi")
-    t = geoRe.replaceAllIn(t, "geolocation")
-    t = idRe.replaceAllIn(t, "ID")
-    t = pluralS.replaceAllIn(t, "$1s")
+    val lower = t.toLowerCase
+    if (lower.contains("e-mail")) t = emailRe.replaceAllIn(t, "email")
+    if (lower.contains("wi-fi")) t = wifiRe.replaceAllIn(t, "WiFi")
+    if (lower.contains("geo-location")) t = geoRe.replaceAllIn(t, "geolocation")
+    if (t.contains("id")) t = idRe.replaceAllIn(t, "ID")
+    if (t.contains("(s)")) t = pluralS.replaceAllIn(t, "$1s")
     t
   }
 
@@ -79,8 +83,26 @@ object TextClean {
     * langdetect gate collapses to the char-class fallback here; the page-level
     * `lang` column is the primary gate at scale). */
   def clean(raw: String): String = {
-    val joined = raw.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val joined = collapseWhitespace(raw)
     if (joined.isEmpty || looksNonEnglish(joined)) ""
     else fixups(asciiFold(joined))
+  }
+
+  /** Single-pass equivalent of split("\\s+").filter(_.nonEmpty).mkString(" ")
+    * — the regex split allocated an array + a String per word per segment. */
+  private def collapseWhitespace(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
   }
 }
