@@ -18,6 +18,23 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("closure-backed reachability queries never re-run the kernel (G8 plan shape)") {
+    // who_collect over the materialized closure must be a pure filter/scan:
+    // no MapGroups/FlatMapGroups (per-doc kernel) anywhere in the plan
+    val who = graft.kg.KgApi.whoCollectFromClosure(
+      graft.kg.KgQueries.sharedClosure(spark), "email address")
+    val p = plan(who.toDF())
+    // only the plan ABOVE the materialized table matters: the cached
+    // relation prints its one-time build plan (which rightly contains the
+    // kernel), but the query itself must be filter+scan
+    val aboveCache = p.split("InMemoryRelation").head
+    assert(aboveCache.contains("InMemoryTableScan"),
+      s"closure query does not read the materialized table:\n$p")
+    assert(!aboveCache.contains("MapGroups"),
+      s"closure query re-runs per-doc logic:\n$p")
+    assert(who.count() > 0)
+  }
+
   test("filter + projection push into the parquet scan") {
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
       .filter(col("l_quantity") > 30)
