@@ -204,6 +204,21 @@ object DocKernel {
                 }
               }
             }
+            // "information about/regarding/concerning X" where X is a DATA
+            // mention: the generic container IS X-typed information —
+            // SUBSUM(container → X). Mirrors the reference's expanded
+            // mention spans (its noun phrases extend rightward over PPs, so
+            // its phrase regexes hit the inner datatype; G7 _expand_phrase).
+            val isAboutPrep = pTok.lemma == "about" || pTok.lemma == "regarding" ||
+              pTok.lemma == "concerning"
+            if (isAboutPrep && upperTok.ner == "DATA" &&
+              (upperTok.pos == "NOUN" || upperTok.pos == "PROPN")) {
+              p.out(dep.to).foreach { o =>
+                if (o.dep == "obj" && p.tokens(o.to).ner == "DATA" &&
+                  p.tokens(o.to).pos != "PRON")
+                  st.link(d, p, upper, o.to, Subsum)
+              }
+            }
           }
         }
         // verb "include": subj X, obj Ys → SUBSUM(X, Y)
@@ -400,7 +415,17 @@ object DocKernel {
           entries.foreach { case (eIdx, dtIdx, rel) =>
             val ents = m.args.lift(eIdx).getOrElse(Nil)
             val dts = m.args.lift(dtIdx).getOrElse(Nil)
-            if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
+            if (ents == List(Patterns.ImplicitWeArg)) {
+              // pattern-designated implicit first party ("you consent to
+              // the collection of DT")
+              if (validateType(st, d, p, dts, "DATA")) {
+                for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                  st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                  st.recordMention(d, p, dt, dtSrc)
+                  st.sentText.getOrElseUpdate(dtSrc, p.text)
+                }
+              }
+            } else if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
             } else if (!anyActor && eIdx == 0 && m.verb >= 0 &&
               p.passiveVerbs.contains(m.verb) && validateType(st, d, p, dts, "DATA")) {

@@ -50,6 +50,10 @@ object Patterns {
     lazy val argSpecs: Vector[Array[String]] = transform.tail.map(_.split('|'))
   }
 
+  /** Sentinel token index standing for the implicit first party in
+    * transform specs (`WE`). */
+  val ImplicitWeArg: Int = -2
+
   /** action, negated?, captured args (token indices per transform arg). */
   final case class Match(action: String, neg: Boolean, args: Vector[List[Int]],
       verb: Int = -1)
@@ -112,6 +116,10 @@ object Patterns {
       Seq(":subj@E1", "!:obj@DT", "to|with,:obj@X"), Seq("USE", "E1", "DT")),
     ("link|combine|associate|merge:root|ccomp",
       Seq(":subj@E1", "!to|with,:obj@DT"), Seq("USE", "E1", "DT")),
+    // you consent/agree to the collection/processing of DT (implicit WE)
+    ("consent|agree:root|ccomp",
+      Seq("!to,collection|processing|use|storage:obj,of,:obj@DT"),
+      Seq("COLLECT", "WE", "DT")),
     // E1 make use of DT
     ("make:root|ccomp",
       Seq(":subj@E1", "!use:obj", "!of,:obj@DT"), Seq("USE", "E1", "DT")),
@@ -238,7 +246,11 @@ object Patterns {
             var r: List[Int] = Nil
             var k = 0
             while (r.isEmpty && k < spec.length) {
-              r = named.getOrElse(spec(k), Nil)
+              // "WE" = the implicit first party (nominalization patterns
+              // like "you consent to the collection of DT"); resolved by
+              // the collection annotator via the synthetic we-mention
+              r = if (spec(k) == "WE") List(ImplicitWeArg)
+              else named.getOrElse(spec(k), Nil)
               k += 1
             }
             r

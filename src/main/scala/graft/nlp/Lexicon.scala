@@ -91,7 +91,7 @@ object Lexicon {
     "measure", "personalize", "improve", "customize", "analyze", "utilize",
     "save", "preserve", "require", "ensure", "secure", "enhance", "manage",
     "delete", "update", "give", "make", "notice", "purchase", "device",
-    "operate", "administer")
+    "operate", "administer", "handle", "merge", "infer", "derive")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -141,7 +141,7 @@ object RuleNlp {
   import Lexicon._
 
   // constant word sets hoisted out of per-token/per-sentence hot loops
-  private val AccessVerbs = Set("have", "get", "gain")
+  private val AccessVerbs = Set("have", "get", "gain", "request")
   private val Relativizers = Set("that", "which", "who")
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
@@ -202,12 +202,16 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
-          // "have/get/gain access to X": access is the object noun and the
-          // auxiliary is in fact the main verb
+          // "have/get/gain/request access to X": access is the object noun;
+          // an auxiliary-tagged access-verb before it is the real main verb
           if (i > 0 && t.lemma == "access" &&
-            AccessVerbs.contains(toks(i - 1).lemma) && at(i - 1) == "AUX") {
-            t.pos = "NOUN"
-            toks(i - 1).pos = "VERB"
+            AccessVerbs.contains(toks(i - 1).lemma)) {
+            if (at(i - 1) == "AUX") {
+              t.pos = "NOUN"
+              toks(i - 1).pos = "VERB"
+            } else if (at(i - 1) == "VERB" || at(i - 1) == "VERBC") {
+              t.pos = "NOUN"
+            }
           }
         case "TO" =>
           // PART before a verb(ish) token, else ADP
@@ -401,7 +405,27 @@ object RuleNlp {
         case _ => false
       }
     }
-    if (lastReal.exists(k => toks(k).text == "?") || auxBeforeSubj)
+    // a fronted aux-clause is not a question ("Should you participate in our
+    // panel, we might ask ..."): a comma after the inverted aux followed by
+    // a nominal-before-verb clause restores declarative order for the
+    // matrix clause (the reference's test runs on the ROOT's aux/subject,
+    // which this approximates without a parse)
+    val frontedConditional = auxBeforeSubj && {
+      (start until end).find(k => toks(k).pos == "AUX").exists { a =>
+        (a until end).find(k => toks(k).text == ",").exists { c =>
+          val nom = (c + 1 until end).find(k =>
+            toks(k).pos == "PRON" || toks(k).pos == "NOUN" || toks(k).pos == "PROPN")
+          val vb = (c + 1 until end).find(k =>
+            toks(k).pos == "AUX" || toks(k).pos == "VERB" || toks(k).pos == "VERBC")
+          (nom, vb) match {
+            case (Some(nm), Some(v)) => nm < v
+            case (Some(_), None) => true
+            case _ => false
+          }
+        }
+      }
+    }
+    if (lastReal.exists(k => toks(k).text == "?") || (auxBeforeSubj && !frontedConditional))
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
@@ -468,6 +492,13 @@ object RuleNlp {
           var j = k + 1
           while (j < end && j - k < 8 && toks(j).text != ",") j += 1
           if (j < end && toks(j).text == ",") k = j + 1
+        }
+        // ", together with X" / ", along with X" coordinates like "and"
+        if (!sawConj && k < end && k > start && toks(k - 1).text == "," &&
+          (toks(k).lemma == "together" || toks(k).lemma == "along") &&
+          k + 1 < end && toks(k + 1).lemma == "with") {
+          sawConj = true
+          k += 2
         }
         chunks.find(_.start == k) match {
           case Some(nc) if sawConj => heads += nc.head; cur = nc
@@ -663,8 +694,16 @@ object RuleNlp {
       before match {
         case Some(pc) =>
           val between = (pc.end until cur.start)
+          // plain coordination, plus comma-introduced "together/along with"
+          // quasi-coordination and "i.e./e.g./namely" appositives — for
+          // extraction purposes the appositive names the same collected
+          // thing, so both heads join the group
+          val linkWord = Set("together", "along", "with", "i.e.", "e.g.", "namely")
+          val usedLink = between.exists(k => linkWord.contains(toks(k).lemma))
           val conjOnly = between.nonEmpty && between.forall(k =>
-            toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ","))
+            toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",") ||
+              linkWord.contains(toks(k).lemma)) &&
+            (!usedLink || between.exists(k => toks(k).text == ","))
           if (conjOnly) { heads.prepend(pc.head); cur = pc } else go = false
         case None => go = false
       }
