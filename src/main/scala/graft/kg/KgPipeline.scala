@@ -292,7 +292,7 @@ object AliasResolution {
       // late rounds shuffle only the shrinking unresolved core (a long
       // chain's representatives), not all |E| edges. Non-representative
       // vertices keep re-resolving through the per-round pointer jump.
-      if (changed > 0 && i % 3 == 2) {
+      if (changed > 0 && i % 3 == 1) {
         val l1 = labels.select(col("vertex").as("v1"), col("component").as("c1"))
         val l2 = labels.select(col("vertex").as("v2"), col("component").as("c2"))
         val contracted = sym.join(l1, sym("src") === col("v1"))

@@ -75,6 +75,14 @@ object OpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multimodal decode: genuine BMP/WAV binaries parsed in a batched
+    // narrow map (headers + pixel/sample data), 8×8-gray image embeddings
+    // and duration/rms/zcr/peak audio features; the oracle replays the same
+    // decode driver-side (gates the distributed plumbing)
+    "q_media_decode" -> ((s, _) =>
+      Multimodal.decodeReal(Multimodal.realMediaTable(s, MediaDecodeRows))
+        .orderBy(col("doc_id"))),
+
     // ---- streaming-shaped batch window -----------------------------------
     "q_event_windows" -> ((s, d) =>
       t(s, d, "events")
@@ -85,7 +93,25 @@ object OpsQueries {
 
   private val stopList = "'the','a','an','and','or','of','to','in','is','it'"
 
+  val MediaDecodeRows = 300
+
+  private def mediaDecodeOracle: String = {
+    val rows = (0 until MediaDecodeRows).map { i =>
+      val r = Multimodal.decodeRow(Multimodal.realMediaRow(i.toLong))
+      s"(${r._1}, '${r._2}', ${r._3}, ${r._4}, ${r._5}, ${r._6}, ${r._7}, ${r._8}, ${r._9})"
+    }.mkString(", ")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, kind,
+       CAST(dim1 AS INT) AS dim1, CAST(dim2 AS INT) AS dim2,
+       CAST(n_units AS INT) AS n_units,
+       CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+       CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3
+       FROM (VALUES $rows)
+       AS t(doc_id, kind, dim1, dim2, n_units, f0, f1, f2, f3)
+       ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_media_decode" -> mediaDecodeOracle,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
