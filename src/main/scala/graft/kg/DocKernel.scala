@@ -176,6 +176,11 @@ object DocKernel {
 
   // ------------------------------------------------------------- annotators
 
+  /** Generic containers whose of-complement carries the real datatype
+    * ("a copy of your passport", "records of the products you viewed"). */
+  private val GenericContainers = Set("copy", "record", "backup", "category",
+    "type", "kind", "example", "variety")
+
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
 
@@ -211,7 +216,11 @@ object DocKernel {
             // its phrase regexes hit the inner datatype; G7 _expand_phrase).
             val isAboutPrep = pTok.lemma == "about" || pTok.lemma == "regarding" ||
               pTok.lemma == "concerning"
-            if (isAboutPrep && upperTok.ner == "DATA" &&
+            // "a copy/record/backup/recording of X": the generic container
+            // IS the inner datatype — same splice as the about-case
+            val isContainerOf = pTok.lemma == "of" &&
+              GenericContainers.contains(upperTok.lemma.toLowerCase)
+            if (((isAboutPrep && upperTok.ner == "DATA") || isContainerOf) &&
               (upperTok.pos == "NOUN" || upperTok.pos == "PROPN")) {
               p.out(dep.to).foreach { o =>
                 if (o.dep == "obj" && p.tokens(o.to).ner == "DATA" &&
@@ -428,12 +437,48 @@ object DocKernel {
             } else if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
             } else if (!anyActor && eIdx == 0 && m.verb >= 0 &&
-              p.passiveVerbs.contains(m.verb) && validateType(st, d, p, dts, "DATA")) {
+              p.passiveVerbs.contains(m.verb) &&
+              // "stored locally" / "processed on your device" = on-device,
+              // not operator collection
+              !(m.verb + 1 < p.end && p.tokens(m.verb + 1).lemma == "locally") &&
+              validateType(st, d, p, dts, "DATA")) {
               // agentless passive → implicit first-party actor
               for (dt <- dts; dtSrc <- d.srcs(dt)) {
                 st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
                 st.recordMention(d, p, dt, dtSrc)
                 st.sentText.getOrElseUpdate(dtSrc, p.text)
+              }
+            } else if (eIdx == 2 && ents.isEmpty && !rel.startsWith("NOT_") &&
+              m.args.lift(0).exists(g => g.nonEmpty && g.forall { t =>
+                val lm = d.toks(t).lemma.toLowerCase
+                lm == "you" || lm == "your"
+              }) && validateType(st, d, p, dts, "DATA")) {
+              // "you provide/submit/give DT" with no recipient: the receiver
+              // is the first party
+              for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                st.recordMention(d, p, dt, dtSrc)
+                st.sentText.getOrElseUpdate(dtSrc, p.text)
+              }
+            }
+          }
+          // COLLECT-from with a DATA-typed source ("infer your coarse
+          // geolocation from your IP address"): the from-phrase names a
+          // datatype that is processed, not a party — emit USE on it
+          if (m.action == "COLLECT" && !m.neg) {
+            val e2 = m.args.lift(2).getOrElse(Nil)
+            if (e2.nonEmpty && !validateType(st, d, p, e2, "ACTOR") &&
+              validateType(st, d, p, e2, "DATA")) {
+              val actors = m.args.lift(0).getOrElse(Nil)
+              if (actors.nonEmpty && validateType(st, d, p, actors, "ACTOR")) {
+                for (a <- actors; dt <- e2) st.link(d, p, a, dt, "USE")
+              } else if (actors.isEmpty && m.verb >= 0 &&
+                p.passiveVerbs.contains(m.verb)) {
+                for (dt <- e2; s <- d.srcs(dt)) {
+                  st.linkSrc(st.implicitWeSrc(p), s, "USE")
+                  st.recordMention(d, p, dt, s)
+                  st.sentText.getOrElseUpdate(s, p.text)
+                }
               }
             }
           }

@@ -37,7 +37,8 @@ object Normalizer {
     * rules). */
   private val genericData: Set[String] = Set("data", "datum", "information",
     "detail", "record", "technology", "thing", "category", "type", "kind",
-    "example", "variety", "some", "all", "any", "following", "follow")
+    "example", "variety", "some", "all", "any", "following", "follow",
+    "copy", "backup")
   private val genericActor: Set[String] = Set("party", "entity", "company",
     "organization", "other", "one", "anyone", "someone", "others")
 

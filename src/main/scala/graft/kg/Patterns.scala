@@ -118,7 +118,7 @@ object Patterns {
       Seq(":subj@E1", "!to|with,:obj@DT"), Seq("USE", "E1", "DT")),
     // you consent/agree to the collection/processing of DT (implicit WE)
     ("consent|agree:root|ccomp",
-      Seq("!to,collection|processing|use|storage:obj,of,:obj@DT"),
+      Seq("!to,collection|processing|use|storage|record:obj,of,:obj@DT"),
       Seq("COLLECT", "WE", "DT")),
     // E1 make use of DT
     ("make:root|ccomp",
@@ -180,7 +180,14 @@ object Patterns {
       Seq(":subj@DT,*VERB_STORE:relcl,:subj@E1"), Seq("STORE", "E1", "DT")),
     // E1 use ... to collect DT
     ("*VERB_USE:root|ccomp",
-      Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT"), Seq("COLLECT", "E1", "DT", "X"))))
+      Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT"), Seq("COLLECT", "E1", "DT", "X")),
+    // E1 use X to build/create a DT profile
+    ("*VERB_USE:root|ccomp",
+      Seq(":subj@E1", "!build|create|compile|generate:xcomp,:obj@DT"),
+      Seq("COLLECT", "E1", "DT", "X")),
+    // E1 set/place cookies
+    ("set|place:root|ccomp",
+      Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

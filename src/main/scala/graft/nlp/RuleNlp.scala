@@ -142,6 +142,10 @@ object RuleNlp {
 
   // constant word sets hoisted out of per-token/per-sentence hot loops
   private val AccessVerbs = Set("have", "get", "gain", "request")
+
+  /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
+  private val ConjCueAdvs = Set("specifically", "namely", "particularly",
+    "especially", "optionally", "i.e.", "e.g.")
   private val Relativizers = Set("that", "which", "who")
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
@@ -236,6 +240,13 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
+        case "NOUN" if t.text.toLowerCase.endsWith("ed") && t.text.length > 4 &&
+          (at(i - 1) == "AUX" || (at(i - 1) == "ADV" && at(i - 2) == "AUX")) =>
+          // "-ed" directly after an auxiliary is a past participle even when
+          // the verb is outside the lexicons ("is created and stored"):
+          // without this the unknown participle reads as a noun and the
+          // passive clause loses its verb group
+          t.pos = "VERB"
         case "ADJ" if at(i - 1) == "DET" && at(i + 1) != "NOUN" &&
           at(i + 1) != "PROPN" && at(i + 1) != "ADJ" && at(i + 1) != "NUM" &&
           at(i + 1) != "VERBC" =>
@@ -384,6 +395,13 @@ object RuleNlp {
     val chunks = chunk(toks, start, end)
     val deps = new ListBuffer[Dep]
     val neg = scala.collection.mutable.Set[Int]()
+    // determiner negation: "No audio recordings are made", "no personal
+    // information is collected" — a chunk opened by "no" negates any
+    // capture of its head
+    chunks.foreach { c =>
+      if ((c.start until c.end).exists(k => toks(k).pos == "DET" && toks(k).lemma == "no"))
+        neg += c.head
+    }
     val text = renderText(toks, start, end)
 
     // interrogative sentences are skipped entirely (reference
@@ -500,6 +518,14 @@ object RuleNlp {
           sawConj = true
           k += 2
         }
+        // ", specifically/namely/optionally X" appositive cues join the
+        // group; a cue followed by its own comma is parenthetical filler
+        if (k < end && k > start && toks(k - 1).text == "," &&
+          ConjCueAdvs.contains(toks(k).lemma)) {
+          sawConj = true
+          k += 1
+          if (k < end && toks(k).text == ",") k += 1
+        }
         chunks.find(_.start == k) match {
           case Some(nc) if sawConj => heads += nc.head; cur = nc
           case _ => go = false
@@ -585,7 +611,10 @@ object RuleNlp {
           hs.foreach(h => addDep(v, h, "subj"))
           subjOf(v) = hs
         }
-        if (vgs(vgIdx - 1).neg) {
+        // negation chains across the WHOLE conj group ("never sell, rent,
+        // or lease") — test the accumulated neg set, not just the previous
+        // verb group's own flag, or the chain breaks after one hop
+        if (neg.contains(vgs(vgIdx - 1).verb)) {
           // "but" resets negation (reference is_negative conj walk)
           val between = (vgs(vgIdx - 1).verb + 1 until vg.auxStart)
           if (!between.exists(k => toks(k).lemma == "but")) {
@@ -611,9 +640,23 @@ object RuleNlp {
           addDep(v, relclHead.get, "subj")
           subjOf(v) = List(relclHead.get)
         } else
-        // subject: nearest chunk ending at aux window start
+        // subject: nearest chunk ending at aux window start; when that chunk
+        // is the object of a pre-verb of/about-PP, the subject is the chain
+        // ROOT ("Audio recordings of support calls are retained" →
+        // recordings, not calls)
         chunkBefore(vg.auxStart) match {
-          case Some(c) if c.end >= vg.auxStart - 1 =>
+          case Some(c0) if c0.end >= vg.auxStart - 1 =>
+            var c = c0
+            var walkUp = true
+            while (walkUp) {
+              val gap = c.start - 1
+              if (gap > start && (toks(gap).lemma == "of" || toks(gap).lemma == "about")) {
+                chunkBefore(gap) match {
+                  case Some(pc) if pc.end == gap => c = pc
+                  case _ => walkUp = false
+                }
+              } else walkUp = false
+            }
             val heads = conjGroupEndingAt(chunks, toks, c, start)
             if (vg.passive) {
               heads.foreach(h => addDep(v, h, "obj"))
@@ -695,10 +738,12 @@ object RuleNlp {
         case Some(pc) =>
           val between = (pc.end until cur.start)
           // plain coordination, plus comma-introduced "together/along with"
-          // quasi-coordination and "i.e./e.g./namely" appositives — for
-          // extraction purposes the appositive names the same collected
-          // thing, so both heads join the group
-          val linkWord = Set("together", "along", "with", "i.e.", "e.g.", "namely")
+          // quasi-coordination, appositive/exemplifier cues ("i.e.",
+          // "namely", "specifically", "like", "such as") — for extraction
+          // purposes the appositive names the same collected thing, so both
+          // heads join the group
+          val linkWord = Set("together", "along", "with", "i.e.", "e.g.", "namely",
+            "specifically", "particularly", "especially", "like", "such", "as")
           val usedLink = between.exists(k => linkWord.contains(toks(k).lemma))
           val conjOnly = between.nonEmpty && between.forall(k =>
             toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",") ||

