@@ -181,6 +181,9 @@ object Patterns {
     // E1 use ... to collect DT
     ("*VERB_USE:root|ccomp",
       Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT"), Seq("COLLECT", "E1", "DT", "X")),
+    // E1 use X to remember/store DT
+    ("*VERB_USE:root|ccomp",
+      Seq(":subj@E1", "!*VERB_STORE:xcomp,:obj@DT"), Seq("STORE", "E1", "DT")),
     // E1 use X to build/create a DT profile
     ("*VERB_USE:root|ccomp",
       Seq(":subj@E1", "!build|create|compile|generate:xcomp,:obj@DT"),

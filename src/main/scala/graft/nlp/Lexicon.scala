@@ -21,7 +21,11 @@ object Lexicon {
     "identify", "link", "combine", "serve", "target", "track", "monitor",
     "verify", "administer", "manage", "fulfill", "respond", "enhance",
     "customize", "understand", "communicate", "secure", "inform", "notify",
-    "make", "gain", "ensure", "offer", "show", "display", "enforce")
+    "make", "gain", "ensure", "offer", "show", "display", "enforce",
+    // pattern-root / xcomp lemmas outside the token map — without these the
+    // tagger reads them as nouns and the pattern never anchors
+    "set", "place", "associate", "merge", "consent", "agree",
+    "build", "create", "compile", "generate", "capture", "remember")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who")

@@ -292,16 +292,25 @@ object RuleNlp {
         else if (aLen > 0) (aLen, "ACTOR")
         else (0, "")
       if (matched > 0) {
-        var j = i
-        while (j < i + matched) {
-          // a dictionary-entity token is nominal even when its lemma is also
-          // a verb ("contact information", "log data")
-          val t = toks(j)
-          if (t.pos == "VERB" || t.pos == "VERBC") t.pos = "NOUN"
-          t.ner = label
-          j += 1
+        // a participle right after an auxiliary keeps its verb reading even
+        // when its lemma is a dictionary entity ("your voice may be
+        // recorded": 'record' is a DATA unigram, but this is the passive
+        // verb, not a mention)
+        val auxParticiple = matched == 1 && i > 0 && toks(i - 1).pos == "AUX" &&
+          toks(i).text.toLowerCase.endsWith("ed")
+        if (auxParticiple) i += 1
+        else {
+          var j = i
+          while (j < i + matched) {
+            // a dictionary-entity token is nominal even when its lemma is
+            // also a verb ("contact information", "log data")
+            val t = toks(j)
+            if (t.pos == "VERB" || t.pos == "VERBC") t.pos = "NOUN"
+            t.ner = label
+            j += 1
+          }
+          i += matched
         }
-        i += matched
       } else {
         val t = toks(i)
         t.ner =
@@ -499,7 +508,9 @@ object RuleNlp {
       while (go) {
         var k = cur.end
         var sawConj = false
+        var sawCconj = false
         while (k < end && (toks(k).pos == "PUNCT" && toks(k).text == "," || toks(k).pos == "CCONJ")) {
+          if (toks(k).pos == "CCONJ") sawCconj = true
           if (toks(k).pos == "CCONJ" || toks(k).text == ",") sawConj = true
           k += 1
         }
@@ -527,7 +538,16 @@ object RuleNlp {
           if (k < end && toks(k).text == ",") k += 1
         }
         chunks.find(_.start == k) match {
-          case Some(nc) if sawConj => heads += nc.head; cur = nc
+          case Some(nc) if sawConj =>
+            // a bare comma (no and/or) followed by a chunk that is itself
+            // followed by a predicate is a CLAUSE boundary, not a list —
+            // "To create a profile, you must provide ..." must not absorb
+            // "you" into the object group
+            val nextIsPredicate = !sawCconj && nc.end < end &&
+              (toks(nc.end).pos == "AUX" || toks(nc.end).pos == "VERB" ||
+                toks(nc.end).pos == "VERBC")
+            if (nextIsPredicate) go = false
+            else { heads += nc.head; cur = nc }
           case _ => go = false
         }
       }
@@ -657,7 +677,14 @@ object RuleNlp {
                 }
               } else walkUp = false
             }
-            val heads = conjGroupEndingAt(chunks, toks, c, start)
+            val heads0 = conjGroupEndingAt(chunks, toks, c, start)
+            // a backward walk across a bare comma can absorb a FRONTED
+            // clause's object ("To create a profile, you must provide..."
+            // → {profile, you}): heads already attached as objects of an
+            // earlier verb are not subjects/passive-objects of this one
+            val filtered = heads0.filterNot(h =>
+              objOf.exists { case (ov, hs) => ov != v && hs.contains(h) })
+            val heads = if (filtered.nonEmpty) filtered else heads0
             if (vg.passive) {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = heads
@@ -867,7 +894,13 @@ object RuleNlp {
             if (bareChunks == 1) {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = heads
-            } else if (bareChunks == 2 && adjacentToPrev) {
+            } else if (bareChunks == 2 && adjacentToPrev &&
+              objOf.get(v).exists(fh => fh.size == 1 &&
+                (toks(fh.head).pos == "PRON" || toks(fh.head).ner == "ACTOR"))) {
+              // dative re-reading ("give us X"): only when the first bare
+              // group is a single pronoun/actor — a multi-chunk DATA group
+              // followed by an adjacent pronoun is a reduced relative
+              // ("the pages you request"), not a recipient
               objOf.get(v).foreach { firstHeads =>
                 deps.filterInPlace(d => !(d.from == v && d.dep == "obj" && firstHeads.contains(d.to)))
                 firstHeads.foreach(h => addDep(v, h, "dative"))
