@@ -495,6 +495,7 @@ object RuleNlp {
     var prevMain = -1 // previous non-xcomp verb
     var lastVerb = -1
     val subjOf = scala.collection.mutable.Map[Int, List[Int]]() // verb -> subj chunk heads
+    val passiveExtra = scala.collection.mutable.Set[Int]() // conj-inherited passives
     val objOf = scala.collection.mutable.Map[Int, List[Int]]()
     val conjWith = scala.collection.mutable.Map[Int, Int]() // conj verb -> leader
 
@@ -623,8 +624,15 @@ object RuleNlp {
         subjOf(v) = List(relclSubj)
         addDep(-1, v, "root")
       } else if (isConj) {
-        // coordinated verb: share subject with group leader
+        // coordinated verb: share subject with group leader — and inherit
+        // passivity ("is created and stored": 'stored' has no aux of its
+        // own but is passive through the group)
         addDep(-1, v, "root")
+        if (vgs(vgIdx - 1).passive || passiveExtra.contains(vgs(vgIdx - 1).verb)) {
+          val vt2 = toks(v)
+          if (vt2.text.toLowerCase != vt2.lemma && !vt2.text.toLowerCase.endsWith("ing"))
+            passiveExtra += v
+        }
         conjWith(v) = vgs(vgIdx - 1).verb
         val lead = vgs(vgIdx - 1).verb
         subjOf.get(lead).foreach { hs =>
@@ -734,7 +742,7 @@ object RuleNlp {
     colonAppos(toks, chunks, start, end, deps)
 
     Parse(start, end, toks, chunks, deps.toVector.distinct, neg.toSet, text,
-      vgs.iterator.filter(_.passive).map(_.verb).toSet)
+      vgs.iterator.filter(_.passive).map(_.verb).toSet ++ passiveExtra)
   }
 
   private def lastVerbEndBound(vgs: ArrayBuffer[VGroup], vgIdx: Int, end: Int): Int =

@@ -191,6 +191,67 @@ class KgApiSpec extends AnyFunSuite {
     assert(ext.whoCollect("phone number") == Vector("we"))
   }
 
+  private def tupleSet(html: String): Set[(String, String, String)] =
+    DocKernel.process("t", HtmlSegmenter.segment("t", html))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+
+  test("round-3 kernel mechanisms: negation scopes") {
+    def positives(html: String) =
+      tupleSet(html).filterNot(_._2.startsWith("NOT_"))
+    // determiner "no"
+    assert(positives("<p>No personal information is collected by us.</p>").isEmpty)
+    // neither ... nor (NOT_COLLECT rows are correct output; no positives)
+    val nn = tupleSet("<p>Neither we nor our affiliates collect your SSN.</p>")
+    assert(nn.filterNot(_._2.startsWith("NOT_")).isEmpty)
+    assert(nn.contains(("we", "NOT_COLLECT", "ssn")))
+    // negation chains across the whole conj verb group
+    assert(positives("<p>We never sell, rent, or lease your contact list to anyone.</p>").isEmpty)
+    // "locally" suppresses the implicit first party
+    assert(positives("<p>Your photos are stored locally.</p>").isEmpty)
+  }
+
+  test("round-3 kernel mechanisms: implicit first party") {
+    // agentless passive
+    assert(tupleSet("<p>Your precise geolocation is collected while the app runs.</p>")
+      .contains(("we", "COLLECT", "precise geolocation")))
+    // consent nominalization
+    assert(tupleSet("<p>You consent to the collection of your health data.</p>")
+      .contains(("we", "COLLECT", "health information")))
+    // "you provide X" with no recipient
+    assert(tupleSet("<p>You must provide your full name.</p>")
+      .contains(("we", "BE_SHARED", "person name")))
+  }
+
+  test("round-3 kernel mechanisms: clause boundaries and participles") {
+    // fronted infinitive object must not leak into the matrix clause
+    val fronted = tupleSet("<p>To create a profile, you must provide your email address.</p>")
+    assert(fronted.contains(("we", "BE_SHARED", "email address")))
+    assert(!fronted.exists(_._1 == "profile"))
+    // fronted aux-conditional is not a question
+    assert(tupleSet("<p>Should you participate, we might ask about your income.</p>")
+      .contains(("we", "COLLECT", "income")))
+    // dictionary-entity participle keeps its verb reading
+    assert(tupleSet("<p>Your voice may be recorded.</p>")
+      .exists(t => t._1 == "we" && t._3 == "audio recording"))
+    // unknown participle after aux still forms the passive verb group
+    assert(tupleSet("<p>Your voiceprint is created and stored on our servers.</p>")
+      .exists(t => t._1 == "we" && t._3 == "voiceprint"))
+  }
+
+  test("round-3 kernel mechanisms: containers, about-PPs, from-datatypes") {
+    // generic container of-splice
+    assert(tupleSet("<p>We retain a copy of your passport.</p>")
+      .contains(("we", "STORE", "passport number")))
+    // "information about X" subsumption
+    assert(tupleSet("<p>We may collect certain information about your device, " +
+      "including your IP address.</p>")
+      .contains(("we", "COLLECT", "ip address")))
+    // DATA-typed from-phrase emits USE
+    val inferred = tupleSet("<p>We infer your coarse geolocation from your IP address.</p>")
+    assert(inferred.contains(("we", "COLLECT", "coarse geolocation")))
+    assert(inferred.contains(("we", "USE", "ip address")))
+  }
+
   test("PSL registered domain handles multi-label suffixes (F7), column twin agrees") {
     import graft.kg.Ontology
     import org.apache.spark.sql.functions.col
