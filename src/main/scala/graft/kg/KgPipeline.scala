@@ -250,9 +250,15 @@ object AliasResolution {
     var sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = sym.select(col("src").as("vertex")).distinct()
-      .withColumn("component", col("vertex"))
-      .withColumn("chg", lit(0L))
+    // seed: component = min(vertex, min neighbor) in ONE aggregation — the
+    // work of a whole propagate round at a third of its shuffles; star
+    // graphs (the bulk of alias corpora) converge at seed time, so the
+    // first contraction already drops most of |E|
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbrMin"))
+      .select(col("src").as("vertex"),
+        least(col("src"), col("nbrMin")).as("component"),
+        lit(0L).as("chg"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
