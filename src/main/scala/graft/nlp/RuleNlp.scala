@@ -822,6 +822,12 @@ object RuleNlp {
         // colon list: post-colon chunks are appositives (colonAppos), not
         // objects/datives of the verb
         k = regionEnd
+      } else if (t.text == "," && chunks.find(_.start == k + 1).exists(nc =>
+        nc.end < end && (toks(nc.end).pos == "AUX" || toks(nc.end).pos == "VERB" ||
+          toks(nc.end).pos == "VERBC"))) {
+        // ", <chunk> <verb>" is the next clause's subject+predicate, not
+        // material of this verb ("Where required by law, we retain ...")
+        k = regionEnd
       } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
         pendingNeg = true; k += 1
       } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
