@@ -717,6 +717,23 @@ object RuleNlp {
       attachRight(toks, chunks, start, end, v, regionEnd, vg, deps, neg, subjOf, objOf, conjChunkHeads)
     }
 
+    // --- verb-phrase ellipsis: ", and so do/does <NP>" repeats the nearest
+    // preceding predicate with a new subject ("We collect your IP address,
+    // and so do the content delivery networks" → the networks collect too)
+    var eIdx = start
+    while (eIdx < end - 3) {
+      if (toks(eIdx).pos == "CCONJ" && toks(eIdx + 1).lemma == "so" &&
+        toks(eIdx + 2).lemma == "do") {
+        chunkAt(eIdx + 3).foreach { c =>
+          vgs.map(_.verb).filter(_ < eIdx).lastOption.foreach { v =>
+            addDep(v, c.head, "subj")
+            subjOf(v) = subjOf.getOrElse(v, Nil) :+ c.head
+          }
+        }
+      }
+      eIdx += 1
+    }
+
     // --- conjunct-verb object sharing (reference conjunct flattening,
     // collection_annotator.py:67-90: children are copied across conj heads):
     // "We collect, use, and share your email address" gives every verb in
