@@ -472,8 +472,11 @@ object DocKernel {
               val actors = m.args.lift(0).getOrElse(Nil)
               if (actors.nonEmpty && validateType(st, d, p, actors, "ACTOR")) {
                 for (a <- actors; dt <- e2) st.link(d, p, a, dt, "USE")
-              } else if (actors.isEmpty && m.verb >= 0 &&
-                p.passiveVerbs.contains(m.verb)) {
+              } else if ((actors.isEmpty && m.verb >= 0 &&
+                p.passiveVerbs.contains(m.verb)) ||
+                // "X derived from Y" where X is itself a datatype: the
+                // implicit operator uses Y
+                (actors.nonEmpty && validateType(st, d, p, actors, "DATA"))) {
                 for (dt <- e2; s <- d.srcs(dt)) {
                   st.linkSrc(st.implicitWeSrc(p), s, "USE")
                   st.recordMention(d, p, dt, s)

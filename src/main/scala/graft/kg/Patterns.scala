@@ -181,6 +181,9 @@ object Patterns {
     // E1 use ... to collect DT
     ("*VERB_USE:root|ccomp",
       Seq(":subj@E1", "!*VERB_COLLECT_FROM:xcomp,:obj@DT"), Seq("COLLECT", "E1", "DT", "X")),
+    // X derived/inferred from E2 (participial or active)
+    ("derive|infer|compute:root|ccomp",
+      Seq(":subj@E1", "!from,:obj@E2"), Seq("COLLECT", "E1", "X", "E2")),
     // E1 process DT through/via E2 (conduit recipient)
     ("*VERB_USE:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "!through|via,:obj@E2"), Seq("SHARE", "E1", "DT", "E2")),

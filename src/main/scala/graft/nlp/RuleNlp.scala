@@ -674,8 +674,19 @@ object RuleNlp {
         // recordings, not calls)
         chunkBefore(vg.auxStart) match {
           case Some(c0) if c0.end >= vg.auxStart - 1 =>
+            // ", <participle> from <NP>," before the verb: the nearest chunk
+            // is the participle's prep object — the real subject is the
+            // participle's own subject ("your coarse geolocation, derived
+            // from your IP address, is collected")
+            val participleSubj: Option[List[Int]] = for {
+              objDep <- deps.find(d => d.dep == "obj" && d.to == c0.head && d.from != v)
+              prepDep <- deps.find(d => d.dep == "prep" && d.to == objDep.from && d.from != v)
+              s <- subjOf.get(prepDep.from)
+              if s.nonEmpty && vg.auxStart - 1 >= start &&
+                toks(vg.auxStart - 1).text == ","
+            } yield s
             var c = c0
-            var walkUp = true
+            var walkUp = participleSubj.isEmpty
             while (walkUp) {
               val gap = c.start - 1
               if (gap > start && (toks(gap).lemma == "of" || toks(gap).lemma == "about")) {
@@ -685,7 +696,7 @@ object RuleNlp {
                 }
               } else walkUp = false
             }
-            val heads0 = conjGroupEndingAt(chunks, toks, c, start)
+            val heads0 = participleSubj.getOrElse(conjGroupEndingAt(chunks, toks, c, start))
             // a backward walk across a bare comma can absorb a FRONTED
             // clause's object ("To create a profile, you must provide..."
             // → {profile, you}): heads already attached as objects of an
