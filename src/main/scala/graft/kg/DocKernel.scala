@@ -414,12 +414,17 @@ object DocKernel {
       d.parses.foreach { p =>
         Patterns.matchSentence(p).foreach { m =>
           val entries = Patterns.actionMap((m.action, m.neg))
-          // implicit first-party only when the match captured NO party in
-          // any slot ("Your voice may be recorded") — a passive that names
-          // one ("shared with analytics providers") keeps reference
-          // semantics exactly
+          // implicit first-party only when the match captured no VALID party
+          // in any slot ("Your voice may be recorded") — a passive that
+          // names one ("shared with analytics providers") keeps reference
+          // semantics exactly, while a non-party capture ("reported to our
+          // internal dashboard", "assigned by the operating system") still
+          // reads as the operator acting
           val anyActor = entries.exists { case (ei, _, _) =>
-            m.args.lift(ei).exists(_.nonEmpty)
+            m.args.lift(ei).exists { a =>
+              val real = a.filter(_ >= 0) // drop the implicit-WE sentinel
+              real.nonEmpty && validateType(st, d, p, real, "ACTOR")
+            }
           }
           entries.foreach { case (eIdx, dtIdx, rel) =>
             val ents = m.args.lift(eIdx).getOrElse(Nil)

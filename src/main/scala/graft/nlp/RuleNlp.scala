@@ -592,7 +592,14 @@ object RuleNlp {
       }
 
       val isConj = lastVerb >= 0 && !vg.toMarked && {
-        val between = (lastVerbEndBound(vgs, vgIdx, end) until vg.auxStart)
+        // start the gap AFTER the previous verb's attached object chunks
+        // ("set their own cookies and collect ..." is coordination even
+        // though the leader has an object in between)
+        val prevVerb = vgs(vgIdx - 1).verb
+        val attachedEnd = objOf.getOrElse(prevVerb, Nil)
+          .flatMap(h => chunks.find(c => c.start <= h && h < c.end)).map(_.end)
+          .foldLeft(lastVerbEndBound(vgs, vgIdx, end))(math.max)
+        val between = (attachedEnd until vg.auxStart)
           .filter(k => k >= 0 && k < end)
         // "A and B" or list coordination "A, B, and C" — a bare comma
         // between adjacent verbs counts (the closing CCONJ comes later);
@@ -875,6 +882,11 @@ object RuleNlp {
         val subsumAnchor =
           if (subsumCue && commaBefore && chainRoot >= 0) chainRoot else lastNounHead
         val nounAttach = (t.lemma == "of") || collocation || subsumCue
+        // ", together/along with X" after the object (possibly after an
+        // intervening of-PP) adds X as a further OBJECT of the verb
+        val accompaniment = t.lemma == "with" && p >= start + 2 &&
+          (toks(p - 1).lemma == "together" || toks(p - 1).lemma == "along") &&
+          toks(p - 2).text == ","
         // skip "in order to" here (handled as purpose acl by clause pass)
         val isInOrder = t.lemma == "in" && p + 2 < end &&
           toks(p + 1).lemma == "order" && toks(p + 2).lemma == "to"
@@ -887,6 +899,9 @@ object RuleNlp {
                 // agent → subjects (reference handle_agent)
                 heads.foreach { h => addDep(v, h, "subj"); if (pendingNeg) neg += h }
                 subjOf(v) = heads
+              } else if (accompaniment) {
+                heads.foreach { h => addDep(v, h, "obj"); if (pendingNeg) neg += h }
+                objOf(v) = objOf.getOrElse(v, Nil) ++ heads
               } else if (nounAttach && t.lemma == "of" && lastNounHead >= 0) {
                 addDep(lastNounHead, p, "prep")
                 heads.foreach(h => addDep(p, h, "obj"))
