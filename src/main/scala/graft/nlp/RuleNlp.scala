@@ -540,14 +540,27 @@ object RuleNlp {
         }
         chunks.find(_.start == k) match {
           case Some(nc) if sawConj =>
-            // a bare comma (no and/or) followed by a chunk that is itself
-            // followed by a predicate is a CLAUSE boundary, not a list —
-            // "To create a profile, you must provide ..." must not absorb
-            // "you" into the object group
-            val nextIsPredicate = !sawCconj && nc.end < end &&
-              (toks(nc.end).pos == "AUX" || toks(nc.end).pos == "VERB" ||
-                toks(nc.end).pos == "VERBC")
-            if (nextIsPredicate) go = false
+            // a bare comma (no and/or) followed by a chunk whose
+            // comma/appositive chain leads to a predicate is a CLAUSE (or
+            // subject-appositive) boundary, not a list — "To create a
+            // profile, you must provide ..." and "..., our payment
+            // processor, Stripe, receives ..." must not absorb the next
+            // clause's subject into the object group
+            def leadsToPredicate(c0: Chunk): Boolean = {
+              var q = c0.end
+              var guard = 0
+              while (q < end && guard < 8) {
+                if (toks(q).text == ",") q += 1
+                else chunks.find(_.start == q) match {
+                  case Some(cc) => q = cc.end
+                  case None => return toks(q).pos == "AUX" || toks(q).pos == "VERB" ||
+                    toks(q).pos == "VERBC"
+                }
+                guard += 1
+              }
+              false
+            }
+            if (!sawCconj && leadsToPredicate(nc)) go = false
             else { heads += nc.head; cur = nc }
           case _ => go = false
         }
