@@ -382,8 +382,12 @@ object DocKernel {
               GenericDataHeads.contains(head.lemma)) Some("DATA")
             else None
           trigger.foreach { expected =>
+            // document order, current sentence first — the reference chains
+            // current_sentence_ents then last_sentence_ents front-to-back
+            // (coreference_annotator.py:55,87), so the LEFTMOST compatible
+            // NP wins, not the nearest preceding one
             val candidates =
-              (cur.filter(_._2.end <= c.start).reverse ++ prevChunks.reverse)
+              (cur.filter(_._2.end <= c.start) ++ prevChunks)
             candidates.find { case (cp, cand) =>
               val h = cp.tokens(cand.head)
               h.pos != "PRON" && h.ner == expected

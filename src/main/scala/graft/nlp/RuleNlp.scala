@@ -146,6 +146,15 @@ object RuleNlp {
   /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
   private val ConjCueAdvs = Set("specifically", "namely", "particularly",
     "especially", "optionally", "i.e.", "e.g.")
+  /** Nouns that name an attribute OF something — "the name of your mobile
+    * carrier" — rather than user data in their own right. */
+  private val AttributeHeads = Set("name")
+
+  /** Nouns/pronouns that denote the data subject (the user) — "the name of
+    * the user" IS person data; "the name of the carrier" is not. */
+  private val UserNouns = Set("you", "user", "customer", "visitor",
+    "consumer", "child", "individual", "member", "subscriber")
+
   private val Relativizers = Set("that", "which", "who")
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
@@ -789,7 +798,30 @@ object RuleNlp {
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
-    Parse(start, end, toks, chunks, deps.toVector.distinct, neg.toSet, text,
+    // --- attribute-of-organization demotion: "the name of your mobile
+    // carrier" is the carrier's name, not the user's person name — a DATA
+    // chunk headed by an attribute noun whose of-PP object is a non-user
+    // ACTOR is not a data mention (the reference's trained NER never labels
+    // such spans DATA; our dictionary NER needs the structural check)
+    val depsV = deps.toVector.distinct
+    val chunksOut = chunks.map { c =>
+      val demote = c.ner == "DATA" && AttributeHeads.contains(toks(c.head).lemma) &&
+        depsV.exists(d1 => d1.from == c.head && d1.dep == "prep" &&
+          toks(d1.to).lemma == "of" &&
+          depsV.exists(d2 => d2.from == d1.to && d2.dep == "obj" &&
+            toks(d2.to).ner == "ACTOR" && !UserNouns.contains(toks(d2.to).lemma)))
+      if (demote) {
+        // "ATTR" (not "NN") — NN is wildcard-compatible in subsumption /
+        // type propagation, which would re-type the span DATA and emit the
+        // false mention anyway; ATTR matches nothing
+        (c.start until c.end).foreach { k =>
+          if (toks(k).ner == "DATA") toks(k).ner = "ATTR"
+        }
+        c.copy(ner = "ATTR")
+      } else c
+    }
+
+    Parse(start, end, toks, chunksOut, depsV, neg.toSet, text,
       vgs.iterator.filter(_.passive).map(_.verb).toSet ++ passiveExtra)
   }
 
