@@ -256,6 +256,13 @@ object RuleNlp {
           // without this the unknown participle reads as a noun and the
           // passive clause loses its verb group
           t.pos = "VERB"
+        case "NOUN" if t.text.toLowerCase.endsWith("ed") && t.text.length >= 6 &&
+          (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") && at(i + 1) == "ADP" =>
+          // reduced-relative participle between a nominal and a preposition
+          // ("providers embedded in our pages", "data obtained from
+          // partners"): an unknown -ed word here is a verb, not part of the
+          // NP — length >= 6 keeps ordinary -ed nouns (speed, breed) out
+          t.pos = "VERB"
         case "ADJ" if at(i - 1) == "DET" && at(i + 1) != "NOUN" &&
           at(i + 1) != "PROPN" && at(i + 1) != "ADJ" && at(i + 1) != "NUM" &&
           at(i + 1) != "VERBC" =>
@@ -704,16 +711,23 @@ object RuleNlp {
         chunkBefore(vg.auxStart) match {
           case Some(c0) if c0.end >= vg.auxStart - 1 =>
             // ", <participle> from <NP>," before the verb: the nearest chunk
-            // is the participle's prep object — the real subject is the
-            // participle's own subject ("your coarse geolocation, derived
-            // from your IP address, is collected")
-            val participleSubj: Option[List[Int]] = for {
-              objDep <- deps.find(d => d.dep == "obj" && d.to == c0.head && d.from != v)
-              prepDep <- deps.find(d => d.dep == "prep" && d.to == objDep.from && d.from != v)
-              s <- subjOf.get(prepDep.from)
-              if s.nonEmpty && vg.auxStart - 1 >= start &&
-                toks(vg.auxStart - 1).text == ","
-            } yield s
+            // is inside a participial PP — the real subject is the
+            // participle's own subject, resolved through up to three
+            // prep-owner hops ("your coarse geolocation, derived from your
+            // IP address, is collected"; "providers embedded in our pages,
+            // like video players, may receive ...")
+            def ownerSubj(h: Int, depth: Int): Option[List[Int]] =
+              if (depth > 3) None
+              else for {
+                objDep <- deps.find(d => d.dep == "obj" && d.to == h && d.from != v)
+                prepDep <- deps.find(d => d.dep == "prep" && d.to == objDep.from && d.from != v)
+                s <- subjOf.get(prepDep.from).filter(_.nonEmpty)
+                  .orElse(ownerSubj(prepDep.from, depth + 1))
+              } yield s
+            val participleSubj: Option[List[Int]] =
+              if (vg.auxStart - 1 >= start && toks(vg.auxStart - 1).text == ",")
+                ownerSubj(c0.head, 0)
+              else None
             var c = c0
             var walkUp = participleSubj.isEmpty
             while (walkUp) {
