@@ -204,8 +204,26 @@ object DocKernel {
               p.out(dep.to).foreach { o =>
                 if (o.dep == "obj") {
                   val lowerTok = p.tokens(o.to)
-                  if (lowerTok.pos != "PRON" && entCompatible(upperTok.ner, lowerTok.ner))
-                    st.link(d, p, upper, o.to, Subsum)
+                  // PP-attachment repair: "information from public
+                  // databases, such as your demographic information" hangs
+                  // the exemplifier off the nearest noun (databases), but
+                  // the example types the outer TYPED mention — when the
+                  // syntactic upper is untyped and the lower is typed,
+                  // re-root at the nearest preceding chunk of the lower's
+                  // type (the reference's trained NER never types the
+                  // intermediate PP noun, so its ent-level link lands on
+                  // the typed span directly)
+                  val upper2 =
+                    if ((upperTok.ner == "NN" || upperTok.ner.isEmpty) &&
+                      (lowerTok.ner == "DATA" || lowerTok.ner == "ACTOR"))
+                      p.chunks.filter(c => c.end <= dep.from &&
+                          c.ner == lowerTok.ner &&
+                          p.tokens(c.head).pos != "PRON")
+                        .lastOption.map(_.head).getOrElse(upper)
+                    else upper
+                  val upper2Tok = p.tokens(upper2)
+                  if (lowerTok.pos != "PRON" && entCompatible(upper2Tok.ner, lowerTok.ner))
+                    st.link(d, p, upper2, o.to, Subsum)
                 }
               }
             }
@@ -457,7 +475,8 @@ object DocKernel {
                 st.recordMention(d, p, dt, dtSrc)
                 st.sentText.getOrElseUpdate(dtSrc, p.text)
               }
-            } else if (eIdx == 2 && ents.isEmpty && !rel.startsWith("NOT_") &&
+            } else if (eIdx == 2 &&
+              !validateType(st, d, p, ents, "ACTOR") && !rel.startsWith("NOT_") &&
               m.args.lift(0).exists(g => g.nonEmpty && g.forall { t =>
                 val lm = d.toks(t).lemma.toLowerCase
                 lm == "you" || lm == "your"

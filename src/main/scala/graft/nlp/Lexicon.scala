@@ -24,7 +24,7 @@ object Lexicon {
     "make", "gain", "ensure", "offer", "show", "display", "enforce",
     // pattern-root / xcomp lemmas outside the token map — without these the
     // tagger reads them as nouns and the pattern never anchors
-    "set", "place", "associate", "merge", "consent", "agree",
+    "set", "place", "associate", "merge", "consent", "agree", "confirm",
     "build", "create", "compile", "generate", "capture", "remember")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
