@@ -105,8 +105,8 @@ object Patterns {
     // E1 store DT
     ("*VERB_STORE:root|ccomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("STORE", "E1", "DT")),
-    // E1 have/get/gain/request access to DT
-    ("have|get|gain|request:root|ccomp",
+    // E1 have/get/gain/request access to DT; passive "granted access to"
+    ("have|get|gain|request|grant:root|ccomp",
       Seq(":subj@E1", "!access:obj,to,:obj@DT"), Seq("USE", "E1", "DT")),
     // E1 ask for/about DT
     ("ask:root|ccomp",

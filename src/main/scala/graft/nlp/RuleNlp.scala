@@ -141,7 +141,7 @@ object RuleNlp {
   import Lexicon._
 
   // constant word sets hoisted out of per-token/per-sentence hot loops
-  private val AccessVerbs = Set("have", "get", "gain", "request")
+  private val AccessVerbs = Set("have", "get", "gain", "request", "grant")
 
   /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
   private val ConjCueAdvs = Set("specifically", "namely", "particularly",
