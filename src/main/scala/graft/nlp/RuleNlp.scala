@@ -143,6 +143,11 @@ object RuleNlp {
   // constant word sets hoisted out of per-token/per-sentence hot loops
   private val AccessVerbs = Set("have", "get", "gain", "request", "grant")
 
+  /** Matrix verbs whose OBJECT controls a following infinitive ("ask you
+    * to provide"); everything else is subject-controlled ("use X to build"). */
+  private val ObjectControlVerbs = Set("ask", "require", "prompt", "oblige",
+    "deem", "enable", "allow", "permit", "authorize", "invite")
+
   /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
   private val ConjCueAdvs = Set("specifically", "namely", "particularly",
     "especially", "optionally", "i.e.", "e.g.")
@@ -397,6 +402,12 @@ object RuleNlp {
         var h = j - 1
         while (h > i && toks(h).pos != "NOUN" && toks(h).pos != "PROPN" && toks(h).pos != "NUM") h -= 1
         if (toks(h).pos == "NOUN" || toks(h).pos == "PROPN" || toks(h).pos == "NUM") {
+          // an untyped head with a DATA modifier right before it IS a data
+          // mention ("interest profile", "usage report") — the dictionary
+          // misses the head noun but the compound names user data
+          if (toks(h).ner == "NN" && h > i && toks(h - 1).ner == "DATA" &&
+            (toks(h - 1).pos == "NOUN" || toks(h - 1).pos == "ADJ"))
+            toks(h).ner = "DATA"
           chunks += Chunk(i, j, h, toks(h).ner)
         }
         i = j
@@ -651,9 +662,19 @@ object RuleNlp {
           addDep(lastVerb, v, "xcomp")
         }
         addDep(v, vg.toTok, "aux")
-        // subject of xcomp = object of parent when parent has one (reference
-        // handle_xcomp, collection_annotator.py:113-124)
-        prevMainObjSubj(v, lastVerb, subjOf, objOf, addDep)
+        // control: object-control verbs (ask/allow/require...) pass their
+        // OBJECT down as the infinitive's subject (reference handle_xcomp,
+        // collection_annotator.py:113-124); purpose infinitives after
+        // ordinary verbs are SUBJECT-controlled ("partners use your id to
+        // build a profile" — the partners build it, not the id)
+        if (ObjectControlVerbs.contains(toks(lastVerb).lemma) ||
+          subjOf.get(lastVerb).forall(_.isEmpty))
+          prevMainObjSubj(v, lastVerb, subjOf, objOf, addDep)
+        else {
+          val hs = subjOf(lastVerb)
+          hs.foreach(h => addDep(v, h, "subj"))
+          subjOf(v) = hs
+        }
       } else if (relclUpper >= 0) {
         addDep(relclUpper, v, "relcl")
         addDep(v, relclSubj, "subj")
