@@ -94,6 +94,21 @@ object DocKernel {
       ImplicitWe
     }
 
+    /** Synthetic data mention for an activity term (annotateActivityRelcl);
+      * one shared node per (document, term) at Src(-2, termIdx). */
+    def activitySrc(p: graft.nlp.RuleNlp.Parse, termIdx: Int): Src = {
+      val s = Src(-2, termIdx)
+      if (!mentions.contains(s)) {
+        val words = ActivityTerms(termIdx).split(' ')
+        mentions(s) = Mention(
+          words.zipWithIndex.map { case (w, k) =>
+            graft.nlp.RuleNlp.Tok(k, w, w, "NOUN", "DATA", k > 0)
+          }.toVector, words.length - 1, "DATA")
+      }
+      sentText.getOrElseUpdate(s, p.text)
+      s
+    }
+
     def recordMention(d: CtxDoc, p: Parse, tok: Int, s: Src): Unit =
       if (!mentions.contains(s)) {
         p.chunkOf(tok) match {
@@ -183,6 +198,93 @@ object DocKernel {
 
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
+
+  /** Surface phrases (all present in phrase_map.yml) minted as synthetic
+    * mentions by the activity-relcl annotator; index = Src(-2, idx). */
+  private val ActivityTerms = Vector(
+    "browsing history", "purchase history", "usage information")
+
+  private def activityTermOf(p: Parse, v: Int): Option[Int] =
+    p.tokens(v).lemma match {
+      case "visit" | "view" | "browse" =>
+        // "pages you visit within the app" is app usage, not web browsing
+        val appCtx = (v + 1 until math.min(p.end, v + 6)).exists { k =>
+          val lm = p.tokens(k).lemma; lm == "app" || lm == "application"
+        }
+        Some(if (appCtx) 2 else 0)
+      case "purchase" | "buy" => Some(1)
+      case "use" => Some(2)
+      case _ => None
+    }
+
+  /** Activity relative clauses (recall extension beyond the reference — its
+    * trained NER labels spans like "the pages you visit" DATA; the
+    * dictionary NER needs the structural signal): "<NP> you
+    * visit/view/browse/purchase/buy/use" names the user-activity datatype
+    * implied by the verb, attached as a SUBSUM child of the NP so the
+    * untyped head collapses into the activity term at graph build. */
+  def annotateActivityRelcl(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        p.deps.foreach { dep =>
+          if (dep.dep == "relcl") {
+            val upper = dep.from
+            val v = dep.to
+            val subjTok = p.out(v).collectFirst {
+              case e if e.dep == "subj" &&
+                (p.tokens(e.to).lemma == "you" || p.tokens(e.to).lemma == "user") => e.to
+            }
+            subjTok.foreach { s =>
+              // conj verbs sharing the relcl subject ("viewed and purchased")
+              val verbs = v +: p.deps.collect {
+                case d2 if d2.dep == "subj" && d2.to == s && d2.from != v &&
+                  d2.from > v && (v + 1 until d2.from).forall { k =>
+                    val t = p.tokens(k)
+                    t.pos == "CCONJ" || t.pos == "PUNCT" || t.pos == "AUX" ||
+                      t.pos == "ADV" || t.pos == "VERB" || t.pos == "PRON"
+                  } => d2.from
+              }
+              // "usage information, such as the pages you visit": as an
+              // exemplifier under an explicit DATA mention the activity NP
+              // inherits the container's type — minting a separate term
+              // would double-count the example as its own datatype
+              val exemplified = p.deps.exists { o =>
+                o.dep == "obj" && o.to == upper && {
+                  val lm = p.tokens(o.from).lemma
+                  (lm == "as" || lm == "like" || lm == "include") &&
+                  p.deps.exists(o2 => o2.dep == "prep" && o2.to == o.from &&
+                    p.tokens(o2.from).ner == "DATA")
+                }
+              }
+              val terms =
+                if (exemplified) Nil else verbs.flatMap(activityTermOf(p, _)).distinct
+              if (terms.nonEmpty) {
+                // "a record of the products you viewed": the generic
+                // container above the of-PP subsumes the activity too, so
+                // collection captures on the container reach the term
+                val containerHead = for {
+                  ofObj <- p.deps.find(o => o.dep == "obj" && o.to == upper)
+                  if p.tokens(ofObj.from).lemma == "of"
+                  ownerPrep <- p.deps.find(o => o.dep == "prep" && o.to == ofObj.from)
+                  if GenericContainers.contains(p.tokens(ownerPrep.from).lemma.toLowerCase)
+                } yield ownerPrep.from
+                terms.foreach { ti =>
+                  val syn = st.activitySrc(p, ti)
+                  (Some(upper) ++ containerHead).foreach { up =>
+                    d.srcs(up).foreach { s1 =>
+                      st.linkSrc(s1, syn, Subsum)
+                      st.recordMention(d, p, up, s1)
+                      st.sentText.getOrElseUpdate(s1, p.text)
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Subsumption annotator (SURVEY.md U5; reference
     * subsumption_annotator.py patterns: such as / including / like /
@@ -776,6 +878,7 @@ object DocKernel {
     val sorted = segs.sortBy(_.segId)
     val docs = buildDocs(sorted)
     val st = DocState(url, sorted, docs)
+    annotateActivityRelcl(st)
     annotateSubsumption(st)
     annotateCoreference(st)
     annotateCollection(st)

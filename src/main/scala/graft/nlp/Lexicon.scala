@@ -25,6 +25,9 @@ object Lexicon {
     // pattern-root / xcomp lemmas outside the token map — without these the
     // tagger reads them as nouns and the pattern never anchors
     "set", "place", "associate", "merge", "consent", "agree", "confirm",
+    // user-activity verbs inside relative clauses ("pages you visit",
+    // "products you purchased") — drive annotateActivityRelcl
+    "visit", "view", "browse", "purchase", "buy",
     "build", "create", "compile", "generate", "capture", "remember")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",

@@ -609,11 +609,22 @@ object RuleNlp {
         case Some(cS) if cS.end == vg.auxStart || cS.end == beforeAux + 1 =>
           // is there another chunk or relativizer before cS?
           val gap = (cS.start - 1)
-          if (gap >= start && (toks(gap).pos == "SCONJ" && Relativizers.contains(toks(gap).lemma))) {
+          // "so that / such that" opens a purpose clause, not a relative
+          val purposeThat = gap - 1 >= start &&
+            (toks(gap - 1).lemma == "so" || toks(gap - 1).lemma == "such")
+          if (gap >= start && toks(gap).pos == "SCONJ" &&
+            Relativizers.contains(toks(gap).lemma) && !purposeThat) {
             chunkBefore(gap).foreach { cX => relclUpper = cX.head; relclSubj = cS.head }
-          } else {
+          } else if (!purposeThat) {
             chunkBefore(cS.start).foreach { cX =>
-              if (cX.end == cS.start && vgIdx == 0) { relclUpper = cX.head; relclSubj = cS.head }
+              // mid-sentence bare relatives need a nominal upper and a
+              // pronominal subject ("the products you viewed") — a pronoun
+              // upper would misread ccomp clauses ("inform you we collect")
+              if (cX.end == cS.start && (vgIdx == 0 ||
+                (toks(cS.head).pos == "PRON" &&
+                  (toks(cX.head).pos == "NOUN" || toks(cX.head).pos == "PROPN")))) {
+                relclUpper = cX.head; relclSubj = cS.head
+              }
             }
           }
         case _ =>
