@@ -124,7 +124,7 @@ object Patterns {
     ("make:root|ccomp",
       Seq(":subj@E1", "!use:obj", "!of,:obj@DT"), Seq("USE", "E1", "DT")),
     // E1 ... to build/create/compile a profile (derived data is collected)
-    ("build|create|compile|generate|develop:root|ccomp|xcomp",
+    ("build|create|compile|generate|develop|make:root|ccomp|xcomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT")),
     // E1 require/ask E2 to share DT with E3
     ("*VERB_REQUIRE_TODO:root|ccomp",

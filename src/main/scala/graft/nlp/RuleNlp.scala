@@ -160,6 +160,11 @@ object RuleNlp {
   private val UserNouns = Set("you", "user", "customer", "visitor",
     "consumer", "child", "individual", "member", "subscriber")
 
+  /** "without your <consent-word>" marks the conditional-positive reading
+    * of a determiner-negated collection statement. */
+  private val ConsentWords = Set("consent", "permission", "authorization",
+    "authorisation", "approval")
+
   private val Relativizers = Set("that", "which", "who")
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
@@ -433,9 +438,25 @@ object RuleNlp {
     val neg = scala.collection.mutable.Set[Int]()
     // determiner negation: "No audio recordings are made", "no personal
     // information is collected" — a chunk opened by "no" negates any
-    // capture of its head
+    // capture of its head. "No X ... without your consent" is the
+    // conditional-positive idiom (X does happen, with consent), so the
+    // determiner negation is lifted; verb-level negation ("we will never
+    // share ... without your consent") is NOT — the reference keeps
+    // negation at the verb root (collection_annotator.py:260).
+    val consentConditional = {
+      var found = false
+      var k = start
+      while (!found && k < end - 1) {
+        if (toks(k).lemma == "without" &&
+          (k + 1 until math.min(end, k + 5)).exists(j => ConsentWords.contains(toks(j).lemma)))
+          found = true
+        k += 1
+      }
+      found
+    }
     chunks.foreach { c =>
-      if ((c.start until c.end).exists(k => toks(k).pos == "DET" && toks(k).lemma == "no"))
+      if (!consentConditional &&
+        (c.start until c.end).exists(k => toks(k).pos == "DET" && toks(k).lemma == "no"))
         neg += c.head
     }
     val text = renderText(toks, start, end)
