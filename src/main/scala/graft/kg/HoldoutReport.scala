@@ -1,13 +1,13 @@
 package graft.kg
 
-/** Dev tool: holdout P/R plus per-document miss/false-alarm diffs.
-  * `sbt "runMain graft.kg.HoldoutReport [verbose]"` */
+/** Dev tool: holdout P/R plus per-document miss/false-alarm diffs for both
+  * holdout batches. `sbt "runMain graft.kg.HoldoutReport"` */
 object HoldoutReport {
-  def main(args: Array[String]): Unit = {
-    val got = Holdout.predicted.toSet
-    val want = Holdout.truth.toSet
+
+  private def report(tag: String, got: Set[(String, String, String)],
+      want: Set[(String, String, String)]): Unit = {
     Holdout.prRows(got, want).foreach { case (p, tp, fp, fn, pr, rc) =>
-      println(f"HOLDOUT $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
+      println(f"HOLDOUT$tag $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
     }
     val byUrl = (got ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
@@ -21,5 +21,10 @@ object HoldoutReport {
         extra.toVector.sorted.foreach(t => println(s"  EXTRA $t"))
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    report("1", Holdout.predicted.toSet, Holdout.truth.toSet)
+    report("2", Holdout.predicted2.toSet, Holdout.truth2.toSet)
   }
 }
