@@ -178,9 +178,11 @@ object CorpusGen {
           Vector(Truth(url, "we", "COLLECT", cC, ""),
             Truth(url, cC, "SUBSUM", d1c, "", subjType = "DATA"),
             Truth(url, cC, "SUBSUM", d2c, "", subjType = "DATA")))
-      case 8 => // passive share
+      case 8 => // passive share — the implicit sharer (first party) holds
+        // the data, so the kernel's recall extension adds a we-collect
         (s"$dtS may be shared with ${acS.toLowerCase}.".capitalize,
-          Vector(Truth(url, acC, "BE_SHARED", dtC, "")))
+          Vector(Truth(url, acC, "BE_SHARED", dtC, ""),
+            Truth(url, "we", "COLLECT", dtC, "")))
       case 9 => // provide-with
         (s"We provide ${acS.toLowerCase} with $dtS.",
           Vector(Truth(url, acC, "BE_SHARED", dtC, ""),
@@ -276,7 +278,9 @@ object CorpusGen {
         val s1 = s"We collect $dtS."
         val s2 = s"This information may be shared with ${acS.toLowerCase}."
         (s"$s1 $s2", Vector(
-          Truth(url, "we", "COLLECT", dtC, "", Vector(s1)),
+          // the anaphoric share also yields the implicit-sharer collect, so
+          // the merged we-collect cites both sentences
+          Truth(url, "we", "COLLECT", dtC, "", Vector(s1, s2)),
           Truth(url, acC, "BE_SHARED", dtC, "", Vector(s1, s2))))
       case _ => ("", Vector.empty)
     }

@@ -565,7 +565,14 @@ object DocKernel {
               }
             } else if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
-            } else if (!anyActor && eIdx == 0 && m.verb >= 0 &&
+            } else if (eIdx == 0 && ents.isEmpty && m.verb >= 0 &&
+              // agentless passive — and, for SHARE/SELL, also the agented
+              // passive with only a RECIPIENT named ("crash reports are
+              // transmitted to our vendor"): the labeling convention keeps
+              // a first-party tuple for the sharer, who evidently holds the
+              // data (recall extension beyond the reference, which drops
+              // the collect edge when no subject is captured)
+              (!anyActor || m.action == "SHARE" || m.action == "SELL") &&
               p.passiveVerbs.contains(m.verb) &&
               // "stored locally" / "processed on your device" = on-device,
               // not operator collection

@@ -185,12 +185,21 @@ object GraphBuilder {
     }
 
     // ---- Step 4: coref contraction (skipped in the per_sentence
-    // PolicyLint simulation, build_graph.py:177-178) ----------------------
+    // PolicyLint simulation, build_graph.py:177-178). The absorbed src's
+    // sentence must keep citing the edges it contributed to (the reference
+    // merges token `ref` spans on contraction), so record it against the
+    // surviving src for evidence assembly. -------------------------------
+    val absorbedRefs = mutable.Map[Src, mutable.ListBuffer[Src]]()
     if (variant != "per_sentence") gCoref.topo.foreach { s1 =>
       gCoref.outDegree(s1) match {
         case 0 =>
         case 1 =>
           val s2 = gCoref.out(s1).head
+          if (gCollect.hasNode(s1) || gSubsum.hasNode(s1)) {
+            val buf = absorbedRefs.getOrElseUpdate(s2, mutable.ListBuffer())
+            buf += s1
+            absorbedRefs.get(s1).foreach(buf ++= _)
+          }
           if (gCollect.hasNode(s1)) contractMulti(gCollect, s2, s1)
           if (gSubsum.hasNode(s1)) contractDag(gSubsum, s2, s1)
         case _ =>
@@ -287,6 +296,8 @@ object GraphBuilder {
           finalDagAdd(n1, n2, rel)
           finalEdges.get((n1, n2, rel)).foreach { case (refs, purp) =>
             refs += s1 += s2
+            absorbedRefs.get(s1).foreach(refs ++= _)
+            absorbedRefs.get(s2).foreach(refs ++= _)
             edgePurposes.foreach { case (label, text) =>
               purp.getOrElseUpdate(label, mutable.ListBuffer()) += text
             }
@@ -312,7 +323,12 @@ object GraphBuilder {
 
     val triples = finalEdges.toVector.collect {
       case ((n1, n2, rel), (refs, purp)) if reach.contains(n1) && reach.contains(n2) =>
-        val allText = refs.distinct.sorted.flatMap(s => st.sentText.get(s)).toVector
+        // synthetic srcs (ImplicitWe seg=-1, activity terms seg=-2) are
+        // shared per document, so their pinned first-use sentence can be
+        // unrelated to this edge — every edge also has a real-src partner
+        // carrying the right sentence, so synthetics contribute no evidence
+        val allText = refs.distinct.filter(_.seg >= 0).sorted
+          .flatMap(s => st.sentText.get(s)).toVector
         val kept = dedupBySubstring(allText)
         Triple(st.url, n1, nodeTypeOf.getOrElse(n1, ""), rel, n2,
           nodeTypeOf.getOrElse(n2, ""), kept,

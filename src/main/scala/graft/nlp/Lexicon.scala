@@ -47,7 +47,8 @@ object Lexicon {
     "including", "across", "after", "before")
   val coordConj: Set[String] = Set("and", "or", "but", "nor")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
-    "that", "which", "whether", "unless")
+    "that", "which", "whether", "unless", "whenever", "wherever", "whereby",
+    "wherein", "once", "although", "though", "since")
   val negations: Set[String] = Set("not", "never", "n't", "neither")
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",

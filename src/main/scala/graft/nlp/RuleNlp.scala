@@ -324,7 +324,14 @@ object RuleNlp {
         // verb, not a mention)
         val auxParticiple = matched == 1 && i > 0 && toks(i - 1).pos == "AUX" &&
           toks(i).text.toLowerCase.endsWith("ed")
-        if (auxParticiple) i += 1
+        // a dictionary word that is also a verb keeps its verb reading right
+        // after a nominative pronoun ("We record your payment information"):
+        // the pronoun needs a predicate, not a second mention
+        val pronPredicate = matched == 1 &&
+          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && i > 0 &&
+          toks(i - 1).pos == "PRON" &&
+          Set("we", "you", "they", "i").contains(toks(i - 1).lemma)
+        if (auxParticiple || pronPredicate) i += 1
         else {
           var j = i
           while (j < i + matched) {

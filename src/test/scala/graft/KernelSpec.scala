@@ -47,8 +47,13 @@ class KernelSpec extends AnyFunSuite {
   }
 
   test("passive voice resolves the agent") {
+    // the named recipient takes the BE_SHARED edge; the unnamed sharer is
+    // the first party, which evidently holds the data (recall extension —
+    // the reference drops the collect edge when no subject is captured)
     val got = triples("<p>Your browsing history may be shared with analytics providers.</p>")
-    assert(got == Set(("analytic provider", "BE_SHARED", "browsing / search history")))
+    assert(got == Set(
+      ("analytic provider", "BE_SHARED", "browsing / search history"),
+      ("we", "COLLECT", "browsing / search history")))
   }
 
   test("purpose classification lands on the edge") {
