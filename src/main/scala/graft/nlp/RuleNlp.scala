@@ -267,11 +267,17 @@ object RuleNlp {
           // passive clause loses its verb group
           t.pos = "VERB"
         case "NOUN" if t.text.toLowerCase.endsWith("ed") && t.text.length >= 6 &&
+          (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") &&
+          (at(i + 1) == "ADP" || at(i + 1) == "ADV") =>
+          // reduced-relative participle between a nominal and a
+          // preposition/adverb ("providers embedded in our pages", "the
+          // companies listed below"): an unknown -ed word here is a verb,
+          // not part of the NP — length >= 6 keeps -ed nouns (speed) out
+          t.pos = "VERB"
+        case "NOUN" if t.text.toLowerCase.endsWith("ing") && t.text.length >= 6 &&
           (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") && at(i + 1) == "ADP" =>
-          // reduced-relative participle between a nominal and a preposition
-          // ("providers embedded in our pages", "data obtained from
-          // partners"): an unknown -ed word here is a verb, not part of the
-          // NP — length >= 6 keeps ordinary -ed nouns (speed, breed) out
+          // present-participle reduced relative ("agents acting on our
+          // behalf", "providers operating in the EU")
           t.pos = "VERB"
         case "ADJ" if at(i - 1) == "DET" && at(i + 1) != "NOUN" &&
           at(i + 1) != "PROPN" && at(i + 1) != "ADJ" && at(i + 1) != "NUM" &&
@@ -780,14 +786,25 @@ object RuleNlp {
               if (depth > 3) None
               else for {
                 objDep <- deps.find(d => d.dep == "obj" && d.to == h && d.from != v)
+                // a by-agent IS the semantic subject ("tools operated by
+                // Hotjar capture ...") — never walk past it
+                if toks(objDep.from).lemma != "by"
                 prepDep <- deps.find(d => d.dep == "prep" && d.to == objDep.from && d.from != v)
                 s <- subjOf.get(prepDep.from).filter(_.nonEmpty)
                   .orElse(ownerSubj(prepDep.from, depth + 1))
               } yield s
+            // "[NP who VERB O] may VERB2": the nearest chunk is the relcl
+            // verb's object — the matrix subject is the relcl's upper
+            val relclObjSubj: Option[List[Int]] = for {
+              objDep <- deps.find(d => d.dep == "obj" && d.to == c0.head && d.from != v)
+              rc <- deps.find(d => d.dep == "relcl" && d.to == objDep.from)
+            } yield List(rc.from)
+            // a pronoun sitting right before the aux window IS the subject
+            // ("..., and we keep server logs") — never re-route it through
+            // a previous verb's spurious object attachment
             val participleSubj: Option[List[Int]] =
-              if (vg.auxStart - 1 >= start && toks(vg.auxStart - 1).text == ",")
-                ownerSubj(c0.head, 0)
-              else None
+              if (toks(c0.head).pos == "PRON" && c0.end == vg.auxStart) None
+              else relclObjSubj.orElse(ownerSubj(c0.head, 0))
             var c = c0
             var walkUp = participleSubj.isEmpty
             while (walkUp) {
