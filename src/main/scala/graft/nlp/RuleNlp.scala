@@ -886,6 +886,19 @@ object RuleNlp {
       }
     }
 
+    // --- "not ... unless you <verb>" is the conditional-positive idiom
+    // (the practice happens, upon the user's direction/consent) — lift the
+    // matrix negation; "unless required by law" and other non-user
+    // conditions keep the negative reading
+    locally {
+      val unlessYou = (start until end - 1).find { k =>
+        toks(k).lemma == "unless" &&
+          (k + 1 until math.min(end, k + 3)).exists(j =>
+            toks(j).lemma == "you" || toks(j).lemma == "your")
+      }
+      unlessYou.foreach { u => neg.retain(_ > u) }
+    }
+
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
@@ -976,6 +989,19 @@ object RuleNlp {
     def addDep(f: Int, t: Int, d: String): Unit = deps += Dep(f, t, d)
 
     var k = v + 1
+    // "includes, but is not limited to, your name": the whole splice is
+    // filler between the include-verb and its object list
+    if (toks(v).lemma == "include" && k < regionEnd &&
+      (toks(k).text == "," || LimitedToFiller.contains(toks(k).text.toLowerCase))) {
+      var j = k
+      var sawLimit = false
+      while (j < regionEnd && (toks(j).pos == "PUNCT" || toks(j).lemma == "be" ||
+        LimitedToFiller.contains(toks(j).text.toLowerCase))) {
+        if (toks(j).lemma == "limit" || toks(j).lemma == "limitation") sawLimit = true
+        j += 1
+      }
+      if (sawLimit) k = j
+    }
     var bareChunks = 0
     var lastNounHead = -1
     // head of the nominal CHAIN the parser is inside: stays at the owning
