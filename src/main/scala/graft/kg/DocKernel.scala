@@ -286,6 +286,88 @@ object DocKernel {
     }
   }
 
+  /** Action nominal → edge type: "Our collection of X", "Disclosure of X
+    * to E" state the practice as a noun phrase. */
+  private val ActionNominals = Map(
+    "collection" -> "COLLECT", "use" -> "USE", "processing" -> "USE",
+    "storage" -> "STORE", "retention" -> "STORE", "disclosure" -> "SHARE",
+    "sharing" -> "SHARE", "sale" -> "SELL", "transfer" -> "SHARE")
+
+  /** Nominalized practice statements (recall extension; the reference's
+    * consent pattern covers only "you consent to the collection of DT"):
+    * a clause-initial or our-possessed action nominal with an of-PP DATA
+    * object discloses the practice — "Our collection of geolocation data
+    * is limited ...", "Disclosure of your precise location to advertising
+    * networks occurs only with your opt-in". Negated sentences are left
+    * alone ("no sale of personal information occurs"). */
+  def annotateNominalizations(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        if (p.neg.isEmpty) p.chunks.foreach { c =>
+          val head = p.tokens(c.head)
+          ActionNominals.get(head.lemma).foreach { action =>
+            val possOk = (c.start until c.head).forall(k =>
+              p.tokens(k).lemma != "their" && p.tokens(k).lemma != "its" &&
+                p.tokens(k).lemma != "his" && p.tokens(k).lemma != "her")
+            val ofChunk = Option(c.end).filter(e => e < p.end && p.tokens(e).lemma == "of")
+              .flatMap(e => p.chunks.find(_.start == e + 1)).filter(_.ner == "DATA")
+            if (possOk) ofChunk.foreach { dtc =>
+              val dtHeads = conjGroup(p, dtc).map(_.head)
+                .filter(h => p.tokens(h).ner == "DATA")
+              // recipient: "<nominal> of DT to <ACTOR>"
+              val recip = p.chunks.find(rc => rc.start == dtc.end + 1 &&
+                dtc.end < p.end && p.tokens(dtc.end).lemma == "to" &&
+                p.tokens(rc.head).ner == "ACTOR")
+              dtHeads.foreach { dt =>
+                d.srcs(dt).foreach { dtSrc =>
+                  val rel = if (action == "SHARE" || action == "SELL") Collect
+                  else Patterns.actionMap((action, false)).head._3
+                  st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                  st.recordMention(d, p, dt, dtSrc)
+                  st.sentText.getOrElseUpdate(dtSrc, p.text)
+                  recip.foreach { rc =>
+                    st.link(d, p, rc.head, dt,
+                      if (action == "SELL") "BE_SOLD" else "BE_SHARED")
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Question-answer fragments ("What do we collect? In short, your device
+    * identifier and your approximate location."): the interrogative is
+    * skipped per reference semantics, but a verbless NP fragment right
+    * after a what-do-we-collect question answers it (recall extension —
+    * ubiquitous in FAQ-style policies). */
+  def annotateQaFragments(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      var prev: Option[Parse] = None
+      d.parses.foreach { p =>
+        val prevIsCollectQ = prev.exists { q =>
+          (q.start until q.end).exists(k => q.tokens(k).text == "?") &&
+            (q.start until q.end).exists(k =>
+              Patterns.collectishLemmas.contains(q.tokens(k).lemma)) &&
+            (q.start until q.end).exists(k => q.tokens(k).lemma == "we")
+        }
+        val verbless = !(p.start until p.end).exists(k => p.tokens(k).pos == "VERB")
+        if (prevIsCollectQ && verbless) {
+          p.chunks.filter(_.ner == "DATA").foreach { c =>
+            d.srcs(c.head).foreach { dtSrc =>
+              st.linkSrc(st.implicitWeSrc(p), dtSrc, Collect)
+              st.recordMention(d, p, c.head, dtSrc)
+              st.sentText.getOrElseUpdate(dtSrc, p.text)
+            }
+          }
+        }
+        prev = Some(p)
+      }
+    }
+  }
+
   /** Subsumption annotator (SURVEY.md U5; reference
     * subsumption_annotator.py patterns: such as / including / like /
     * include-verb / e.g. / for example / especially). */
@@ -886,6 +968,8 @@ object DocKernel {
     val docs = buildDocs(sorted)
     val st = DocState(url, sorted, docs)
     annotateActivityRelcl(st)
+    annotateNominalizations(st)
+    annotateQaFragments(st)
     annotateSubsumption(st)
     annotateCoreference(st)
     annotateCollection(st)

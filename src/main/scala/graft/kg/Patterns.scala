@@ -281,6 +281,12 @@ object Patterns {
     out.result()
   }
 
+  /** Collect-ish verb lemmas (pattern roots of COLLECT/STORE/USE actions) —
+    * used by the question-answer fragment annotator. */
+  val collectishLemmas: Set[String] =
+    bank.filter(p => p.transform.headOption.exists(a =>
+      a == "COLLECT" || a == "STORE" || a == "USE")).flatMap(_.root.lemmas).toSet
+
   /** ACTION_MAP (reference collection_annotator.py:322-339): action ×
     * negation → list of (entityArgIdx, dataArgIdx, edgeType). */
   val actionMap: Map[(String, Boolean), List[(Int, Int, String)]] = Map(

@@ -319,10 +319,20 @@ object RuleNlp {
     while (i < n) {
       val dLen = dataTrie.longestMatch(lemmas, lowers, i, n)
       val aLen = actorTrie.longestMatch(lemmas, lowers, i, n)
-      val (matched, label) =
+      var (matched, label) =
         if (dLen >= aLen && dLen > 0) (dLen, "DATA")
         else if (aLen > 0) (aLen, "ACTOR")
         else (0, "")
+      // "our servers log when you connect": a lemma bigram that matches a
+      // dictionary phrase ("server log") across a plural noun + verb
+      // candidate followed by a subordinator is a clause, not a mention
+      if (matched == 2 && i + 2 < toks.length &&
+        toks(i).text.toLowerCase.endsWith("s") && toks(i).lemma != toks(i).text.toLowerCase &&
+        verbLemmas.contains(toks(i + 1).lemma) && toks(i + 2).pos == "SCONJ") {
+        // the plural head may still be an entity on its own ("our servers")
+        if (aLen == 1) { matched = 1; label = "ACTOR" }
+        else { matched = 0; label = "" }
+      }
       if (matched > 0) {
         // a participle right after an auxiliary keeps its verb reading even
         // when its lemma is a dictionary entity ("your voice may be
@@ -886,6 +896,27 @@ object RuleNlp {
       }
     }
 
+    // --- it-cleft: "It is X(, not Y,) that S V ..." — the clefted NP is
+    // the object of the cleft clause's verb ("It is your IP address ...
+    // that our servers log")
+    locally {
+      val f = (start until end).find(k => toks(k).pos != "SPACE")
+      val isCleft = f.exists(k => toks(k).lemma == "it" && k + 1 < end &&
+        toks(k + 1).pos == "AUX" && toks(k + 1).lemma == "be")
+      if (isCleft) {
+        val focus = chunks.find(_.start > f.get + 1)
+        val thatPos = focus.flatMap(fc => (fc.end until end).find(k =>
+          toks(k).pos == "SCONJ" && toks(k).lemma == "that"))
+        for (fc <- focus; tp <- thatPos) {
+          vgs.find(vg => vg.verb > tp && subjOf.get(vg.verb).exists(_.nonEmpty) &&
+            !objOf.get(vg.verb).exists(_.nonEmpty)).foreach { vg =>
+            addDep(vg.verb, fc.head, "obj")
+            objOf(vg.verb) = List(fc.head)
+          }
+        }
+      }
+    }
+
     // --- "not ... unless you <verb>" is the conditional-positive idiom
     // (the practice happens, upon the user's direction/consent) — lift the
     // matrix negation; "unless required by law" and other non-user
@@ -1027,6 +1058,10 @@ object RuleNlp {
         k = regionEnd
       } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
         pendingNeg = true; k += 1
+      } else if (t.pos == "SCONJ" && t.lemma != "whether") {
+        // a subordinate clause boundary ("... log your IP address when you
+        // connect") — nothing after it is this verb's material
+        k = regionEnd
       } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
         val p = k
         // noun-prep collocations where the PP hangs off the noun, not the
