@@ -39,7 +39,15 @@ class HoldoutSpec extends AnyFunSuite {
     val rows = Holdout.prRows(Holdout.predicted.toSet, Holdout.truth.toSet)
       .map(r => r._1 -> r).toMap
     val (_, _, _, _, p, r) = rows("both")
-    assert(p >= 0.98, s"holdout precision regressed: $p")
-    assert(r >= 0.88, s"holdout recall regressed: $r")
+    assert(p >= 0.99, s"holdout precision regressed: $p")
+    assert(r >= 0.99, s"holdout recall regressed: $r")
+  }
+
+  test("holdout batch-2 P/R regression floors (closed at 1.0/1.0 end of round 3)") {
+    val rows = Holdout.prRows(Holdout.predicted2.toSet, Holdout.truth2.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout2 precision regressed: $p")
+    assert(r >= 0.99, s"holdout2 recall regressed: $r")
   }
 }
