@@ -62,6 +62,12 @@ object Holdout {
   lazy val pages2: Vector[WebPage] = loadPages("holdout2_docs.tsv")
   lazy val truth2: Vector[(String, String, String)] = loadTruth("holdout2_truth.tsv")
 
+  /** Batch 3 (round 3 close): written after batches 1-2 both closed at
+    * 1.0/1.0 — its FIRST run re-measures zero-shot generalization of the
+    * full round-3 mechanism set (frozen in COVERAGE.md). */
+  lazy val pages3: Vector[WebPage] = loadPages("holdout3_docs.tsv")
+  lazy val truth3: Vector[(String, String, String)] = loadTruth("holdout3_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -85,6 +91,7 @@ object Holdout {
 
   lazy val predicted: Vector[(String, String, String)] = predict(pages)
   lazy val predicted2: Vector[(String, String, String)] = predict(pages2)
+  lazy val predicted3: Vector[(String, String, String)] = predict(pages3)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -26,5 +26,6 @@ object HoldoutReport {
   def main(args: Array[String]): Unit = {
     report("1", Holdout.predicted.toSet, Holdout.truth.toSet)
     report("2", Holdout.predicted2.toSet, Holdout.truth2.toSet)
+    report("3", Holdout.predicted3.toSet, Holdout.truth3.toSet)
   }
 }
