@@ -174,6 +174,17 @@ object Patterns {
     // E1 have/need to store DT
     ("*VERB_HAVE_TODO:root|ccomp",
       Seq(":subj@E1", "!*VERB_STORE:xcomp,:obj@DT"), Seq("STORE", "E1", "DT")),
+    // E1 choose/need to provide E2 with DT
+    ("*VERB_HAVE_TODO:root|ccomp",
+      Seq(":subj@E1", "*VERB_PROVIDE_WITH:xcomp,:obj@E2",
+        "!*VERB_PROVIDE_WITH:xcomp,with,:obj@DT"), Seq("SHARE", "E1", "DT", "E2")),
+    // E1 choose/need to provide DT to E2
+    ("*VERB_HAVE_TODO:root|ccomp",
+      Seq(":subj@E1", "!*VERB_PROVIDE_TO:xcomp,:obj@DT",
+        "*VERB_PROVIDE_TO:xcomp,to,:obj@E2"), Seq("SHARE", "E1", "DT", "E2")),
+    // you choose/set a password
+    ("choose|set:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT"), Seq("SHARE", "E1", "DT")),
     // DT E1 collect include ...
     ("include:root|ccomp",
       Seq(":subj@DT,*VERB_COLLECT_FROM:relcl,:subj@E1"), Seq("COLLECT", "E1", "DT", "X")),

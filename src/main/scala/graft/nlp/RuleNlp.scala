@@ -656,10 +656,13 @@ object RuleNlp {
           // "so that / such that" opens a purpose clause, not a relative
           val purposeThat = gap - 1 >= start &&
             (toks(gap - 1).lemma == "so" || toks(gap - 1).lemma == "such")
+          // "ask/acknowledge/agree that S V" is a complement clause, not a
+          // relative — a verb right before "that" takes a ccomp
+          val complementThat = gap - 1 >= start && toks(gap - 1).pos == "VERB"
           if (gap >= start && toks(gap).pos == "SCONJ" &&
-            Relativizers.contains(toks(gap).lemma) && !purposeThat) {
+            Relativizers.contains(toks(gap).lemma) && !purposeThat && !complementThat) {
             chunkBefore(gap).foreach { cX => relclUpper = cX.head; relclSubj = cS.head }
-          } else if (!purposeThat) {
+          } else if (!purposeThat && !complementThat) {
             chunkBefore(cS.start).foreach { cX =>
               // mid-sentence bare relatives need a nominal upper and a
               // pronominal subject ("the products you viewed") — a pronoun
@@ -890,6 +893,39 @@ object RuleNlp {
             if (!objOf.get(v).exists(_.nonEmpty)) {
               hs.foreach(h => addDep(v, h, "obj"))
               objOf(v) = hs
+            }
+          }
+        }
+      }
+    }
+
+    // --- fronted negative adverbial: "At no time do we sell ...", "Under
+    // no circumstances will we share ..." — the det-no sits in a fronted
+    // PP, so the determiner negation must transfer to the clause's verbs
+    if (start + 1 < end && toks(start).pos == "ADP" &&
+      toks(start + 1).pos == "DET" && toks(start + 1).lemma == "no") {
+      vgs.foreach(vg => neg += vg.verb)
+    }
+
+    // --- fronted additive PP: "In addition to X, S V O" — X joins the
+    // main verb's objects (and must not leak into its subject group)
+    locally {
+      val addLen =
+        if (end - start > 3 && toks(start).lemma == "in" &&
+          toks(start + 1).lemma == "addition" && toks(start + 2).lemma == "to") 3
+        else if (end - start > 1 && toks(start).lemma == "besides") 1
+        else if (end - start > 2 && toks(start).lemma == "along" &&
+          toks(start + 1).lemma == "with") 2
+        else 0
+      if (addLen > 0) chunks.find(_.start == start + addLen).foreach { fc =>
+        if (fc.end < end && toks(fc.end).text == ",") {
+          vgs.headOption.foreach { vg =>
+            val v0 = vg.verb
+            deps --= deps.filter(d => d.dep == "subj" && d.to == fc.head).toVector
+            subjOf.keys.foreach(k => subjOf(k) = subjOf(k).filterNot(_ == fc.head))
+            if (objOf.get(v0).exists(_.nonEmpty)) {
+              addDep(v0, fc.head, "obj")
+              objOf(v0) = objOf(v0) :+ fc.head
             }
           }
         }
