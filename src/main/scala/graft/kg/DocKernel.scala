@@ -194,7 +194,7 @@ object DocKernel {
   /** Generic containers whose of-complement carries the real datatype
     * ("a copy of your passport", "records of the products you viewed"). */
   private val GenericContainers = Set("copy", "record", "backup", "category",
-    "type", "kind", "example", "variety")
+    "type", "kind", "example", "variety", "log", "history", "list")
 
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
@@ -223,9 +223,40 @@ object DocKernel {
     * visit/view/browse/purchase/buy/use" names the user-activity datatype
     * implied by the verb, attached as a SUBSUM child of the NP so the
     * untyped head collapses into the activity term at graph build. */
+  /** Plural activity nominals under a second-person possessive — "your
+    * purchases", "your orders", "your searches" — name the activity
+    * datatype directly. */
+  private val ActivityNouns = Map("purchase" -> 1, "order" -> 1, "search" -> 0)
+
   def annotateActivityRelcl(st: DocState): Unit = {
     st.docs.foreach { d =>
       d.parses.foreach { p =>
+        // "your purchases" nominal activities (plus the generic-container
+        // walk so "a log of your purchases" captures through the container)
+        p.chunks.foreach { c =>
+          val head = p.tokens(c.head)
+          if (c.ner == "NN" && (c.start until c.head).exists(k => p.tokens(k).lemma == "your") &&
+            head.text.toLowerCase.endsWith("s")) {
+            ActivityNouns.get(head.lemma).foreach { ti =>
+              // pre-verb subject chains have no of-deps yet — adjacency:
+              // [container] of [c] ("a log of your purchases")
+              val containerHead =
+                if (c.start - 1 > p.start && p.tokens(c.start - 1).lemma == "of")
+                  p.chunks.find(pc => pc.end == c.start - 1 &&
+                    GenericContainers.contains(p.tokens(pc.head).lemma.toLowerCase))
+                    .map(_.head)
+                else None
+              val syn = st.activitySrc(p, ti)
+              (Some(c.head) ++ containerHead).foreach { up =>
+                d.srcs(up).foreach { s1 =>
+                  st.linkSrc(s1, syn, Subsum)
+                  st.recordMention(d, p, up, s1)
+                  st.sentText.getOrElseUpdate(s1, p.text)
+                }
+              }
+            }
+          }
+        }
         p.deps.foreach { dep =>
           if (dep.dep == "relcl") {
             val upper = dep.from

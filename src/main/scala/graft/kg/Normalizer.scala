@@ -38,7 +38,7 @@ object Normalizer {
   private val genericData: Set[String] = Set("data", "datum", "information",
     "detail", "record", "technology", "thing", "category", "type", "kind",
     "example", "variety", "some", "all", "any", "following", "follow",
-    "copy", "backup")
+    "copy", "backup", "log", "list")
   private val genericActor: Set[String] = Set("party", "entity", "company",
     "organization", "other", "one", "anyone", "someone", "others")
 

@@ -27,7 +27,7 @@ object Lexicon {
     "set", "place", "associate", "merge", "consent", "agree", "confirm",
     // user-activity verbs inside relative clauses ("pages you visit",
     // "products you purchased") — drive annotateActivityRelcl
-    "visit", "view", "browse", "purchase", "buy", "run", "occur",
+    "visit", "view", "browse", "purchase", "buy", "run", "occur", "pair",
     "build", "create", "compile", "generate", "capture", "remember")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",

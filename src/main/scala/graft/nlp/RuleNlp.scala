@@ -803,7 +803,12 @@ object RuleNlp {
                 // Hotjar capture ...") — never walk past it
                 if toks(objDep.from).lemma != "by"
                 prepDep <- deps.find(d => d.dep == "prep" && d.to == objDep.from && d.from != v)
-                s <- subjOf.get(prepDep.from).filter(_.nonEmpty)
+                // a relcl's semantic owner is its UPPER, not its inner
+                // subject ("devices you pair with the app report ..." —
+                // the devices report, not you)
+                s <- deps.find(d => d.dep == "relcl" && d.to == prepDep.from)
+                  .map(d => List(d.from))
+                  .orElse(subjOf.get(prepDep.from).filter(_.nonEmpty))
                   .orElse(ownerSubj(prepDep.from, depth + 1))
               } yield s
             // "[NP who VERB O] may VERB2": the nearest chunk is the relcl
@@ -822,9 +827,22 @@ object RuleNlp {
             var walkUp = participleSubj.isEmpty
             while (walkUp) {
               val gap = c.start - 1
-              if (gap > start && (toks(gap).lemma == "of" || toks(gap).lemma == "about")) {
+              val gl = if (gap > start) toks(gap).lemma else ""
+              if (gap > start && (gl == "of" || gl == "about" || gl == "in" ||
+                gl == "on" || gl == "within")) {
+                // NP-internal PP: the chain root owns the verb ("smart
+                // speakers in your home may capture ...")
                 chunkBefore(gap) match {
                   case Some(pc) if pc.end == gap => c = pc
+                  case _ => walkUp = false
+                }
+              } else if (gap > start && gl == "include" &&
+                gap - 1 > start && toks(gap - 1).text == ",") {
+                // ", including X," appositive between the subject chain and
+                // the verb ("A log of your purchases, including the time of
+                // each order, is retained")
+                chunkBefore(gap - 1) match {
+                  case Some(pc) if pc.end == gap - 1 => c = pc
                   case _ => walkUp = false
                 }
               } else walkUp = false
@@ -950,6 +968,22 @@ object RuleNlp {
             objOf(vg.verb) = List(fc.head)
           }
         }
+      }
+    }
+
+    // --- relative-clause object gap: "voice recordings, which we
+    // transcribe" / "the data we collect" — a relcl verb with a subject
+    // but no object takes its upper as the object (the relativized slot)
+    deps.toVector.foreach { d =>
+      if (d.dep == "relcl" && subjOf.get(d.to).exists(_.nonEmpty) &&
+        !objOf.get(d.to).exists(_.nonEmpty) &&
+        !subjOf(d.to).contains(d.from) &&
+        // only inside a clause with its own main verb — a bare relcl
+        // fragment ("Information We Collect" as a heading) states no
+        // practice of its own
+        deps.exists(r => r.dep == "root" && r.to != d.to)) {
+        addDep(d.to, d.from, "obj")
+        objOf(d.to) = List(d.from)
       }
     }
 
