@@ -196,6 +196,9 @@ object DocKernel {
   private val GenericContainers = Set("copy", "record", "backup", "category",
     "type", "kind", "example", "variety", "log", "history", "list")
 
+  /** Verbs whose ACTIVE voice states a deletion right, not a practice. */
+  private val DeletionVerbs = Set("delete", "erase", "remove", "purge")
+
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
 
@@ -650,7 +653,13 @@ object DocKernel {
     st.docs.foreach { d =>
       d.parses.foreach { p =>
         Patterns.matchSentence(p).foreach { m =>
-          val entries = Patterns.actionMap((m.action, m.neg))
+          val entries =
+            // ACTIVE deletion ("you can ask us to erase X") is a rights
+            // statement, no capture; the agentless PASSIVE ("your data is
+            // deleted after 90 days") discloses prior storage
+            if (m.verb >= 0 && DeletionVerbs.contains(p.tokens(m.verb).lemma) &&
+              !p.passiveVerbs.contains(m.verb)) Nil
+            else Patterns.actionMap((m.action, m.neg))
           // implicit first-party only when the match captured no VALID party
           // in any slot ("Your voice may be recorded") — a passive that
           // names one ("shared with analytics providers") keeps reference
@@ -731,6 +740,16 @@ object DocKernel {
                   st.linkSrc(st.implicitWeSrc(p), s, "USE")
                   st.recordMention(d, p, dt, s)
                   st.sentText.getOrElseUpdate(s, p.text)
+                }
+                // ... and the derived artifact X itself is data the
+                // operator now holds ("your approximate location, inferred
+                // from your IP address, helps us ...")
+                if (actors.nonEmpty && validateType(st, d, p, actors, "DATA")) {
+                  for (a <- actors; s <- d.srcs(a)) {
+                    st.linkSrc(st.implicitWeSrc(p), s, "COLLECT")
+                    st.recordMention(d, p, a, s)
+                    st.sentText.getOrElseUpdate(s, p.text)
+                  }
                 }
               }
             }

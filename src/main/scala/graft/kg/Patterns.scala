@@ -88,7 +88,7 @@ object Patterns {
     ("*VERB_SHARE_WITH:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "with,:obj@E2"), Seq("SHARE", "E1", "DT", "E2")),
     // E1 collect DT from E2
-    ("*VERB_COLLECT_FROM:root|ccomp",
+    ("*VERB_COLLECT_FROM:root|ccomp|xcomp",
       Seq(":subj@E1", "!:obj@DT", "from,:obj@E2"), Seq("COLLECT", "E1", "DT", "E2")),
     // E1 provide E2 with DT
     ("*VERB_PROVIDE_WITH:root|ccomp",
@@ -100,10 +100,10 @@ object Patterns {
     ("*VERB_SELL_TO:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "to,:obj@E2", ":dative@E3"), Seq("SELL", "E1", "DT", "E2|E3")),
     // E1 use DT
-    ("*VERB_USE:root|ccomp",
+    ("*VERB_USE:root|ccomp|xcomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("USE", "E1", "DT")),
     // E1 store DT
-    ("*VERB_STORE:root|ccomp",
+    ("*VERB_STORE:root|ccomp|xcomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("STORE", "E1", "DT")),
     // E1 have/get/gain/request access to DT; passive "granted access to"
     ("have|get|gain|request|grant:root|ccomp",

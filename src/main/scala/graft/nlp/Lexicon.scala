@@ -28,6 +28,7 @@ object Lexicon {
     // user-activity verbs inside relative clauses ("pages you visit",
     // "products you purchased") — drive annotateActivityRelcl
     "visit", "view", "browse", "purchase", "buy", "run", "occur", "pair",
+    "apply", "enter",
     "build", "create", "compile", "generate", "capture", "remember")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
@@ -44,7 +45,7 @@ object Lexicon {
   val adpositions: Set[String] = Set("with", "from", "to", "for", "of",
     "about", "by", "in", "on", "at", "as", "regarding", "through", "via",
     "into", "without", "within", "during", "under", "between", "like",
-    "including", "across", "after", "before")
+    "including", "across", "after", "before", "against", "upon", "outside")
   val coordConj: Set[String] = Set("and", "or", "but", "nor")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
     "that", "which", "whether", "unless", "whenever", "wherever", "whereby",

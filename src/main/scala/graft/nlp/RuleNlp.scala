@@ -779,7 +779,19 @@ object RuleNlp {
           case Dep(upper, rv, "relcl")
             if vgIdx > 0 && vgs(vgIdx - 1).verb == rv && rv + 1 == vg.auxStart => upper
         }
-        if (relclHead.isDefined) {
+        // temporal/privative gerund: "before collecting X", "without
+        // sharing Y" — the gerund's subject is the matrix subject, and a
+        // "without"-gerund is a negative statement
+        val gerundPrep = prevTok >= start && toks(prevTok).pos == "ADP" &&
+          toks(v).text.toLowerCase.endsWith("ing") &&
+          Set("before", "after", "while", "upon", "when", "without")
+            .contains(toks(prevTok).lemma)
+        if (gerundPrep && prevMain >= 0 && subjOf.get(prevMain).exists(_.nonEmpty)) {
+          val hs = subjOf(prevMain)
+          hs.foreach(h => addDep(v, h, "subj"))
+          subjOf(v) = hs
+          if (toks(prevTok).lemma == "without") neg += v
+        } else if (relclHead.isDefined) {
           addDep(v, relclHead.get, "subj")
           subjOf(v) = List(relclHead.get)
         } else
