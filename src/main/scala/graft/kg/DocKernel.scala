@@ -199,6 +199,11 @@ object DocKernel {
   /** Verbs whose ACTIVE voice states a deletion right, not a practice. */
   private val DeletionVerbs = Set("delete", "erase", "remove", "purge")
 
+  /** Second-person / data-subject providers — "you provide X" and "job
+    * applicants submit their resume" both imply the first party receives. */
+  private val UserSubjects = Set("you", "your", "user", "customer",
+    "visitor", "consumer", "member", "subscriber", "applicant", "individual")
+
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
 
@@ -364,6 +369,38 @@ object DocKernel {
                       if (action == "SELL") "BE_SOLD" else "BE_SHARED")
                   }
                 }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Fronted exceptive carve-outs: "Aside from your gender, we do not
+    * request any demographic information" — the excepted datatype IS
+    * collected (the negative statement quantifies over everything else).
+    * Triggers: aside from / apart from / except for / other than at the
+    * clause start, a DATA chunk, a comma, and a negated main clause. */
+  def annotateExceptives(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        val s = p.start
+        val exLen =
+          if (p.end - s > 2 && (p.tokens(s).lemma == "aside" || p.tokens(s).lemma == "apart") &&
+            p.tokens(s + 1).lemma == "from") 2
+          else if (p.end - s > 2 && p.tokens(s).lemma == "except" &&
+            p.tokens(s + 1).lemma == "for") 2
+          else if (p.end - s > 2 && p.tokens(s).lemma == "other" &&
+            p.tokens(s + 1).lemma == "than") 2
+          else 0
+        if (exLen > 0 && p.neg.nonEmpty) {
+          p.chunks.find(c => c.start == s + exLen && c.ner == "DATA").foreach { fc =>
+            if (fc.end < p.end && p.tokens(fc.end).text == ",") {
+              d.srcs(fc.head).foreach { src =>
+                st.linkSrc(st.implicitWeSrc(p), src, Collect)
+                st.recordMention(d, p, fc.head, src)
+                st.sentText.getOrElseUpdate(src, p.text)
               }
             }
           }
@@ -709,11 +746,11 @@ object DocKernel {
             } else if (eIdx == 2 &&
               !validateType(st, d, p, ents, "ACTOR") && !rel.startsWith("NOT_") &&
               m.args.lift(0).exists(g => g.nonEmpty && g.forall { t =>
-                val lm = d.toks(t).lemma.toLowerCase
-                lm == "you" || lm == "your"
+                UserSubjects.contains(d.toks(t).lemma.toLowerCase)
               }) && validateType(st, d, p, dts, "DATA")) {
-              // "you provide/submit/give DT" with no recipient: the receiver
-              // is the first party
+              // "you provide/submit/give DT" (or any data-subject noun —
+              // "applicants submit their resume") with no recipient: the
+              // receiver is the first party
               for (dt <- dts; dtSrc <- d.srcs(dt)) {
                 st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
                 st.recordMention(d, p, dt, dtSrc)
@@ -1019,6 +1056,7 @@ object DocKernel {
     val st = DocState(url, sorted, docs)
     annotateActivityRelcl(st)
     annotateNominalizations(st)
+    annotateExceptives(st)
     annotateQaFragments(st)
     annotateSubsumption(st)
     annotateCoreference(st)

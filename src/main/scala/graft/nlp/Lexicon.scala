@@ -58,7 +58,8 @@ object Lexicon {
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
     "necessary", "such", "sensitive", "non-personal", "new", "relevant",
-    "applicable", "general", "specific", "own", "online")
+    "applicable", "general", "specific", "own", "online",
+    "parental", "explicit", "prior", "written", "valid")
   val stopWords: Set[String] = Set("the", "a", "an", "of", "to", "and",
     "or", "for", "in", "on", "at", "by", "with", "from", "about", "as",
     "is", "are", "be", "we", "you", "our", "your", "their", "this", "that",
@@ -139,7 +140,10 @@ object Lexicon {
           else if (base.length > 2 && base(base.length - 1) == base(base.length - 2) &&
             !base.endsWith("ss") && !base.endsWith("ll")) base.dropRight(1)
           else base
-        } else if (w.endsWith("s") && !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is")) {
+        } else if (w.endsWith("s") && !w.endsWith("ss") &&
+          (!w.endsWith("us") || w.endsWith("eaus")) && !w.endsWith("is")) {
+          // -eaus plurals (bureaus, plateaus) strip normally; other -us
+          // words (bonus, status) are singular
           w.dropRight(1)
         } else w
     }

@@ -146,7 +146,7 @@ object RuleNlp {
   /** Matrix verbs whose OBJECT controls a following infinitive ("ask you
     * to provide"); everything else is subject-controlled ("use X to build"). */
   private val ObjectControlVerbs = Set("ask", "require", "prompt", "oblige",
-    "deem", "enable", "allow", "permit", "authorize", "invite")
+    "deem", "enable", "allow", "permit", "authorize", "invite", "let")
 
   /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
   private val ConjCueAdvs = Set("specifically", "namely", "particularly",

@@ -50,4 +50,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout2 precision regressed: $p")
     assert(r >= 0.99, s"holdout2 recall regressed: $r")
   }
+
+  test("holdout batch-3 P/R regression floors (closed at 1.0/1.0 end of round 3)") {
+    val rows = Holdout.prRows(Holdout.predicted3.toSet, Holdout.truth3.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout3 precision regressed: $p")
+    assert(r >= 0.99, s"holdout3 recall regressed: $r")
+  }
 }
