@@ -326,9 +326,10 @@ object RuleNlp {
       // "our servers log when you connect": a lemma bigram that matches a
       // dictionary phrase ("server log") across a plural noun + verb
       // candidate followed by a subordinator is a clause, not a mention
-      if (matched == 2 && i + 2 < toks.length &&
+      if (matched == 2 &&
         toks(i).text.toLowerCase.endsWith("s") && toks(i).lemma != toks(i).text.toLowerCase &&
-        verbLemmas.contains(toks(i + 1).lemma) && toks(i + 2).pos == "SCONJ") {
+        verbLemmas.contains(toks(i + 1).lemma) &&
+        (i + 2 >= toks.length || toks(i + 2).pos == "SCONJ" || toks(i + 2).pos == "PUNCT")) {
         // the plural head may still be an entity on its own ("our servers")
         if (aLen == 1) { matched = 1; label = "ACTOR" }
         else { matched = 0; label = "" }

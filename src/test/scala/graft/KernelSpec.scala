@@ -91,6 +91,41 @@ class KernelSpec extends AnyFunSuite {
     assert(tp > 1000)
   }
 
+  test("round-3-close mechanisms hold on fresh variants") {
+    // fronted negative inversion
+    assert(triples("<p>Under no circumstances will we share your phone number with advertisers.</p>") ==
+      Set(("advertiser", "NOT_BE_SHARED", "phone number")))
+    // it-cleft
+    assert(triples("<p>It is your device identifier that our servers log.</p>") ==
+      Set(("we", "STORE", "device identifier")))
+    // action nominalization
+    assert(triples("<p>Our use of your email address is limited to receipts.</p>") ==
+      Set(("we", "USE", "email address")))
+    // fronted exceptive over a negated clause
+    val ex = triples("<p>Except for your email address, we never collect contact information.</p>")
+    assert(ex.contains(("we", "COLLECT", "email address")))
+    assert(ex.contains(("we", "NOT_COLLECT", "contact information")))
+    // temporal gerund takes the matrix subject
+    assert(triples("<p>We obtain consent before collecting your geolocation.</p>") ==
+      Set(("we", "COLLECT", "geolocation")))
+    // without-gerund is negative
+    assert(triples("<p>We operate the service without storing your precise location.</p>") ==
+      Set(("we", "NOT_STORE", "precise geolocation")))
+    // question-answer fragment
+    assert(triples("<p>What information do we collect? Your age and your gender.</p>") ==
+      Set(("we", "COLLECT", "age"), ("we", "COLLECT", "gender")))
+    // passive deletion discloses prior storage; active erase-right does not
+    assert(triples("<p>Your voice recordings are deleted after ninety days.</p>") ==
+      Set(("we", "STORE", "voiceprint")))
+    assert(triples("<p>You can ask us to erase your photos.</p>") == Set.empty)
+    // xcomp-anchored use
+    assert(triples("<p>The app requests permission to access your photos.</p>") ==
+      Set(("we", "USE", "photo / video")))
+    // fronted additive PP joins the object list
+    val add = triples("<p>In addition to your email address, we collect your phone number.</p>")
+    assert(add == Set(("we", "COLLECT", "email address"), ("we", "COLLECT", "phone number")))
+  }
+
   test("generalizes to naturalistic, untemplated policy sentences") {
     // none of these shapes appear in the corpus generator. The comma-bound
     // "such as" exemplifier joins the subject group, so both the category
