@@ -78,7 +78,12 @@ class PropertySpec extends AnyFunSuite {
       "<div", "randomword", "\u0000", "é",
       // new token paths: contractions, bullets, partitives, abbreviations
       "don't", "won't", "n't", "'", "e.g.", "i.e.", "e.g", "* item", "1.",
-      "a.", "some", "of", "such", "as", "for", "example", "-")
+      "a.", "some", "of", "such", "as", "for", "example", "-",
+      // round-3-close mechanisms: clefts, exceptives, gerund preps,
+      // negative inversion, additive PPs, Q-A fragments
+      "It", "is", "that", "aside", "from", "except", "unless", "without",
+      "At", "no", "time", "in", "addition", "to", "?", "before",
+      "collecting", "including", "but", "not", "limited", "which")
     forAll(Gen.listOf(frag)) { parts =>
       val html = parts.mkString(" ")
       val segs = HtmlSegmenter.segment("fuzz", html)
