@@ -68,6 +68,13 @@ object Holdout {
   lazy val pages3: Vector[WebPage] = loadPages("holdout3_docs.tsv")
   lazy val truth3: Vector[(String, String, String)] = loadTruth("holdout3_truth.tsv")
 
+  /** Batch 4 (round-4 opening move): written and labeled BEFORE any round-4
+    * kernel commit, per the protocol frozen at round-3 close. Its FIRST run
+    * measures whether the ~45 round-3 mechanisms compound on new hard text
+    * (target: zero-shot both-recall ≥ 0.45 vs batch 3's 0.353). */
+  lazy val pages4: Vector[WebPage] = loadPages("holdout4_docs.tsv")
+  lazy val truth4: Vector[(String, String, String)] = loadTruth("holdout4_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -92,6 +99,7 @@ object Holdout {
   lazy val predicted: Vector[(String, String, String)] = predict(pages)
   lazy val predicted2: Vector[(String, String, String)] = predict(pages2)
   lazy val predicted3: Vector[(String, String, String)] = predict(pages3)
+  lazy val predicted4: Vector[(String, String, String)] = predict(pages4)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */
