@@ -65,28 +65,42 @@ object PdfSource {
     }
 
     /** (dictionary, raw stream bytes) for every stream object. Honors
-      * /Length when parseable; falls back to the next `endstream`. */
+      * /Length when parseable; falls back to the next `endstream`. The
+      * `stream` keyword scan must not match the substring inside an
+      * `endstream` terminator (that spurious match inherits the previous
+      * dict's /Length and silently drops every page after the first), so
+      * matches preceded by "end" are rejected AND the cursor always
+      * advances past the emitted stream's own `endstream`. */
     private def streams(s: String): Vector[(String, Array[Byte])] = {
       val out = Vector.newBuilder[(String, Array[Byte])]
       var from = 0
       val lenRe = "/Length\\s+(\\d+)".r
-      while ({ val at = s.indexOf("stream", from); at >= 0 && {
-        val dictStart = s.lastIndexOf("<<", at)
-        val dict = if (dictStart >= 0) s.substring(dictStart, at) else ""
-        var dataStart = at + "stream".length
-        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        val dataEnd = lenRe.findFirstMatchIn(dict).map(m => dataStart + m.group(1).toInt)
-          .filter(e => e <= s.length && s.indexOf("endstream", e) >= 0)
-          .getOrElse(s.indexOf("endstream", dataStart) match {
-            case -1 => dataStart
-            case e => e
-          })
-        if (dataEnd > dataStart)
-          out += ((dict, s.substring(dataStart, dataEnd).getBytes(Latin1)))
-        from = math.max(dataEnd, dataStart + 1)
-        true
-      } }) ()
+      var done = false
+      while (!done) {
+        var at = s.indexOf("stream", from)
+        while (at >= 3 && s.regionMatches(at - 3, "end", 0, 3))
+          at = s.indexOf("stream", at + "stream".length)
+        if (at < 0) done = true
+        else {
+          val dictStart = s.lastIndexOf("<<", at)
+          val dict = if (dictStart >= 0) s.substring(dictStart, at) else ""
+          var dataStart = at + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val dataEnd = lenRe.findFirstMatchIn(dict).map(m => dataStart + m.group(1).toInt)
+            .filter(e => e <= s.length && s.indexOf("endstream", e) >= 0)
+            .getOrElse(s.indexOf("endstream", dataStart) match {
+              case -1 => dataStart
+              case e => e
+            })
+          if (dataEnd > dataStart)
+            out += ((dict, s.substring(dataStart, dataEnd).getBytes(Latin1)))
+          from = s.indexOf("endstream", dataEnd) match {
+            case -1 => math.max(dataEnd, dataStart + 1)
+            case term => term + "endstream".length
+          }
+        }
+      }
       out.result()
     }
 

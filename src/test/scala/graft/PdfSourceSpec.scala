@@ -86,6 +86,51 @@ class PdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** Two pages = two /Length content streams. Guards the `stream`-keyword
+    * scan against matching the substring inside `endstream` (which made the
+    * parser inherit page 1's /Length and silently drop every later page). */
+  def buildTwoPagePdf(page1: String, page2: String, compress: Boolean): Array[Byte] = {
+    def enc(t: String): Array[Byte] = {
+      val raw = s"BT /F1 12 Tf 72 720 Td ($t) Tj ET".getBytes("ISO-8859-1")
+      if (!compress) raw else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        while (!d.finished()) buf.write(chunk, 0, d.deflate(chunk))
+        d.end()
+        buf.toByteArray
+      }
+    }
+    val (d1, d2) = (enc(page1), enc(page2))
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val b = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = b.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${d1.length}$filter >> stream\n")
+    b.write(d1)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${d2.length}$filter >> stream\n")
+    b.write(d2)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    b.toByteArray
+  }
+
+  test("multi-stream PDFs: every page's content stream extracts, not just the first") {
+    for (compress <- Seq(true, false)) {
+      val pdf = buildTwoPagePdf(
+        "We collect your email address.",
+        "We may share usage data with advertisers.", compress)
+      val md2 = PdfSource.PdfTextParser.toMarkdown(pdf)
+      assert(md2.contains("We collect your email address."), s"compress=$compress")
+      assert(md2.contains("We may share usage data with advertisers."),
+        s"page 2 dropped (compress=$compress):\n$md2")
+    }
+  }
+
   test("PDF text operators: escapes, TJ arrays, octal, line moves") {
     val content = "BT (Your \\(personal\\) data) Tj 0 -14 Td " +
       "[(We store) ( your ) (\\160urchase history.)] TJ ET"
