@@ -177,9 +177,12 @@ object Dedup {
     *   - 16 planes per band → 2^16 keys per band, so bucket sizes at n rows
     *     are ~n/65536 and the bucket self-join stays linear (8-plane bands
     *     had 256 keys → O(n²/256));
-    *   - `capBuckets` bounds the residual worst case exactly like the
-    *     minhash path (a capped bucket only loses pairs that still co-occur
-    *     in another band with high probability);
+    *   - identical vectors are collapsed to one representative BEFORE the
+    *     LSH (their pair list is exact and output-bound), and residual
+    *     over-cap buckets of distinct vectors are split into band-salted
+    *     sub-buckets rather than dropped — the old wholesale drop zeroed
+    *     recall on >maxBucket identical clusters, the exact content a
+    *     heavy-duplicate corpus dedups for;
     *   - the band join and `distinct()` move (vec_id, band, key) rows ONLY;
     *     embeddings are joined back just for the candidate verify;
     *   - hyperplanes are literal arrays (driver-computed), not per-row
@@ -190,26 +193,51 @@ object Dedup {
     * and ≈ 1.0 for near-exact duplicates (the oracle's planted pairs). */
   def embeddingPairs(emb: DataFrame, threshold: Double = 0.95,
       bands: Int = 8, planesPerBand: Int = 16, maxBucket: Int = 64): DataFrame = {
-    // cap via a count-window instead of capBuckets' aggregate+semi-join: the
-    // sketch projection (the expensive part) is evaluated once, the window
-    // shuffle already partitions by (b, k) for the self-join, and Spark
-    // reuses that exchange for both join sides
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // 1) collapse exactly-identical embeddings BEFORE LSH (the simhash-path
+    // rationale): a cluster of >maxBucket identical vectors lands in the
+    // same bucket in EVERY band, so any bucket cap zeroes its recall. Their
+    // pairs are cosine 1.0 by definition and emitting them directly is
+    // output-bound — no fewer rows than the contract requires exist.
+    val members = base
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+      .select(col("rep"), col("vec_id"))
+    val identicalPairs = members.as("l").join(members.as("r"),
+        col("l.rep") === col("r.rep") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        lit(1.0).as("cosine"))
+    // 2) LSH over ONE representative per distinct embedding
+    val reps = base.as("e").join(
+        members.filter(col("vec_id") === col("rep")).select(col("vec_id")).as("k"),
+        col("e.vec_id") === col("k.vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    // 3) over-cap buckets are SPLIT into sub-buckets, not dropped: the
+    // split ordering is salted with the band id, so a pair separated by the
+    // split boundary in one band co-occurs in another band's sub-bucket
+    // with independent probability — graceful recall decay instead of the
+    // old cap's recall-0 on exactly the heavy-duplicate buckets.
     val w = Window.partitionBy(col("b"), col("k"))
-    val kv = embeddingBandKeys(emb, bands, planesPerBand)
-      .withColumn("_sz", count(lit(1)).over(w))
-      .filter(col("_sz") <= maxBucket)
-      .drop("_sz")
+      .orderBy(xxhash64(col("vec_id"), col("b")))
+    val kv = embeddingBandKeys(reps, bands, planesPerBand)
+      .withColumn("_sub", ((row_number().over(w) - 1) / maxBucket).cast("int"))
     val cand = kv.as("l").join(kv.as("r"),
         col("l.b") === col("r.b") && col("l.k") === col("r.k") &&
-          col("l.vec_id") < col("r.vec_id"))
+          col("l._sub") === col("r._sub") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
       .distinct()
-    val e = emb.select(col("vec_id"), col("embedding"))
-    cand
-      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
+    val repPairs = cand
+      .join(reps.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(reps.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .withColumn("cosine", round(Similarity.cosine(col("ea"), col("eb")), 4))
       .filter(col("cosine") >= threshold)
-      .select(col("a"), col("b"), col("cosine"))
+      .select(col("a").as("ra"), col("b").as("rb"), col("cosine"))
+    // 4) expand representative pairs to all member cross-pairs (members are
+    // byte-identical to their rep, so the cosine transfers exactly)
+    val expanded = repPairs
+      .join(members.select(col("rep").as("ra"), col("vec_id").as("ma")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("vec_id").as("mb")), Seq("rb"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"), col("cosine"))
+    expanded.unionByName(identicalPairs)
   }
 }

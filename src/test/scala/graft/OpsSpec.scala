@@ -73,6 +73,19 @@ class OpsSpec extends AnyFunSuite {
     (0L until 20L).foreach(i => assert(pairs.contains((i, i + 1000000L)), s"missed pair $i"))
   }
 
+  test("identical clusters larger than the bucket cap keep full pair recall") {
+    // 100 copies of one vector (> maxBucket=64): the old cap dropped the
+    // bucket in EVERY band (identical vectors share all sketches) → 0 pairs
+    val cluster = emb.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1L), lit(100L))).as("i"), col("embedding"))
+      .select((col("i") + 2000000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingPairs(
+        emb.select("vec_id", "embedding").union(cluster), threshold = 0.99)
+      .filter(col("a") >= 2000000L)
+      .count()
+    assert(pairs == 100L * 99 / 2, s"expected 4950 within-cluster pairs, got $pairs")
+  }
+
   test("exact dedup keeps one winner per distinct text") {
     val n = docs.count()
     val u = docs.select(col("text")).distinct().count()
