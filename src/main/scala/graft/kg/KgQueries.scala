@@ -50,8 +50,22 @@ object KgQueries {
     * (`runCheckpointed` writes `triples` + `closure`). */
   private val matCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
-  private def shared[T <: AnyRef](s: SparkSession, key: String)(f: => T): T =
+  private val evictRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  private def shared[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
+    // evict this session's entries when its context stops — a long-lived
+    // driver cycling sessions (Bench does) must not accumulate dead plans
+    if (evictRegistered.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          matCache.keySet.removeIf(_._1 eq s)
+          evictRegistered.remove(s)
+        }
+      })
+    }
     matCache.computeIfAbsent((s, key), _ => f).asInstanceOf[T]
+  }
 
   def sharedTriples(s: SparkSession, variant: String = "extended"): Dataset[Triple] =
     shared(s, s"triples/$variant") {

@@ -131,7 +131,10 @@ object Ontology {
     * codegen-friendly at scale. */
   def registeredDomainCol(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val parts = split(lower(d), "\\.")
+    // drop empty labels exactly like the driver twin's filter(_.nonEmpty):
+    // hosts with leading/trailing/consecutive dots ("foo.com.") must not
+    // diverge between the Spark plan and the DuckDB/driver oracle
+    val parts = filter(split(lower(d), "\\."), x => x =!= lit(""))
     val n = size(parts)
     val last2 = concat_ws(".", slice(parts, greatest(n - lit(1), lit(1)), lit(2)))
     when(n >= lit(3) && last2.isInCollection(multiLabelSuffixes),

@@ -73,6 +73,12 @@ object ScaleProbe {
     // per-annotator deltas: cumulative prefixes of the annotator chain (each
     // includes buildDocs; successive differences isolate one annotator)
     val chain = Seq[(String, DocKernel.DocState => Unit)](
+      // MUST mirror DocKernel.annotate ordering exactly, or the cumulative
+      // prefix deltas attribute allocation to the wrong annotator
+      "actRelcl" -> DocKernel.annotateActivityRelcl,
+      "nominal" -> DocKernel.annotateNominalizations,
+      "exceptive" -> DocKernel.annotateExceptives,
+      "qaFrag" -> DocKernel.annotateQaFragments,
       "subsum" -> DocKernel.annotateSubsumption,
       "coref" -> DocKernel.annotateCoreference,
       "collect" -> DocKernel.annotateCollection,

@@ -264,7 +264,9 @@ class KgApiSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val hosts = Seq("www.bbc.co.uk", "metrics.google.co.uk", "a.b.example.com",
-      "example.com", "sub.domain.com.au", "localhost")
+      "example.com", "sub.domain.com.au", "localhost",
+      // degenerate dot placement must agree between driver and column twin
+      "foo.com.", ".foo.com", "foo..com", "www.bbc.co.uk.")
     val got = hosts.toDF("h").select(Ontology.registeredDomainCol(col("h")))
       .as[String].collect().toSeq
     assert(got == hosts.map(Ontology.registeredDomain))
