@@ -90,9 +90,34 @@ class PipelineSpec extends AnyFunSuite {
     val chain = spark.range(0, 1023)
       .select(format_string("c%04d", col("id")).as("src"),
         format_string("c%04d", col("id") + 1).as("dst"))
-    val (labels, rounds) = graft.kg.AliasResolution.connectedComponentsWithRounds(chain)
+    // localFinishEdges=0 disables the driver union-find so the distributed
+    // propagate/jump path is what's measured
+    val (labels, rounds) = graft.kg.AliasResolution.connectedComponentsWithRounds(
+      chain, localFinishEdges = 0L)
     assert(labels.select("component").distinct().count() == 1)
     assert(rounds <= 12, s"rounds=$rounds for diameter 1023")
+  }
+
+  test("label parking: active frame shrinks monotonically and stars park at seed") {
+    import spark.implicits._
+    // 10k-spoke star + 64-node chain: the star must park at the first
+    // contraction, so the iterate phase only ever shuffles the chain core
+    val star = spark.range(1, 10001)
+      .select(format_string("g%05d", col("id")).as("src"), lit("g00000").as("dst"))
+    val chain = spark.range(0, 63)
+      .select(format_string("h%05d", col("id")).as("src"),
+        format_string("h%05d", col("id") + 1).as("dst"))
+    val (labels, _, sizes) = graft.kg.AliasResolution.connectedComponentsDiag(
+      star.union(chain), localFinishEdges = 0L)
+    assert(sizes.nonEmpty)
+    assert(sizes.head < 200,
+      s"star vertices must park at the seed contraction; active size ${sizes.head}")
+    assert(sizes == sizes.sorted.reverse, s"active frame grew: $sizes")
+    // parked labels still resolve to the true component minima
+    val comps = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps.size == 10065)
+    assert(comps("g09999") == "g00000" && comps("g00000") == "g00000")
+    assert(comps("h00063") == "h00000" && comps("h00031") == "h00000")
   }
 
   test("alias components merge aliases of the same entity") {
