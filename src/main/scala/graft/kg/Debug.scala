@@ -25,23 +25,25 @@ object Debug {
         if (p.neg.nonEmpty) println(s"       neg: ${p.neg.toVector.sorted}")
       }
     }
-    DocKernel.annotateSubsumption(st)
-    DocKernel.annotateCoreference(st)
-    DocKernel.annotateCollection(st)
-    DocKernel.annotatePurpose(st)
-    DocKernel.annotateList(st)
-    DocKernel.annotateSubject(st)
+    // run the REAL annotator chain (DocKernel.annotate) so this tool can
+    // never drift from production ordering; re-parse from segments
+    val ann = DocKernel.annotate(url, segs)
     println("  edges:")
-    st.edges.foreach { case (a, b, r) => println(s"    $a -$r-> $b") }
-    val triples = GraphBuilder.build(st, "extended")
+    ann.edges.foreach { case (a, b, r) => println(s"    $a -$r-> $b") }
+    val triples = GraphBuilder.build(ann, "extended")
     println("  TRIPLES:")
     triples.foreach(t => println(s"    (${t.subj} [${t.subjType}]) -${t.pred}-> (${t.obj} [${t.objType}]) purposes=${t.purposes} text=${t.text.take(1)}"))
   }
 
   def main(args: Array[String]): Unit = {
     if (args.nonEmpty) {
-      // raw text/HTML passed on the command line: show just that
-      show("arg", args.mkString(" "))
+      // raw text/HTML passed on the command line: show just that.
+      // @/path/to/file reads the HTML from a file (sbt eats ';' in args)
+      val raw = args.mkString(" ")
+      val html =
+        if (raw.startsWith("@")) scala.io.Source.fromFile(raw.drop(1)).mkString
+        else raw
+      show("arg", html)
       return
     }
     show("smoke", """<h1>Privacy Policy</h1>

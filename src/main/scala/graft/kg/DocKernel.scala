@@ -330,7 +330,10 @@ object DocKernel {
   private val ActionNominals = Map(
     "collection" -> "COLLECT", "use" -> "USE", "processing" -> "USE",
     "storage" -> "STORE", "retention" -> "STORE", "disclosure" -> "SHARE",
-    "sharing" -> "SHARE", "sale" -> "SELL", "transfer" -> "SHARE")
+    "sharing" -> "SHARE", "sale" -> "SELL", "transfer" -> "SHARE",
+    // the lookup key is the chunk head's LEMMA: gerund nominals arrive
+    // stripped ("sharing" → share, "processing" → process)
+    "share" -> "SHARE", "process" -> "USE")
 
   /** Nominalized practice statements (recall extension; the reference's
     * consent pattern covers only "you consent to the collection of DT"):
@@ -353,9 +356,10 @@ object DocKernel {
             if (possOk) ofChunk.foreach { dtc =>
               val dtHeads = conjGroup(p, dtc).map(_.head)
                 .filter(h => p.tokens(h).ner == "DATA")
-              // recipient: "<nominal> of DT to <ACTOR>"
+              // recipient: "<nominal> of DT to/with <ACTOR>"
               val recip = p.chunks.find(rc => rc.start == dtc.end + 1 &&
-                dtc.end < p.end && p.tokens(dtc.end).lemma == "to" &&
+                dtc.end < p.end && (p.tokens(dtc.end).lemma == "to" ||
+                  p.tokens(dtc.end).lemma == "with") &&
                 p.tokens(rc.head).ner == "ACTOR")
               dtHeads.foreach { dt =>
                 d.srcs(dt).foreach { dtSrc =>
@@ -475,6 +479,15 @@ object DocKernel {
                           c.ner == lowerTok.ner &&
                           p.tokens(c.head).pos != "PRON")
                         .lastOption.map(_.head).getOrElse(upper)
+                    else if (upperTok.ner == "ACTOR" && lowerTok.ner != "ACTOR")
+                      // "how you use the service, including the pages you
+                      // view": the cue syntactically lands on the ACTOR
+                      // ('service'), but it exemplifies the data mention
+                      // heading the chain — re-root at the nearest
+                      // preceding DATA chunk when one exists
+                      p.chunks.filter(c => c.end <= dep.from &&
+                          c.ner == "DATA" && p.tokens(c.head).pos != "PRON")
+                        .lastOption.map(_.head).getOrElse(upper)
                     else upper
                   val upper2Tok = p.tokens(upper2)
                   if (lowerTok.pos != "PRON" && entCompatible(upper2Tok.ner, lowerTok.ner))
@@ -503,9 +516,11 @@ object DocKernel {
             }
           }
         }
-        // verb "include": subj X, obj Ys → SUBSUM(X, Y)
+        // verb "include" — and definition verb "mean" ('"Usage Data" means
+        // information about...'): subj X, obj Ys → SUBSUM(X, Y)
         p.deps.foreach { dep =>
-          if ((dep.dep == "root" || dep.dep == "ccomp") && p.tokens(dep.to).lemma == "include") {
+          if ((dep.dep == "root" || dep.dep == "ccomp") &&
+            (p.tokens(dep.to).lemma == "include" || p.tokens(dep.to).lemma == "mean")) {
             val v = dep.to
             val subj = p.out(v).filter(_.dep == "subj").map(_.to)
             val objs = p.out(v).filter(_.dep == "obj").map(_.to)
@@ -644,10 +659,35 @@ object DocKernel {
   def annotateCoreference(st: DocState): Unit = {
     st.docs.foreach { d =>
       var prevChunks: Vector[(Parse, Chunk)] = Vector.empty
+      // anaphors already resolved in this document: a pronoun inside the
+      // one-sentence candidate window stands for its antecedent, so chains
+      // like "email address ... It ... this information" resolve across
+      // more than one sentence hop
+      // token indices are doc-global (parses share the doc's token vector),
+      // so the head index alone keys a mention
+      val resolvedTo = scala.collection.mutable.HashMap.empty[Int, (Parse, Int)]
+      def keyOf(cp: Parse, h: Int): Int = h
+      // most recent coordination of >=2 DATA mentions, for "the former" /
+      // "the latter" ordinal anaphors
+      var lastCoord: Vector[(Parse, Int)] = Vector.empty
       d.parses.foreach { p =>
         val cur = p.chunks.map(c => (p, c))
         p.chunks.foreach { c =>
           val head = p.tokens(c.head)
+          // ordinal anaphors: "the former" → first member, "the latter" →
+          // last member of the nearest preceding DATA coordination
+          if ((head.lemma == "former" || head.lemma == "latter") &&
+            lastCoord.size >= 2) {
+            val (cp, candHead) =
+              if (head.lemma == "former") lastCoord.head else lastCoord.last
+            st.link(d, p, c.head, candHead, Coref)
+            resolvedTo(keyOf(p, c.head)) = (cp, candHead)
+            d.srcs(candHead).foreach { s =>
+              st.mentions -= s
+              st.recordMention(d, cp, candHead, s)
+              st.sentText(s) = cp.text
+            }
+          }
           val trigger: Option[String] =
             if (head.pos == "PRON" && DataAnaphors.contains(head.lemma)) Some("DATA")
             else if (head.pos == "PRON" && ActorAnaphors.contains(head.lemma)) Some("ACTOR")
@@ -661,26 +701,157 @@ object DocKernel {
             // NP wins, not the nearest preceding one
             val candidates =
               (cur.filter(_._2.end <= c.start) ++ prevChunks)
-            candidates.find { case (cp, cand) =>
+            candidates.iterator.map { case (cp, cand) =>
               val h = cp.tokens(cand.head)
-              h.pos != "PRON" && h.ner == expected
-            }.foreach { case (cp, cand) =>
+              if (h.pos == "PRON")
+                resolvedTo.get(keyOf(cp, cand.head))
+                  .filter { case (ap, ah) => ap.tokens(ah).ner == expected }
+              else if (h.ner == expected) Some((cp, cand.head))
+              else None
+            }.collectFirst { case Some(x) => x }.foreach { case (cp, candHead) =>
               // COREF: mention → main mention
-              if (!(cp eq p) || cand.head != c.head) {
-                st.link(d, p, c.head, cand.head, Coref)
+              if (!(cp eq p) || candHead != c.head) {
+                st.link(d, p, c.head, candHead, Coref)
+                resolvedTo(keyOf(p, c.head)) = (cp, candHead)
                 // the antecedent's mention/sentence come from its OWN parse —
                 // link() above just stamped it with the anaphor's sentence,
                 // so overwrite (evidence must cite the antecedent's sentence)
-                d.srcs(cand.head).foreach { s =>
+                d.srcs(candHead).foreach { s =>
                   st.mentions -= s
-                  st.recordMention(d, cp, cand.head, s)
+                  st.recordMention(d, cp, candHead, s)
                   st.sentText(s) = cp.text
                 }
               }
             }
           }
         }
+        val dataChunks = p.chunks.filter(ch =>
+          p.tokens(ch.head).ner == "DATA" && p.tokens(ch.head).pos != "PRON")
+        if (dataChunks.size >= 2) lastCoord = dataChunks.map(ch => (p, ch.head))
         prevChunks = cur
+      }
+    }
+  }
+
+  private val TaxonomyCueLemmas = Set("include", "e.g.", "i.e.", "such",
+    "like", "especially", "particularly", "namely", "for")
+
+  /** Data-typed nouns that act as COLLECTION INSTRUMENTS when they head a
+    * subject ("These cookies collect X", "the SDK transmits Y"). */
+  private val InstrumentNouns = Set("cookie", "pixel", "beacon", "sdk",
+    "tag", "technology", "tracker", "script")
+
+  /** CCPA-style taxonomy lines — "Identifiers: name; email address." and
+    * "... are collected: Identifiers (IP address and device identifier);
+    * Geolocation (approximate location); Biometrics (none)." A
+    * clause-initial label followed by ':' or a bare '(' items list is a
+    * category header: it subsumes its items, and the pre-colon container
+    * NP ("the following categories") carries across the ';'-split verbless
+    * label clauses so every label joins the collect flow. Canonical labels
+    * ("Identifiers" → identifier) stay real mentions — the policy names
+    * them as collected categories. Exemplifier parens ("(including ...)")
+    * are NOT taxonomy; nothing fires for them. */
+  def annotateColonTaxonomy(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      // the from-side of the most recent colon list ("categories" in
+      // "... categories are collected: Label (...); Label (...)")
+      var container: Option[(Parse, Int)] = None
+      d.parses.zipWithIndex.foreach { case (p, pi) =>
+        val verbless = !(p.start until p.end).exists(k =>
+          p.tokens(k).pos == "VERB" || p.tokens(k).pos == "AUX")
+        if (!verbless && !(p.start until p.end).exists(k => p.tokens(k).text == ":"))
+          container = None
+        p.chunks.foreach { c =>
+          def prevNonSpace: Option[Int] = {
+            var k = c.start - 1
+            while (k >= p.start && p.tokens(k).pos == "SPACE") k -= 1
+            if (k >= p.start) Some(k) else None
+          }
+          val prevT = prevNonSpace.map(k => p.tokens(k).text)
+          val clauseStart = prevT.forall(t => t == ":" || t == ";")
+          if (clauseStart && c.end < p.end) {
+            val nxt = p.tokens(c.end).text
+            val colonLabel = nxt == ":"
+            val parenLabel = nxt == "(" && c.end + 1 < p.end &&
+              !TaxonomyCueLemmas.contains(p.tokens(c.end + 1).lemma)
+            if (colonLabel || parenLabel) {
+              // items must live in the SAME SEGMENT as the label — a
+              // trailing colon whose "items" come from child segments is a
+              // (nested) list intro, which the list annotator owns
+              // (reference semantics: link copy, no taxonomy subsumption)
+              val labSeg = d.srcs(c.head).map(_.seg)
+              def sameSeg(h: Int): Boolean = d.srcs(h).map(_.seg) == labSeg
+              val items: Vector[(Parse, Int)] =
+                if (colonLabel) {
+                  val here = p.chunks.filter(ch => ch.start > c.end &&
+                    p.tokens(ch.head).ner == "DATA" && sameSeg(ch.head))
+                    .map(ch => (p, ch.head))
+                  if (here.isEmpty) Vector.empty
+                  else {
+                    val later = d.parses.drop(pi + 1)
+                      .takeWhile(p2 => !(p2.start until p2.end).exists(k =>
+                        p2.tokens(k).pos == "VERB" || p2.tokens(k).pos == "AUX"))
+                      .flatMap(p2 => p2.chunks.filter(ch =>
+                        p2.tokens(ch.head).ner == "DATA" && sameSeg(ch.head))
+                        .map(ch => (p2, ch.head)))
+                    here ++ later
+                  }
+                } else {
+                  val close = (c.end + 1 until p.end)
+                    .find(k => p.tokens(k).text == ")").getOrElse(p.end)
+                  p.chunks.filter(ch => ch.start > c.end && ch.end <= close &&
+                    p.tokens(ch.head).ner == "DATA").map(ch => (p, ch.head))
+                }
+              val hasNone = parenLabel && {
+                val close = (c.end + 1 until p.end)
+                  .find(k => p.tokens(k).text == ")").getOrElse(p.end)
+                (c.end + 1 until close).exists(k => p.tokens(k).lemma == "none")
+              }
+              if (items.nonEmpty || hasNone) {
+                // pre-colon container carries to this and later labels
+                if (prevT.contains(":"))
+                  container = prevNonSpace.flatMap(k =>
+                    p.chunks.filter(_.end <= k).lastOption.map(cc => (p, cc.head)))
+                container.foreach { case (cp, ch) =>
+                  if (ch != c.head) st.link(d, p, ch, c.head, Subsum)
+                }
+                items.foreach { case (ip, ih) =>
+                  st.link(d, ip, c.head, ih, Subsum)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Gapped coordination after a semicolon: "We collect your name; our
+    * advertising partners, your email address." — a verbless second
+    * conjunct of shape [ACTOR NP], [DATA NP...] inherits the previous
+    * clause's root verb (the classic legalese ellipsis). */
+  def annotateGapping(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.sliding(2).foreach {
+        case Vector(p1, p2) =>
+          val verbless = !(p2.start until p2.end).exists(k =>
+            p2.tokens(k).pos == "VERB" || p2.tokens(k).pos == "AUX")
+          val afterSemi = p1.end > p1.start && p1.tokens(p1.end - 1).text == ";"
+          if (verbless && afterSemi && p2.chunks.nonEmpty) {
+            val actors = p2.chunks.takeWhile(c => p2.tokens(c.head).ner == "ACTOR")
+            val rest = p2.chunks.drop(actors.length)
+            if (actors.nonEmpty && rest.nonEmpty &&
+              rest.forall(c => p2.tokens(c.head).ner == "DATA")) {
+              for {
+                rv <- p1.deps.find(dd => dd.dep == "root" &&
+                  p1.tokens(dd.to).pos == "VERB").map(_.to)
+                action <- Patterns.lemmaAction.get(p1.tokens(rv).lemma)
+                (ei, di, rel) <- Patterns.actionMap((action, p1.neg.contains(rv)))
+                  .collectFirst { case e @ (0, 1, _) => e }
+              } for (a <- actors; dt <- rest) st.link(d, p2, a.head, dt.head, rel)
+            }
+          }
+        case _ =>
       }
     }
   }
@@ -724,7 +895,13 @@ object DocKernel {
               }
             } else if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
-            } else if (eIdx == 0 && ents.isEmpty && m.verb >= 0 &&
+            } else if (eIdx == 0 && (ents.isEmpty ||
+              // a non-party subject capture ("Section 7 permits sharing it
+              // with carriers") leaves the operator as the implied actor
+              (!validateType(st, d, p, ents, "ACTOR") &&
+                !validateType(st, d, p, ents, "DATA") &&
+                !ents.exists(t => UserSubjects.contains(d.toks(t).lemma.toLowerCase)))) &&
+              m.verb >= 0 &&
               // agentless passive — and, for SHARE/SELL, also the agented
               // passive with only a RECIPIENT named ("crash reports are
               // transmitted to our vendor"): the labeling convention keeps
@@ -732,7 +909,11 @@ object DocKernel {
               // data (recall extension beyond the reference, which drops
               // the collect edge when no subject is captured)
               (!anyActor || m.action == "SHARE" || m.action == "SELL") &&
-              p.passiveVerbs.contains(m.verb) &&
+              (p.passiveVerbs.contains(m.verb) ||
+                // subjectless share-gerund ("Section 7 permits sharing it
+                // with mobile carriers"): the implied sharer is the
+                // operator — same convention as the share-passive
+                p.tokens(m.verb).text.toLowerCase.endsWith("ing")) &&
               // "stored locally" / "processed on your device" = on-device,
               // not operator collection
               !(m.verb + 1 < p.end && p.tokens(m.verb + 1).lemma == "locally") &&
@@ -745,14 +926,43 @@ object DocKernel {
               }
             } else if (eIdx == 2 &&
               !validateType(st, d, p, ents, "ACTOR") && !rel.startsWith("NOT_") &&
-              m.args.lift(0).exists(g => g.nonEmpty && g.forall { t =>
+              m.args.lift(0).exists(g => g.nonEmpty && (g.forall { t =>
                 UserSubjects.contains(d.toks(t).lemma.toLowerCase)
-              }) && validateType(st, d, p, dts, "DATA")) {
+              } ||
+                // gerund/abstract subject stands for the user's action:
+                // "Creating an account requires providing your date of
+                // birth" — the provider is the account creator
+                (!validateType(st, d, p, g, "DATA") && g.exists { t =>
+                  d.toks(t).pos == "NOUN" &&
+                    d.toks(t).text.toLowerCase.endsWith("ing")
+                }))) && validateType(st, d, p, dts, "DATA")) {
               // "you provide/submit/give DT" (or any data-subject noun —
               // "applicants submit their resume") with no recipient: the
               // receiver is the first party
               for (dt <- dts; dtSrc <- d.srcs(dt)) {
                 st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                st.recordMention(d, p, dt, dtSrc)
+                st.sentText.getOrElseUpdate(dtSrc, p.text)
+              }
+            } else if (eIdx == 0 && ents.nonEmpty && !rel.startsWith("NOT_") &&
+              validateType(st, d, p, ents, "DATA") &&
+              ents.forall(t => InstrumentNouns.contains(d.toks(t).lemma)) &&
+              validateType(st, d, p, dts, "DATA")) {
+              // instrument subject ("These cookies collect your browsing
+              // history"): attribute the collection to the actor that
+              // placed the instrument (an earlier clause's verb with the
+              // same instrument as its object), else to the operator
+              val instrLemmas = ents.map(t => d.toks(t).lemma).toSet
+              val placer = d.parses.takeWhile(pp => !(pp eq p)).reverseIterator
+                .flatMap { pp =>
+                  pp.chunks.filter(ch => instrLemmas.contains(pp.tokens(ch.head).lemma))
+                    .flatMap(ch => d.srcs(ch.head))
+                    .flatMap(s => st.inEdges(s).collect {
+                      case (from, _, r2) if r2 != Subsum && r2 != Coref => from
+                    })
+                }.toSeq.headOption
+              for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                st.linkSrc(placer.getOrElse(st.implicitWeSrc(p)), dtSrc, rel)
                 st.recordMention(d, p, dt, dtSrc)
                 st.sentText.getOrElseUpdate(dtSrc, p.text)
               }
@@ -958,10 +1168,15 @@ object DocKernel {
               // bare "the following:" (substantive) → SUBSUM from the cue
               // token itself — it normalizes to UNSPECIFIED, so the graph
               // build splices the parent's COLLECT/BE_SHARED edges through
-              // to the items (eliminateIntermediate)
-              p.chunkOf(k).foreach { c =>
+              // to the items (eliminateIntermediate). An adverbial cue
+              // outside any chunk ("the categories listed below") subsumes
+              // from the nearest preceding NP instead.
+              val cueChunk = p.chunkOf(k)
+                .orElse(p.chunks.filter(_.end <= k).lastOption.map(c => c.copy(head = c.head)))
+              cueChunk.foreach { c =>
                 d2src(ctxDoc, c.head).foreach { hs =>
-                  if (p.tokens(c.head).ner.nonEmpty || c.head == k) {
+                  if (p.tokens(c.head).ner.nonEmpty || c.head == k ||
+                    !p.chunkOf(k).isDefined) {
                     linkToApply((Some(hs), None)) = Subsum
                     st.recordMention(ctxDoc, p, c.head, hs)
                     st.sentText.getOrElseUpdate(hs, p.text)
@@ -1058,6 +1273,8 @@ object DocKernel {
     annotateNominalizations(st)
     annotateExceptives(st)
     annotateQaFragments(st)
+    annotateGapping(st)
+    annotateColonTaxonomy(st)
     annotateSubsumption(st)
     annotateCoreference(st)
     annotateCollection(st)

@@ -210,7 +210,10 @@ object Patterns {
       Seq("COLLECT", "E1", "DT", "X")),
     // E1 set/place cookies
     ("set|place:root|ccomp",
-      Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT"))))
+      Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT")),
+    // E1 rely on / fall back to / resort to DT
+    ("rely|fall|resort|depend:root|ccomp",
+      Seq(":subj@E1", "!on|to|upon:prep,:obj@DT"), Seq("USE", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */
@@ -300,6 +303,15 @@ object Patterns {
 
   /** ACTION_MAP (reference collection_annotator.py:322-339): action ×
     * negation → list of (entityArgIdx, dataArgIdx, edgeType). */
+  /** Verb lemma → action class, for mechanisms that need a verb's action
+    * outside a full pattern match (e.g. gapped coordination). */
+  lazy val lemmaAction: Map[String, String] =
+    (graft.nlp.Lexicon.tokenMap("VERB_SHARE_WITH").map(_ -> "SHARE") ++
+      graft.nlp.Lexicon.tokenMap("VERB_SELL_TO").map(_ -> "SELL") ++
+      graft.nlp.Lexicon.tokenMap("VERB_USE").map(_ -> "USE") ++
+      graft.nlp.Lexicon.tokenMap("VERB_STORE").map(_ -> "STORE") ++
+      graft.nlp.Lexicon.tokenMap("VERB_COLLECT_FROM").map(_ -> "COLLECT")).toMap
+
   val actionMap: Map[(String, Boolean), List[(Int, Int, String)]] = Map(
     ("COLLECT", false) -> List((0, 1, "COLLECT")),
     ("COLLECT", true) -> List((0, 1, "NOT_COLLECT")),

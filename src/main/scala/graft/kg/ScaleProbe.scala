@@ -79,6 +79,8 @@ object ScaleProbe {
       "nominal" -> DocKernel.annotateNominalizations,
       "exceptive" -> DocKernel.annotateExceptives,
       "qaFrag" -> DocKernel.annotateQaFragments,
+      "gapping" -> DocKernel.annotateGapping,
+      "taxonomy" -> DocKernel.annotateColonTaxonomy,
       "subsum" -> DocKernel.annotateSubsumption,
       "coref" -> DocKernel.annotateCoreference,
       "collect" -> DocKernel.annotateCollection,

@@ -29,7 +29,8 @@ object Lexicon {
     // "products you purchased") — drive annotateActivityRelcl
     "visit", "view", "browse", "purchase", "buy", "run", "occur", "pair",
     "apply", "enter",
-    "build", "create", "compile", "generate", "capture", "remember")
+    "build", "create", "compile", "generate", "capture", "remember",
+    "rely", "fall", "resort", "depend", "decline", "mean", "determine")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who")
@@ -45,7 +46,8 @@ object Lexicon {
   val adpositions: Set[String] = Set("with", "from", "to", "for", "of",
     "about", "by", "in", "on", "at", "as", "regarding", "through", "via",
     "into", "without", "within", "during", "under", "between", "like",
-    "including", "across", "after", "before", "against", "upon", "outside")
+    "including", "across", "after", "before", "against", "upon", "outside",
+    "besides", "except", "excluding")
   val coordConj: Set[String] = Set("and", "or", "but", "nor")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
     "that", "which", "whether", "unless", "whenever", "wherever", "whereby",
@@ -53,7 +55,7 @@ object Lexicon {
   val negations: Set[String] = Set("not", "never", "n't", "neither")
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
-    "namely", "together", "sometimes", "always", "so")
+    "namely", "together", "sometimes", "always", "so", "back", "otherwise")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
@@ -77,6 +79,8 @@ object Lexicon {
     "children" -> "child", "kept" -> "keep", "held" -> "hold",
     "sold" -> "sell", "given" -> "give", "gave" -> "give",
     "got" -> "get", "gotten" -> "get", "made" -> "make", "sent" -> "send",
+    "used" -> "use", "seen" -> "see", "saw" -> "see", "taken" -> "take",
+    "took" -> "take", "known" -> "know", "knew" -> "know",
     "parties" -> "party", "companies" -> "company", "policies" -> "policy",
     "cookies" -> "cookie", "technologies" -> "technology",
     "identities" -> "identity", "activities" -> "activity",
@@ -101,7 +105,10 @@ object Lexicon {
     "measure", "personalize", "improve", "customize", "analyze", "utilize",
     "save", "preserve", "require", "ensure", "secure", "enhance", "manage",
     "delete", "update", "give", "make", "notice", "purchase", "device",
-    "operate", "administer", "handle", "merge", "infer", "derive")
+    "operate", "administer", "handle", "merge", "infer", "derive",
+    "place", "create", "erase", "generate", "aggregate", "associate",
+    "compile", "change", "observe", "archive", "profile", "trace",
+    "arrive")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -225,6 +225,14 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
+          // pre-nominal past participle right after a verb is an adjective
+          // inside the object NP ("share aggregated demographic
+          // information"), not a second predicate
+          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ed") &&
+            (prev == "VERB" || prev == "VERBC") &&
+            (at(i + 1) == "NOUN" || at(i + 1) == "ADJ" || at(i + 1) == "PROPN" ||
+              at(i + 1) == "VERBC"))
+            t.pos = "ADJ"
           // "have/get/gain/request access to X": access is the object noun;
           // an auxiliary-tagged access-verb before it is the real main verb
           if (i > 0 && t.lemma == "access" &&
@@ -348,7 +356,37 @@ object RuleNlp {
           (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && i > 0 &&
           toks(i - 1).pos == "PRON" &&
           Set("we", "you", "they", "i").contains(toks(i - 1).lemma)
-        if (auxParticiple || pronPredicate) i += 1
+        // a base-form verb candidate right after a modal/auxiliary is the
+        // clause's verb even when its lemma is a dictionary entity ("we
+        // will record your interests": 'record' is a DATA unigram)
+        val auxPredicate = matched == 1 &&
+          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && i > 0 &&
+          toks(i - 1).pos == "AUX"
+        // a verb-candidate unigram followed by a determiner/possessive is a
+        // predicate taking an object ("couriers record your street
+        // address") — no noun mention continues into a determiner
+        val detPredicate = matched == 1 &&
+          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") &&
+          i + 1 < n && toks(i + 1).pos == "DET"
+        // inside a wh-free-relative ("What our servers record, ...") the
+        // clause needs its predicate: a verb-candidate unigram whose left
+        // context up to the 'what' is all nominal is that predicate
+        val whPredicate = matched == 1 &&
+          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && {
+            var k = i - 1
+            var seenWh = false
+            var ok = true
+            while (k >= 0 && ok && !seenWh) {
+              val p = toks(k)
+              if (p.lemma == "what") seenWh = true
+              else if (p.pos == "DET" || p.pos == "NOUN" || p.pos == "PROPN" ||
+                p.pos == "ADJ") k -= 1
+              else ok = false
+            }
+            seenWh
+          }
+        if (auxParticiple || pronPredicate || auxPredicate || detPredicate ||
+          whPredicate) i += 1
         else {
           var j = i
           while (j < i + matched) {
@@ -984,6 +1022,56 @@ object RuleNlp {
       }
     }
 
+    // --- pseudo-cleft: "What our servers record(, besides X,) is Y" — the
+    // wh-free-relative's verb takes the post-copula predicate NP as its
+    // object (the mirror image of the it-cleft above)
+    locally {
+      val f = (start until end).find(k => toks(k).pos != "SPACE")
+      if (f.exists(k => toks(k).lemma == "what")) {
+        vgs.find(vg => vg.verb > f.get && subjOf.get(vg.verb).exists(_.nonEmpty) &&
+          !objOf.get(vg.verb).exists(_.nonEmpty)).foreach { vg =>
+          val cop = (vg.verb + 1 until end).find(k =>
+            toks(k).pos == "AUX" && toks(k).lemma == "be")
+          for (cp <- cop; fc <- chunks.find(_.start > cp)) {
+            addDep(vg.verb, fc.head, "obj")
+            objOf(vg.verb) = List(fc.head)
+          }
+        }
+      }
+    }
+
+    // --- exemplifier with interposed parenthetical PP: "including, for
+    // card payments, the last four digits of the card number" — the cue's
+    // object is the first chunk after the closing comma (resolved through a
+    // partitive of-chain to the typed head), and the cue preps off the
+    // nearest preceding NP so the subsumption annotator sees the normal
+    // upper -prep(include)-> cue -obj-> lower shape
+    locally {
+      (start until end).foreach { i =>
+        val t = toks(i)
+        if (t.pos == "ADP" && t.lemma == "include" &&
+          !deps.exists(d => d.from == i) &&
+          i + 1 < end && toks(i + 1).pos == "PUNCT" && toks(i + 1).text == ",") {
+          val close = (i + 2 until end).find(k =>
+            toks(k).pos == "PUNCT" && toks(k).text == ",")
+          for (cl <- close; fc <- chunks.find(_.start > cl)) {
+            val objHead =
+              if (toks(fc.head).ner == "DATA" || toks(fc.head).ner == "ACTOR") fc.head
+              else (for {
+                pe <- deps.find(d2 => d2.from == fc.head && d2.dep == "prep" &&
+                  toks(d2.to).lemma == "of")
+                oe <- deps.find(d3 => d3.from == pe.to && d3.dep == "obj" &&
+                  toks(d3.to).ner == "DATA")
+              } yield oe.to).getOrElse(fc.head)
+            chunks.filter(_.end <= i).lastOption.foreach { up =>
+              addDep(up.head, i, "prep")
+              addDep(i, objHead, "obj")
+            }
+          }
+        }
+      }
+    }
+
     // --- relative-clause object gap: "voice recordings, which we
     // transcribe" / "the data we collect" — a relcl verb with a subject
     // but no object takes its upper as the object (the relativized slot)
@@ -1127,6 +1215,11 @@ object RuleNlp {
     var chainRoot = -1
     var lastBareEnd = -1
     var pendingNeg = false
+    // "neither A nor B": the negation chains across every conjunct...
+    var negChain = false
+    // ...unless an exceptive ("nor, except for fraud screening, your IP
+    // address") carves the NEXT conjunct back in as a positive
+    var carveNext = false
     while (k < regionEnd) {
       val t = toks(k)
       if (t.text == ":") {
@@ -1140,13 +1233,17 @@ object RuleNlp {
         // material of this verb ("Where required by law, we retain ...")
         k = regionEnd
       } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
-        pendingNeg = true; k += 1
+        pendingNeg = true
+        if (t.text.toLowerCase == "neither") negChain = true
+        k += 1
       } else if (t.pos == "SCONJ" && t.lemma != "whether") {
         // a subordinate clause boundary ("... log your IP address when you
         // connect") — nothing after it is this verb's material
         k = regionEnd
       } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
         val p = k
+        if (negChain && (t.lemma == "except" || t.lemma == "excluding" ||
+          t.lemma == "save" || t.lemma == "barring")) carveNext = true
         // noun-prep collocations where the PP hangs off the noun, not the
         // verb ("access to X", "information about X")
         val collocation = lastNounHead >= 0 && (Set(
@@ -1174,7 +1271,9 @@ object RuleNlp {
         else {
           chunks.find(_.start == p + 1) match {
             case Some(c) =>
-              val heads = conjChunkHeads(c)
+              // a carve-out exceptive PP is comma-bounded: its object never
+              // extends across the closing comma into the carved conjunct
+              val heads = if (carveNext) List(c.head) else conjChunkHeads(c)
               if (t.lemma == "by" && vg.passive) {
                 // agent → subjects (reference handle_agent)
                 heads.foreach { h => addDep(v, h, "subj"); if (pendingNeg) neg += h }
@@ -1229,8 +1328,18 @@ object RuleNlp {
             // means apposition/extension, not a dative
             val adjacentToPrev = lastBareEnd == c.start
             if (bareChunks == 1) {
-              heads.foreach(h => addDep(v, h, "obj"))
+              heads.foreach { h => addDep(v, h, "obj"); if (pendingNeg) neg += h }
               objOf(v) = heads
+              if (!negChain) pendingNeg = false
+            } else if (carveNext) {
+              // exceptive carve-in: this conjunct IS collected
+              heads.foreach(h => addDep(v, h, "obj"))
+              objOf(v) = objOf.getOrElse(v, Nil) ++ heads
+              carveNext = false
+            } else if (negChain) {
+              // later conjunct of a neither-chain stays negated
+              heads.foreach { h => addDep(v, h, "obj"); neg += h }
+              objOf(v) = objOf.getOrElse(v, Nil) ++ heads
             } else if (bareChunks == 2 && adjacentToPrev &&
               objOf.get(v).exists(fh => fh.size == 1 &&
                 (toks(fh.head).pos == "PRON" || toks(fh.head).ner == "ACTOR"))) {

@@ -205,6 +205,15 @@ object HtmlSegmenter {
       outType += s.segType; outText += s.text; outParent += Left(s.parentId)
     }
 
+    // colon-category line ("Identifiers: name; email address.") — a
+    // tables-as-text item under a list-forward intro ("... listed below.",
+    // "... the following categories:")
+    val colonLine = "^[A-Z][A-Za-z /-]{0,40}: .+".r
+    def isColonItem(t: String): Boolean = colonLine.findFirstIn(t).isDefined
+    def isListForwardIntro(t: String): Boolean =
+      t.endsWith(":") || t.endsWith("below.") ||
+        t.toLowerCase.contains("the following")
+
     var i = 0
     while (i < n) {
       val s = segs(i)
@@ -213,8 +222,26 @@ object HtmlSegmenter {
           (segs(i - 1).segType == "TEXT" || segs(i - 1).segType == "HEADING") &&
           segs(i - 1).text.endsWith(":")) bulletOf(s.text)
         else None
-      bullet match {
-        case Some(b) =>
+      val colonItems =
+        if (bullet.isEmpty && i >= 1 && s.segType == "TEXT" &&
+          segs(i - 1).segType == "TEXT" && isListForwardIntro(segs(i - 1).text) &&
+          isColonItem(s.text)) {
+          var j = i
+          while (j < n && segs(j).segType == "TEXT" &&
+            segs(j).parentId == s.parentId && isColonItem(segs(j).text)) j += 1
+          if (j - i >= 1) Some(j) else None
+        } else None
+      (bullet, colonItems) match {
+        case (None, Some(j)) =>
+          val introOld = segs(i - 1).segId
+          (i until j).foreach { k =>
+            val itemNew = outType.length
+            outType += "LISTITEM"; outText += ""; outParent += Left(introOld)
+            oldToNew(segs(k).segId) = outType.length
+            outType += "TEXT"; outText += segs(k).text; outParent += Right(itemNew)
+          }
+          i = j
+        case (Some(b), _) =>
           var j = i
           while (j < n && segs(j).segType == "TEXT" && segs(j).parentId == s.parentId &&
             segs(j).text.startsWith(b.expected(j - i))) j += 1
@@ -231,7 +258,7 @@ object HtmlSegmenter {
             }
             i = j
           } else { emitOld(s); i += 1 }
-        case None => emitOld(s); i += 1
+        case _ => emitOld(s); i += 1
       }
     }
     if (outType.length == n) segs // nothing converted

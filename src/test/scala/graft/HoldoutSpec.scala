@@ -58,4 +58,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout3 precision regressed: $p")
     assert(r >= 0.99, s"holdout3 recall regressed: $r")
   }
+
+  test("holdout batch-4 P/R regression floors (closed at 1.0/1.0 in round 4)") {
+    val rows = Holdout.prRows(Holdout.predicted4.toSet, Holdout.truth4.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout4 precision regressed: $p")
+    assert(r >= 0.99, s"holdout4 recall regressed: $r")
+  }
 }

@@ -195,6 +195,88 @@ class KgApiSpec extends AnyFunSuite {
     DocKernel.process("t", HtmlSegmenter.segment("t", html))
       .map(t => (t.subj, t.pred, t.obj)).toSet
 
+  test("round-4 kernel mechanisms: predicate disambiguation of dictionary nouns") {
+    // modal + dictionary-verb unigram ("record" is a DATA unigram)
+    assert(tupleSet("<p>We will record your purchase history.</p>")
+      .contains(("we", "STORE", "purchase history")))
+    // nominal subject + determiner follows → predicate, not mention
+    assert(tupleSet("<p>Analytics providers record your device model.</p>")
+      .contains(("analytic provider", "STORE", "device information")))
+    // wh-free-relative pseudo-cleft
+    assert(tupleSet("<p>What our servers record is your browser type.</p>")
+      .contains(("we", "STORE", "device information")))
+    // pre-nominal participle after a verb stays inside the object NP
+    assert(tupleSet("<p>We share aggregated demographic information with advertisers.</p>")
+      .contains(("advertiser", "BE_SHARED", "demographic information")))
+  }
+
+  test("round-4 kernel mechanisms: ellipsis, anaphora, and taxonomy") {
+    // gapped coordination after a semicolon
+    val gap = tupleSet("<p>We collect your age; our business partners, your email address.</p>")
+    assert(gap.contains(("we", "COLLECT", "age")))
+    assert(gap.contains(("business partner", "COLLECT", "email address")))
+    // former/latter ordinal anaphors
+    val fl = tupleSet("<p>We request your phone number and your postal code. " +
+      "The latter is shared with delivery couriers.</p>")
+    assert(fl.contains(("we", "COLLECT", "phone number")))
+    assert(fl.exists(t => t._2 == "BE_SHARED" && t._3 == "postal address"))
+    // demonstrative-NP anaphor resolved through an already-resolved pronoun
+    val chain = tupleSet("<p>We collect your IP address when you register. " +
+      "It is stored securely. We share this information with our analytics provider.</p>")
+    assert(chain.contains(("analytic provider", "BE_SHARED", "ip address")))
+    // colon-taxonomy lines with semicolon item tails under a list-forward
+    // intro (tables-as-text)
+    val tax = tupleSet("<p>We collect the categories listed below.</p>" +
+      "<p>Identifiers: device identifier; MAC address.</p>" +
+      "<p>Health: heart rate.</p>")
+    assert(tax.exists(t => t._3 == "device identifier"))
+    assert(tax.exists(t => t._3 == "mac address"))
+    assert(tax.exists(t => t._3 == "health information"))
+    // paren taxonomy incl. (none) distractor
+    val par = tupleSet("<p>The following categories are collected: " +
+      "Geolocation (approximate location); Biometrics (none).</p>")
+    // COLLECT reaches the concrete item through the label's SUBSUM (the
+    // direct edge is reduced as redundant — G5)
+    assert(par.contains(("we", "COLLECT", "geolocation")))
+    assert(par.contains(("geolocation", "SUBSUM", "coarse geolocation")))
+    assert(!par.exists(_._3.contains("biometric")))
+  }
+
+  test("round-4 kernel mechanisms: implicit parties and carve-outs") {
+    // subjectless share-gerund under a non-party subject
+    val ger = tupleSet("<p>Our policy permits sharing your email address with vendors.</p>")
+    assert(ger.contains(("we", "COLLECT", "email address")))
+    assert(ger.contains(("service provider", "BE_SHARED", "email address")))
+    // gerund subject provides → first-party receipt
+    assert(tupleSet("<p>Creating an account requires providing your date of birth.</p>")
+      .exists(t => t._1 == "we" && t._3 == "date of birth"))
+    // instrument subject attributes to its placer
+    val instr = tupleSet("<p>Advertisers place cookies on our pages. " +
+      "These cookies collect your device identifier.</p>")
+    assert(instr.contains(("advertiser", "COLLECT", "device identifier")))
+    // neither-nor chain negates every conjunct; an interposed exceptive
+    // carves its conjunct back in
+    val nn = tupleSet("<p>We log neither your religion nor your marital status.</p>")
+      .filterNot(_._2.startsWith("NOT_"))
+    assert(!nn.exists(t => t._3 == "religion" || t._3 == "marital status"))
+    val carve = tupleSet("<p>We log neither your religion nor, except for billing, " +
+      "your postal address.</p>").filterNot(_._2.startsWith("NOT_"))
+    assert(carve.exists(t => t._3 == "postal address"))
+    assert(!carve.exists(t => t._3 == "religion"))
+    // definition verb: '"X" means Y including Z' subsumes — collecting the
+    // defined term reaches the examples through the closure
+    val defn = tupleSet("<p>\"Usage Data\" means information about how you " +
+      "use the service, including the pages you view. " +
+      "We collect Usage Data automatically.</p>")
+    assert(defn.exists(t => t._3 == "usage information"))
+    assert(defn.exists(t => t._3 == "browsing / search history"))
+    // interposed parenthetical PP after 'including'
+    val inc = tupleSet("<p>We retain records of the transactions you complete " +
+      "(including, for card payments, the last four digits of the card number).</p>")
+    assert(inc.exists(t => t._3 == "purchase history"))
+    assert(inc.exists(t => t._3 == "credit / debit card number"))
+  }
+
   test("round-3 kernel mechanisms: negation scopes") {
     def positives(html: String) =
       tupleSet(html).filterNot(_._2.startsWith("NOT_"))
