@@ -46,22 +46,71 @@ object PdfSource {
     * no native library. Parses `stream…endstream` objects, inflates
     * /FlateDecode content with `java.util.zip.Inflater`, and walks the
     * content-stream operators — `(…) Tj`, `[…] TJ`, `'`, with Td/TD/T* as
-    * line breaks and ET as paragraph breaks. Enough for text-based policy
-    * PDFs (single-byte/WinAnsi encodings); image-only or CID-keyed PDFs
-    * still need a full library in the [[PdfTextExtractor]] slot. */
+    * line breaks and ET as paragraph breaks. CID-keyed text (round-3
+    * VERDICT next #6, the common Identity-H print-pipeline case) is decoded
+    * through the document's /ToUnicode CMap: bfchar/bfrange mappings are
+    * parsed from CMap streams and hex show-strings (`<0048...> Tj`) map
+    * 2-byte CIDs to Unicode. Image-only PDFs still need a full library in
+    * the [[PdfTextExtractor]] slot. */
   object PdfTextParser extends PdfTextExtractor {
     private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
     override def toMarkdown(pdf: Array[Byte]): String = {
       val s = new String(pdf, Latin1)
       require(s.startsWith("%PDF-"), "not a PDF")
-      val paras = streams(s).flatMap { case (dict, data) =>
-        val content =
-          if (dict.contains("/FlateDecode")) new String(inflate(data), Latin1)
-          else new String(data, Latin1)
-        extractText(content).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+      val decoded = streams(s).map { case (dict, data) =>
+        if (dict.contains("/FlateDecode")) new String(inflate(data), Latin1)
+        else new String(data, Latin1)
+      }
+      // ToUnicode CMap streams feed the CID decoder; they are not content
+      val (cmaps, contents) = decoded.partition(c =>
+        c.contains("beginbfchar") || c.contains("beginbfrange"))
+      val cidMap: Map[Int, String] = cmaps.foldLeft(Map.empty[Int, String]) {
+        (acc, c) => acc ++ parseCMap(c)
+      }
+      val paras = contents.flatMap { content =>
+        extractText(content, cidMap).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
       }
       paras.mkString("\n\n")
+    }
+
+    private val HexTok = "<([0-9A-Fa-f]+)>".r
+
+    /** UTF-16BE hex destination → string. */
+    private def hexToStr(h: String): String =
+      h.grouped(4).filter(_.length == 4)
+        .map(g => Integer.parseInt(g, 16).toChar).mkString
+
+    /** bfchar/bfrange sections of a ToUnicode CMap → CID → Unicode. */
+    private[sources] def parseCMap(c: String): Map[Int, String] = {
+      val out = Map.newBuilder[Int, String]
+      val bfchar = "(?s)beginbfchar(.*?)endbfchar".r
+      val bfrange = "(?s)beginbfrange(.*?)endbfrange".r
+      bfchar.findAllMatchIn(c).foreach { m =>
+        val toks = HexTok.findAllMatchIn(m.group(1)).map(_.group(1)).toVector
+        toks.grouped(2).foreach {
+          case Vector(src, dst) => out += Integer.parseInt(src, 16) -> hexToStr(dst)
+          case _ =>
+        }
+      }
+      bfrange.findAllMatchIn(c).foreach { m =>
+        // line-oriented: `<lo> <hi> <dstStart>` or `<lo> <hi> [<d1> <d2> …]`
+        m.group(1).split("[\r\n]+").foreach { line =>
+          val toks = HexTok.findAllMatchIn(line).map(_.group(1)).toVector
+          if (toks.length == 3 && !line.contains("[")) {
+            val (lo, hi) = (Integer.parseInt(toks(0), 16), Integer.parseInt(toks(1), 16))
+            val d0 = Integer.parseInt(toks(2), 16)
+            (lo to hi).foreach(cid =>
+              out += cid -> new String(Character.toChars(d0 + cid - lo)))
+          } else if (toks.length > 2 && line.contains("[")) {
+            val lo = Integer.parseInt(toks(0), 16)
+            toks.drop(2).zipWithIndex.foreach { case (d, k) =>
+              out += (lo + k) -> hexToStr(d)
+            }
+          }
+        }
+      }
+      out.result()
     }
 
     /** (dictionary, raw stream bytes) for every stream object. Honors
@@ -122,7 +171,7 @@ object PdfSource {
     }
 
     /** Text-showing operators of one content stream. */
-    private def extractText(s: String): String = {
+    private def extractText(s: String, cidMap: Map[Int, String] = Map.empty): String = {
       val out = new StringBuilder
       val pending = new StringBuilder
       var i = 0
@@ -130,6 +179,24 @@ object PdfSource {
       def flush(): Unit = { out ++= pending; pending.clear() }
       while (i < n) {
         s.charAt(i) match {
+          case '<' if i + 1 < n && s.charAt(i + 1) == '<' => i += 2
+          case '<' =>
+            // hex show-string: 2-byte CIDs through the ToUnicode CMap when
+            // one exists, else plain latin-1 bytes
+            val close = s.indexOf('>', i + 1)
+            if (close < 0) i = n
+            else {
+              val hex = s.substring(i + 1, close).filter(c => Character.digit(c, 16) >= 0)
+              if (cidMap.nonEmpty)
+                hex.grouped(4).filter(_.length == 4).foreach { g =>
+                  pending ++= cidMap.getOrElse(Integer.parseInt(g, 16), "")
+                }
+              else
+                hex.grouped(2).filter(_.length == 2).foreach { g =>
+                  pending += Integer.parseInt(g, 16).toChar
+                }
+              i = close + 1
+            }
           case '(' =>
             i += 1
             var depth = 1

@@ -131,6 +131,64 @@ class PdfSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** CID-keyed (Identity-H-style) PDF: text shown as 2-byte-CID hex strings,
+    * decoded through a /ToUnicode CMap with bfchar + bfrange sections. */
+  def buildCidPdf(paragraphs: Seq[String]): Array[Byte] = {
+    val chars = paragraphs.flatMap(_.toSeq).distinct
+    // exercise BOTH CMap section kinds: the first 5 chars go through a
+    // contiguous bfrange, the rest through bfchar entries
+    val (rangeChars, charChars) = chars.splitAt(5)
+    val cidOf = (rangeChars ++ charChars).zipWithIndex.map { case (c, k) => c -> (k + 1) }.toMap
+    def hexStr(t: String) = "<" + t.map(c => f"${cidOf(c)}%04X").mkString + ">"
+    val content = paragraphs.map(p => s"BT /F1 12 Tf 72 720 Td ${hexStr(p)} Tj ET")
+      .mkString("\n")
+    // bfrange maps CIDs 1..5 to an arbitrary-per-CID list form
+    val rangeDsts = rangeChars.map(c => f"<${c.toInt}%04X>").mkString(" ")
+    val bfchars = charChars.map(c => f"<${cidOf(c)}%04X> <${c.toInt}%04X>").mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |1 beginbfrange
+         |<0001> <0005> [ $rangeDsts ]
+         |endbfrange
+         |${charChars.size} beginbfchar
+         |$bfchars
+         |endbfchar
+         |endcmap""".stripMargin
+    val b = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = b.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"5 0 obj << /Length ${cmap.length} >> stream\n")
+    w(cmap)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    b.toByteArray
+  }
+
+  test("CID-keyed PDFs decode through the ToUnicode CMap to the same triples") {
+    val paras = Seq(
+      "We collect your email address.",
+      "We may share usage data with advertisers.")
+    val md2 = PdfSource.PdfTextParser.toMarkdown(buildCidPdf(paras))
+    assert(md2.contains("We collect your email address."), md2)
+    assert(md2.contains("We may share usage data with advertisers."), md2)
+    import spark.implicits._
+    val ts = new Timestamp(1700000000000L)
+    val pdfs = Seq(PdfSource.PdfDoc("https://pdf.example/cid", ts,
+      buildCidPdf(paras), "en")).toDS()
+    val viaPdf = KgPipeline.triplesFromPages(
+        PdfSource.pages(pdfs, PdfSource.PdfTextParser))
+      .collect().map(t => (t.subj, t.pred, t.obj)).toSet
+    val html = "<p>We collect your email address.</p>" +
+      "<p>We may share usage data with advertisers.</p>"
+    val viaHtml = graft.kg.DocKernel.process("t",
+      graft.text.HtmlSegmenter.segment("t", html))
+      .map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(viaPdf == viaHtml)
+  }
+
   test("PDF text operators: escapes, TJ arrays, octal, line moves") {
     val content = "BT (Your \\(personal\\) data) Tj 0 -14 Td " +
       "[(We store) ( your ) (\\160urchase history.)] TJ ET"
