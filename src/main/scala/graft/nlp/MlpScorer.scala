@@ -24,15 +24,30 @@ final class MlpModel(
     w1: Array[Float], b1: Array[Float],
     w2: Array[Float], b2: Array[Float]) extends Serializable {
 
+  /** Hashed bag-of-words over the first `dim - labels.size` slots; the
+    * final `labels.size` slots are keyword-lexicon indicator features (the
+    * hybrid design: the net learns the keyword baseline through them and
+    * hand-label corrections through the hashed words). */
   def features(text: String): Array[Float] = {
     val v = new Array[Float](dim)
+    val hashDim = dim - labels.size
+    val words = scala.collection.mutable.HashSet.empty[String]
     text.toLowerCase.split("[^a-z0-9-]+").foreach { w =>
       if (w.nonEmpty) {
-        v(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(w), dim)) += 1f
+        words += w
+        v(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(w), hashDim)) += 1f
         val lem = Lexicon.lemma(w)
+        words += lem
         if (lem != w)
-          v(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(lem), dim)) += 1f
+          v(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(lem), hashDim)) += 1f
       }
+    }
+    var k = 0
+    while (k < labels.size) {
+      Lexicon.purposeKeywords.get(labels(k)).foreach { kws =>
+        if (words.exists(kws.contains)) v(hashDim + k) = 1f
+      }
+      k += 1
     }
     v
   }

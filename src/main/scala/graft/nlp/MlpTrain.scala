@@ -30,10 +30,18 @@ object MlpTrain {
 
   def main(args: Array[String]): Unit = {
     val labels = Lexicon.purposeKeywords.keys.toVector.sorted
-    val data = trainingPhrases.map { p =>
+    // distilled keyword labels over generated phrases PLUS the training
+    // half of the hand-labeled set (true labels override the keyword
+    // teacher on shared phrases); the held-out half touches no training
+    val handTrain = PurposeLabels.train.toMap
+    val generated = trainingPhrases.filterNot(handTrain.contains).map { p =>
       p -> graft.kg.Normalizer.classifyPurpose(p).toSet
     }
-    val dim = 1024
+    // oversample the small hand-labeled half so its gradient signal is not
+    // drowned by the ~2k generated examples
+    val data = generated ++
+      Vector.fill(8)(PurposeLabels.train).flatten
+    val dim = 1024 + labels.size // hashed words + keyword indicators
     val hidden = 24
     val nl = labels.size
     val rnd = new scala.util.Random(42)
