@@ -102,20 +102,34 @@ object Bench {
     // reference's analyses load graph YML built once by build_graph — they
     // never re-run the NLP per analysis); the one-time pipeline+closure
     // materialization is reported as its own row.
-    val results = withSession(s"local[$cpus]", cpus) { spark =>
+    // Each query is the MEDIAN of SPARK_GRAFT_QUERY_ROUNDS (default 3)
+    // interleaved rounds (round-3 VERDICT next #5: host spikes were writing
+    // 9 s for a 0.8 s query into BENCH_r0N.json); the min..max spread is
+    // recorded for the slowest queries.
+    val qRounds = sys.env.getOrElse("SPARK_GRAFT_QUERY_ROUNDS", "3").toInt
+    val (results, qSpread) = withSession(s"local[$cpus]", cpus) { spark =>
       val (_, matSec) = time {
         kg.KgQueries.sharedTriples(spark)
         kg.KgQueries.sharedTriples(spark, "original")
         kg.KgQueries.sharedClosure(spark)
       }
-      val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val (_, sec) = time {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+      val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      (1 to qRounds).foreach { _ =>
+        names.foreach { case (name, fn) =>
+          val (_, sec) = time {
+            try fn(spark, sfDir).count()
+            catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
+          }
+          samples(name) = samples(name) :+ sec
         }
-        name -> sec
       }
-      ("kg_materialize" -> matSec) +: timed
+      val timed = names.map { case (name, _) => name -> median(samples(name)) }
+      val slowest = timed.sortBy(-_._2).take(5).map { case (n, m) =>
+        n -> ((m, samples(n).min, samples(n).max))
+      }
+      (("kg_materialize" -> matSec) +: timed, slowest)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -123,8 +137,11 @@ object Bench {
     val spread = levels.map(p =>
       f""""p$p":{"median":${med(p)}%.2f,"min":${lo(p)}%.2f,"max":${hi(p)}%.2f,"runs":${walls(p).size}}""")
       .mkString("{", ",", "}")
+    val qSpreadJson = qSpread.map { case (n, (m, mn, mx)) =>
+      "\"" + n + f"""\":{"median":$m%.3f,"min":$mn%.3f,"max":$mx%.3f}"""
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$triplesOut,"kg_sec_p2":${med(2)}%.2f,"kg_sec_p8":${med(8)}%.2f,"kg_sec_p32":${med(32)}%.2f,"kg_docs_per_sec_p2":${thr(2)}%.1f,"kg_docs_per_sec_p8":${thr(8)}%.1f,"kg_docs_per_sec_p32":${thr(32)}%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff32%.3f,"wall_spread":$spread,"bench_rounds":$rounds}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$triplesOut,"kg_sec_p2":${med(2)}%.2f,"kg_sec_p8":${med(8)}%.2f,"kg_sec_p32":${med(32)}%.2f,"kg_docs_per_sec_p2":${thr(2)}%.1f,"kg_docs_per_sec_p8":${thr(8)}%.1f,"kg_docs_per_sec_p32":${thr(32)}%.1f,"scaling_efficiency":$eff%.3f,"scaling_efficiency_8_32":$eff32%.3f,"wall_spread":$spread,"bench_rounds":$rounds,"query_rounds":$qRounds,"query_spread":$qSpreadJson}"""
     println(json)
     // also write to a file: under sbt the stdout line carries an "[info] "
     // prefix that broke the driver's JSON parse in round 1
@@ -178,9 +195,13 @@ object Bench {
          |
          |KG analysis queries run over session-materialized graph tables
          |(triples + G8 closure), mirroring the reference's build-once /
-         |analyze-many split; `kg_materialize` is the one-time cost.
+         |analyze-many split; `kg_materialize` is the one-time cost. Every
+         |query is the median of $qRounds%d interleaved rounds; the spread
+         |of the 5 slowest:
          |
-         || query | sec |
+         |${qSpread.map { case (n, (m, mn, mx)) => f"- `$n`: $m%.3f s (spread $mn%.3f to $mx%.3f)" }.mkString("\n")}
+         |
+         || query | sec (median of $qRounds%d) |
          || --- | --- |
          |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("\n")}
          |""".stripMargin

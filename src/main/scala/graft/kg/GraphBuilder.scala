@@ -63,14 +63,28 @@ object GraphBuilder {
       adj.getOrElseUpdate(u, mutable.LinkedHashSet()) += v
       radj.getOrElseUpdate(v, mutable.LinkedHashSet()) += u
     }
+    // hasPath is called per edge (transitiveReduce) and per edge PAIR
+    // (reduceCollect): version-stamped scratch structures replace a fresh
+    // Set+Queue per call (kernel allocation hot spot, round-4 pass)
+    private val seenStamp = mutable.AnyRefMap[Src, Int]()
+    private var stamp = 0
+    private val pathQ = new java.util.ArrayDeque[Src]()
     def hasPath(a: Src, b: Src): Boolean = {
       if (a == b) return true
-      val seen = mutable.Set(a); val q = mutable.Queue(a)
-      while (q.nonEmpty) {
-        val x = q.dequeue()
-        out(x).foreach { y =>
-          if (y == b) return true
-          if (!seen.contains(y)) { seen += y; q.enqueue(y) }
+      stamp += 1
+      pathQ.clear()
+      seenStamp(a) = stamp
+      pathQ.add(a)
+      while (!pathQ.isEmpty) {
+        val x = pathQ.poll()
+        val vs = adj.getOrElse(x, null)
+        if (vs != null) {
+          val it = vs.iterator
+          while (it.hasNext) {
+            val y = it.next()
+            if (y == b) return true
+            if (seenStamp.getOrElse(y, 0) != stamp) { seenStamp(y) = stamp; pathQ.add(y) }
+          }
         }
       }
       false
@@ -109,8 +123,26 @@ object GraphBuilder {
     * phrase sets — identical to inline whenever the classifier is total
     * (every phrase gets ≥1 label; BatchScoringSpec pins this on the corpus),
     * and divergent only for phrases that classify to zero labels, which the
-    * reference drops from purpose dicts before its reduction. */
+    * reference drops from purpose dicts before its reduction.
+    *
+    * [[BuildProbe]] is the dev probe for per-step allocation attribution
+    * inside [[build]] (used by ScaleProbe; zero overhead when disabled). */
+  object BuildProbe {
+    @volatile var enabled = false
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    private val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    private val last = new ThreadLocal[Long] { override def initialValue(): Long = 0L }
+    def start(): Unit = if (enabled) last.set(tmx.getThreadAllocatedBytes(Thread.currentThread().getId))
+    def mark(label: String): Unit = if (enabled) {
+      val now = tmx.getThreadAllocatedBytes(Thread.currentThread().getId)
+      acc.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder).add(now - last.get)
+      last.set(now)
+    }
+  }
+
   def build(st: DocState, variant: String, deferPurposes: Boolean = false): Vector[Triple] = {
+    BuildProbe.start()
     // Node discovery in edge-insertion order (deterministic: annotator order)
     val nodeOrder: Vector[Src] = {
       val seen = mutable.LinkedHashSet[Src]()
@@ -126,6 +158,7 @@ object GraphBuilder {
     }
     def setdefault(s: Src, t: String): String = tokenType.getOrElseUpdate(s, t)
 
+    BuildProbe.mark("s1_types")
     // ---- Step 2: collect graph + purposes ------------------------------
     val gCollect = new MultiDigraph
     val dtypePurposeTexts = mutable.LinkedHashMap[Src, mutable.ListBuffer[String]]()
@@ -165,6 +198,7 @@ object GraphBuilder {
       gCollect.inE(dt).foreach(e => gCollect.purposes(e) = edgePurposes)
     }
 
+    BuildProbe.mark("s2_collect")
     // ---- Step 3: subsum/coref BFS with type propagation ----------------
     val gSubsum = new Digraph
     val gCoref = new Digraph
@@ -184,6 +218,7 @@ object GraphBuilder {
       }
     }
 
+    BuildProbe.mark("s3_bfs")
     // ---- Step 4: coref contraction (skipped in the per_sentence
     // PolicyLint simulation, build_graph.py:177-178). The absorbed src's
     // sentence must keep citing the edges it contributed to (the reference
@@ -207,10 +242,12 @@ object GraphBuilder {
       }
     }
 
+    BuildProbe.mark("s4_contract")
     // ---- Step 5: transitive reduction + collect-edge reduction ----------
     transitiveReduce(gSubsum)
     reduceCollect(gCollect, gSubsum, tokenType)
 
+    BuildProbe.mark("s5_reduce")
     // ---- Step 6: phrase normalization ------------------------------------
     val termsOf = mutable.LinkedHashMap[Src, Vector[String]]()
     val nodeTypeOf = mutable.LinkedHashMap[String, String]()
@@ -249,6 +286,7 @@ object GraphBuilder {
     }
     def terms(s: Src): Vector[String] = termsOf.getOrElse(s, Vector.empty)
 
+    BuildProbe.mark("s6_normalize")
     // ---- Steps 7+8: merge into the final term graph ----------------------
     val finalEdges = mutable.LinkedHashMap[(String, String, String), (mutable.ListBuffer[Src], mutable.LinkedHashMap[String, mutable.ListBuffer[String]])]()
     val finalAdj = mutable.Map[String, mutable.Set[String]]() // cycle guard view
@@ -306,6 +344,7 @@ object GraphBuilder {
       }
     }
 
+    BuildProbe.mark("s78_merge")
     // ---- Step 9 + trim: evidence text, drop SUBSUM islands ---------------
     val important = mutable.Set[String]()
     finalEdges.keys.foreach { case (n1, n2, rel) =>
@@ -334,7 +373,9 @@ object GraphBuilder {
           nodeTypeOf.getOrElse(n2, ""), kept,
           purp.map { case (k, v) => k -> v.toVector.distinct }.toMap)
     }
-    triples.sortBy(t => (t.subj, t.pred, t.obj))
+    val out = triples.sortBy(t => (t.subj, t.pred, t.obj))
+    BuildProbe.mark("s9_trim")
+    out
   }
 
   /** Nearest HEADING ancestor of a segment (build_graph.py:293-299). */

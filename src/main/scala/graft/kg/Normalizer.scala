@@ -119,27 +119,60 @@ object Normalizer {
     // term whose negative rules match the FULL phrase is blocked — the
     // reference checks negative regexes against original and lemma text
     // before accepting a positive match (phrase_normalization.py:88-103).
-    val kept = m.tokens.filterNot(t => t.pos == "DET")
-    val lemmas = kept.map(_.lemma.toLowerCase)
-    val texts = kept.map(_.text.toLowerCase)
-    val exact = kept.map(_.text)
-    val fullLower = m.tokens.map(_.text).mkString(" ").toLowerCase
-    val fullLemma = m.tokens.map(_.lemma).mkString(" ").toLowerCase
-    def negated(c: String): Boolean = negOf.getOrElse(c, Vector.empty).exists(p =>
-      containsPhrase(fullLower, p) || containsPhrase(fullLemma, p))
-    val hits = for {
-      n <- (math.min(4, lemmas.length) to 1 by -1).iterator
-      i <- (0 to lemmas.length - n).iterator
-      c <- table.get(lemmas.slice(i, i + n).mkString(" ")).iterator ++
-        table.get(texts.slice(i, i + n).mkString(" ")).iterator ++
-        csTable.get(exact.slice(i, i + n).mkString(" ")).iterator
-      if !negated(c)
-    } yield c
-    hits.nextOption() match {
-      case Some(c) => Set(c)
-      case None =>
-        val headLemma = m.tokens(m.head).lemma.toLowerCase
-        if (generic.contains(headLemma)) Set(Unspec) else Set.empty
+    // allocation-lean rewrite (round-4 kernel pass): arrays + while loops
+    // instead of per-(n,i) Vector slices and iterator chains; the full-text
+    // joins for negative-rule checks are built only when a hit occurs
+    val kt = m.tokens.filterNot(t => t.pos == "DET")
+    val L = kt.length
+    val lemmas = new Array[String](L)
+    val exact = new Array[String](L)
+    var z = 0
+    while (z < L) { lemmas(z) = kt(z).lemma.toLowerCase; exact(z) = kt(z).text; z += 1 }
+    var fullLower: String = null
+    var fullLemma: String = null
+    def negated(c: String): Boolean = {
+      val ps = negOf.getOrElse(c, null)
+      ps != null && ps.nonEmpty && {
+        if (fullLower == null) {
+          fullLower = m.tokens.map(_.text).mkString(" ").toLowerCase
+          fullLemma = m.tokens.map(_.lemma).mkString(" ").toLowerCase
+        }
+        ps.exists(p => containsPhrase(fullLower, p) || containsPhrase(fullLemma, p))
+      }
+    }
+    val sb = new java.lang.StringBuilder(32)
+    def join(a: Array[String], i: Int, n: Int): String = {
+      sb.setLength(0)
+      var k = i
+      while (k < i + n) { if (k > i) sb.append(' '); sb.append(a(k)); k += 1 }
+      sb.toString
+    }
+    var hit: String = null
+    var n = math.min(4, L)
+    while (hit == null && n >= 1) {
+      var i = 0
+      while (hit == null && i <= L - n) {
+        val lj = join(lemmas, i, n)
+        val c1 = table.getOrElse(lj, null)
+        if (c1 != null && !negated(c1)) hit = c1
+        else {
+          val ej = join(exact, i, n)
+          val tj = ej.toLowerCase
+          val c2 = if (tj == lj) null else table.getOrElse(tj, null)
+          if (c2 != null && !negated(c2)) hit = c2
+          else {
+            val c3 = csTable.getOrElse(ej, null)
+            if (c3 != null && !negated(c3)) hit = c3
+          }
+        }
+        i += 1
+      }
+      n -= 1
+    }
+    if (hit != null) Set(hit)
+    else {
+      val headLemma = m.tokens(m.head).lemma.toLowerCase
+      if (generic.contains(headLemma)) Set(Unspec) else Set.empty
     }
   }
 

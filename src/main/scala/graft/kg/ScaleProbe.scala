@@ -104,6 +104,15 @@ object ScaleProbe {
       st
     }
     measure("build-only")(i => if (i < states.size) GraphBuilder.build(states(i), "extended"))
+    // per-step attribution inside GraphBuilder.build
+    GraphBuilder.BuildProbe.enabled = true
+    GraphBuilder.BuildProbe.acc.clear()
+    states.foreach(st => GraphBuilder.build(st, "extended"))
+    GraphBuilder.BuildProbe.enabled = false
+    import scala.jdk.CollectionConverters._
+    GraphBuilder.BuildProbe.acc.asScala.toSeq.sortBy(_._1).foreach { case (l, a) =>
+      println(f"  build/$l%-12s ${a.sum.toDouble / states.size / 1024}%.1f KiB/doc")
+    }
   }
 
   def main(args: Array[String]): Unit = {
