@@ -75,6 +75,11 @@ object Holdout {
   lazy val pages4: Vector[WebPage] = loadPages("holdout4_docs.tsv")
   lazy val truth4: Vector[(String, String, String)] = loadTruth("holdout4_truth.tsv")
 
+  /** Batch 5 (round-4 close): written after batch 4 closed — the repo's
+    * standing open batch; its FIRST run is the live zero-shot number. */
+  lazy val pages5: Vector[WebPage] = loadPages("holdout5_docs.tsv")
+  lazy val truth5: Vector[(String, String, String)] = loadTruth("holdout5_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -100,6 +105,7 @@ object Holdout {
   lazy val predicted2: Vector[(String, String, String)] = predict(pages2)
   lazy val predicted3: Vector[(String, String, String)] = predict(pages3)
   lazy val predicted4: Vector[(String, String, String)] = predict(pages4)
+  lazy val predicted5: Vector[(String, String, String)] = predict(pages5)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -28,5 +28,6 @@ object HoldoutReport {
     report("2", Holdout.predicted2.toSet, Holdout.truth2.toSet)
     report("3", Holdout.predicted3.toSet, Holdout.truth3.toSet)
     report("4", Holdout.predicted4.toSet, Holdout.truth4.toSet)
+    report("5", Holdout.predicted5.toSet, Holdout.truth5.toSet)
   }
 }
