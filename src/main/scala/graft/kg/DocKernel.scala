@@ -194,7 +194,7 @@ object DocKernel {
   /** Generic containers whose of-complement carries the real datatype
     * ("a copy of your passport", "records of the products you viewed"). */
   private val GenericContainers = Set("copy", "record", "backup", "category",
-    "type", "kind", "example", "variety", "log", "history", "list")
+    "type", "kind", "example", "variety", "log", "history", "list", "version")
 
   /** Verbs whose ACTIVE voice states a deletion right, not a practice. */
   private val DeletionVerbs = Set("delete", "erase", "remove", "purge")
@@ -210,7 +210,8 @@ object DocKernel {
   /** Surface phrases (all present in phrase_map.yml) minted as synthetic
     * mentions by the activity-relcl annotator; index = Src(-2, idx). */
   private val ActivityTerms = Vector(
-    "browsing history", "purchase history", "usage information")
+    "browsing history", "purchase history", "usage information",
+    "audio recording")
 
   private def activityTermOf(p: Parse, v: Int): Option[Int] =
     p.tokens(v).lemma match {
@@ -333,7 +334,9 @@ object DocKernel {
     "sharing" -> "SHARE", "sale" -> "SELL", "transfer" -> "SHARE",
     // the lookup key is the chunk head's LEMMA: gerund nominals arrive
     // stripped ("sharing" → share, "processing" → process)
-    "share" -> "SHARE", "process" -> "USE")
+    "share" -> "SHARE", "process" -> "USE",
+    // "the recording of support calls" (nominal gerund of record)
+    "record" -> "STORE", "transcription" -> "USE")
 
   /** Nominalized practice statements (recall extension; the reference's
     * consent pattern covers only "you consent to the collection of DT"):
@@ -352,10 +355,15 @@ object DocKernel {
               p.tokens(k).lemma != "their" && p.tokens(k).lemma != "its" &&
                 p.tokens(k).lemma != "his" && p.tokens(k).lemma != "her")
             val ofChunk = Option(c.end).filter(e => e < p.end && p.tokens(e).lemma == "of")
-              .flatMap(e => p.chunks.find(_.start == e + 1)).filter(_.ner == "DATA")
+              .flatMap(e => p.chunks.find(_.start == e + 1))
+              // DATA directly, or reaching a DATA term through composition
+              // SUBSUMs ("recording of support calls" → audio recording)
+              .filter(ch => ch.ner == "DATA" ||
+                validateType(st, d, p, List(ch.head), "DATA"))
             if (possOk) ofChunk.foreach { dtc =>
               val dtHeads = conjGroup(p, dtc).map(_.head)
-                .filter(h => p.tokens(h).ner == "DATA")
+                .filter(h => p.tokens(h).ner == "DATA" ||
+                  validateType(st, d, p, List(h), "DATA"))
               // recipient: "<nominal> of DT to/with <ACTOR>"
               val recip = p.chunks.find(rc => rc.start == dtc.end + 1 &&
                 dtc.end < p.end && (p.tokens(dtc.end).lemma == "to" ||
@@ -509,18 +517,37 @@ object DocKernel {
             if (((isAboutPrep && upperTok.ner == "DATA") || isContainerOf) &&
               (upperTok.pos == "NOUN" || upperTok.pos == "PROPN")) {
               p.out(dep.to).foreach { o =>
-                if (o.dep == "obj" && p.tokens(o.to).ner == "DATA" &&
-                  p.tokens(o.to).pos != "PRON")
+                val ot = p.tokens(o.to)
+                if (o.dep == "obj" && ((ot.ner == "DATA" && ot.pos != "PRON") ||
+                  // "a hashed version of it": the container subsumes the
+                  // data anaphor; coref contraction resolves it downstream
+                  (isContainerOf && ot.pos == "PRON" &&
+                    DataAnaphors.contains(ot.lemma))))
                   st.link(d, p, upper, o.to, Subsum)
               }
             }
           }
         }
-        // verb "include" — and definition verb "mean" ('"Usage Data" means
-        // information about...'): subj X, obj Ys → SUBSUM(X, Y)
+        // container participle: "backups containing your order history" —
+        // the reduced relative's object is subsumed by its upper noun
+        p.deps.foreach { dep =>
+          if (dep.dep == "relcl" && dep.from >= 0 &&
+            Set("contain", "include", "hold").contains(p.tokens(dep.to).lemma)) {
+            p.out(dep.to).foreach { o =>
+              if (o.dep == "obj" && p.tokens(o.to).pos != "PRON" &&
+                entCompatible(p.tokens(dep.from).ner, p.tokens(o.to).ner))
+                st.link(d, p, dep.from, o.to, Subsum)
+            }
+          }
+        }
+        // verb "include" — plus definition verb "mean" and container verbs
+        // "contain"/"hold" ("backups containing your order history"):
+        // subj X, obj Ys → SUBSUM(X, Y); the entCompatible guard keeps
+        // ACTOR-subject "we hold your data" out (that is a STORE pattern)
         p.deps.foreach { dep =>
           if ((dep.dep == "root" || dep.dep == "ccomp") &&
-            (p.tokens(dep.to).lemma == "include" || p.tokens(dep.to).lemma == "mean")) {
+            Set("include", "mean", "contain", "hold")
+              .contains(p.tokens(dep.to).lemma)) {
             val v = dep.to
             val subj = p.out(v).filter(_.dep == "subj").map(_.to)
             val objs = p.out(v).filter(_.dep == "obj").map(_.to)
@@ -826,6 +853,49 @@ object DocKernel {
     }
   }
 
+  private val RecordVerbs = Set("record", "transcribe", "tape")
+  private val MediaObjNouns = Set("call", "conversation", "voicemail")
+
+  /** Recorded-media composition (mirror of the activity-relcl mechanism):
+    * record/transcribe acting on a call-class noun names the
+    * audio-recording datatype — "Calls to customer service may be
+    * recorded", "the recording and subsequent transcription of support
+    * calls". The call NP gets a SUBSUM child pointing at the synthetic
+    * audio-recording mention, so collection captured on the NP reaches the
+    * canonical term and the untyped NP collapses at graph build. */
+  def annotateRecordedMedia(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        def linkAudio(heads: Seq[Int]): Unit = {
+          val syn = st.activitySrc(p, 3)
+          for (up <- heads; s1 <- d.srcs(up)) {
+            st.linkSrc(s1, syn, Subsum)
+            st.recordMention(d, p, up, s1)
+            st.sentText.getOrElseUpdate(s1, p.text)
+          }
+        }
+        p.deps.foreach { dep =>
+          if (dep.dep == "obj" && dep.from >= 0 &&
+            p.tokens(dep.from).pos == "VERB" &&
+            RecordVerbs.contains(p.tokens(dep.from).lemma) &&
+            MediaObjNouns.contains(p.tokens(dep.to).lemma) &&
+            p.tokens(dep.to).ner != "DATA")
+            linkAudio(Seq(dep.to))
+        }
+        p.chunks.foreach { c =>
+          val h = p.tokens(c.head)
+          if ((h.lemma == "record" || h.lemma == "transcription") &&
+            h.pos == "NOUN" && c.end < p.end && p.tokens(c.end).lemma == "of") {
+            p.chunks.find(_.start == c.end + 1).foreach { oc =>
+              if (MediaObjNouns.contains(p.tokens(oc.head).lemma))
+                linkAudio(Seq(c.head, oc.head))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Gapped coordination after a semicolon: "We collect your name; our
     * advertising partners, your email address." — a verbless second
     * conjunct of shape [ACTOR NP], [DATA NP...] inherits the previous
@@ -857,10 +927,23 @@ object DocKernel {
   }
 
   /** Collection annotator (SURVEY.md U4; collection_annotator.py:339-397). */
+  /** "solely/only/exclusively/entirely on your device" marks on-device
+    * processing — the operator never receives the data (extends the
+    * "stored locally" exclusion; requires the exclusivity adverb so
+    * "apps installed on your device" stays a collectable mention). */
+  private def onDeviceOnly(p: Parse): Boolean =
+    (p.start until p.end - 3).exists { k =>
+      val l = p.tokens(k).lemma
+      (l == "solely" || l == "exclusively" || l == "entirely" || l == "only") &&
+        p.tokens(k + 1).lemma == "on" &&
+        (p.tokens(k + 2).lemma == "your" || p.tokens(k + 2).lemma == "the") &&
+        p.tokens(k + 3).lemma == "device"
+    }
+
   def annotateCollection(st: DocState): Unit = {
     st.docs.foreach { d =>
       d.parses.foreach { p =>
-        Patterns.matchSentence(p).foreach { m =>
+        if (!onDeviceOnly(p)) Patterns.matchSentence(p).foreach { m =>
           val entries =
             // ACTIVE deletion ("you can ask us to erase X") is a rights
             // statement, no capture; the agentless PASSIVE ("your data is
@@ -1270,6 +1353,7 @@ object DocKernel {
     val docs = buildDocs(sorted)
     val st = DocState(url, sorted, docs)
     annotateActivityRelcl(st)
+    annotateRecordedMedia(st)
     annotateNominalizations(st)
     annotateExceptives(st)
     annotateQaFragments(st)

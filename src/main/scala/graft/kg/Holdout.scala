@@ -96,7 +96,7 @@ object Holdout {
     (for {
       dt <- g.dataNodes
       actor <- g.whoCollect(dt)
-      if actor != "you" // data subject, not a collecting party (KgApi.partyTuples)
+      if actor != "you" && actor != "user" // data subjects, not collecting parties (KgApi.partyTuples)
     } yield (p.url, if (fp(actor)) "we" else "3rd-party", dt)).distinct
       .filter(isRealTuple)
   }

@@ -352,7 +352,10 @@ object KgApi {
       (for {
         dt <- g.dataNodes
         actor <- g.whoCollect(dt)
-        if actor != "you"
+        // data subjects are not collecting parties: neither "you" nor the
+        // user class ("Other users can see your profile picture" states
+        // user-to-user visibility, not operator/third-party collection)
+        if actor != "you" && actor != "user"
       } yield (url, if (fp(actor)) "we" else "3rd-party", dt)).distinct.iterator
     }.toDF("url", "party", "datatype")
   }

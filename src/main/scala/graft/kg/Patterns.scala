@@ -213,7 +213,16 @@ object Patterns {
       Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT")),
     // E1 rely on / fall back to / resort to DT
     ("rely|fall|resort|depend:root|ccomp",
-      Seq(":subj@E1", "!on|to|upon:prep,:obj@DT"), Seq("USE", "E1", "DT"))))
+      Seq(":subj@E1", "!on|to|upon:prep,:obj@DT"), Seq("USE", "E1", "DT")),
+    // DT persists (retention statement)
+    ("persist:root|ccomp",
+      Seq("!:subj@DT"), Seq("STORE", "WE", "DT")),
+    // DT leaves your device (transmission to the operator)
+    ("leave:root|ccomp",
+      Seq("!:subj@DT", "!device:obj@E2"), Seq("COLLECT", "WE", "DT")),
+    // DT streams/flows to E2
+    ("stream|flow:root|ccomp",
+      Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

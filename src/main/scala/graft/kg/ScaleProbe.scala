@@ -76,6 +76,7 @@ object ScaleProbe {
       // MUST mirror DocKernel.annotate ordering exactly, or the cumulative
       // prefix deltas attribute allocation to the wrong annotator
       "actRelcl" -> DocKernel.annotateActivityRelcl,
+      "recMedia" -> DocKernel.annotateRecordedMedia,
       "nominal" -> DocKernel.annotateNominalizations,
       "exceptive" -> DocKernel.annotateExceptives,
       "qaFrag" -> DocKernel.annotateQaFragments,

@@ -30,7 +30,8 @@ object Lexicon {
     "visit", "view", "browse", "purchase", "buy", "run", "occur", "pair",
     "apply", "enter",
     "build", "create", "compile", "generate", "capture", "remember",
-    "rely", "fall", "resort", "depend", "decline", "mean", "determine")
+    "rely", "fall", "resort", "depend", "decline", "mean", "determine",
+    "persist", "contain", "leave", "stream", "append")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who")
@@ -55,7 +56,8 @@ object Lexicon {
   val negations: Set[String] = Set("not", "never", "n't", "neither")
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
-    "namely", "together", "sometimes", "always", "so", "back", "otherwise")
+    "namely", "together", "sometimes", "always", "so", "back", "otherwise",
+    "along")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",

@@ -283,9 +283,10 @@ object RuleNlp {
           // not part of the NP — length >= 6 keeps -ed nouns (speed) out
           t.pos = "VERB"
         case "NOUN" if t.text.toLowerCase.endsWith("ing") && t.text.length >= 6 &&
-          (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") && at(i + 1) == "ADP" =>
+          (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") &&
+          (at(i + 1) == "ADP" || at(i + 1) == "DET") =>
           // present-participle reduced relative ("agents acting on our
-          // behalf", "providers operating in the EU")
+          // behalf", "backups containing your order history")
           t.pos = "VERB"
         case "ADJ" if at(i - 1) == "DET" && at(i + 1) != "NOUN" &&
           at(i + 1) != "PROPN" && at(i + 1) != "ADJ" && at(i + 1) != "NUM" &&
@@ -347,8 +348,11 @@ object RuleNlp {
         // when its lemma is a dictionary entity ("your voice may be
         // recorded": 'record' is a DATA unigram, but this is the passive
         // verb, not a mention)
-        val auxParticiple = matched == 1 && i > 0 && toks(i - 1).pos == "AUX" &&
-          toks(i).text.toLowerCase.endsWith("ed")
+        val auxParticiple = matched == 1 && i > 0 &&
+          toks(i).text.toLowerCase.endsWith("ed") &&
+          (toks(i - 1).pos == "AUX" ||
+            // conjoined participle: "may be monitored or recorded"
+            (toks(i - 1).pos == "CCONJ" && i > 1 && toks(i - 2).pos == "VERB"))
         // a dictionary word that is also a verb keeps its verb reading right
         // after a nominative pronoun ("We record your payment information"):
         // the pronoun needs a predicate, not a second mention
@@ -880,9 +884,11 @@ object RuleNlp {
               val gap = c.start - 1
               val gl = if (gap > start) toks(gap).lemma else ""
               if (gap > start && (gl == "of" || gl == "about" || gl == "in" ||
-                gl == "on" || gl == "within")) {
+                gl == "on" || gl == "within" || gl == "to" || gl == "from" ||
+                gl == "with")) {
                 // NP-internal PP: the chain root owns the verb ("smart
-                // speakers in your home may capture ...")
+                // speakers in your home may capture ...", "calls to
+                // customer service may be recorded")
                 chunkBefore(gap) match {
                   case Some(pc) if pc.end == gap => c = pc
                   case _ => walkUp = false
@@ -905,7 +911,21 @@ object RuleNlp {
             // earlier verb are not subjects/passive-objects of this one
             val filtered = heads0.filterNot(h =>
               objOf.exists { case (ov, hs) => ov != v && hs.contains(h) })
-            val heads = if (filtered.nonEmpty) filtered else heads0
+            val heads = if (filtered.nonEmpty) filtered else {
+              // the nearest NP is another verb's object — when that verb is
+              // a participle with its own subject ("employers sponsoring
+              // your account may view ..."), the participle's subject owns
+              // this verb
+              val viaParticiple = heads0.flatMap(h => objOf.collectFirst {
+                case (ov, hs) if ov != v && hs.contains(h) &&
+                  // only true participles ("employers sponsoring your
+                  // account may view") — finite verbs like "lets us track"
+                  // keep the nearest-NP reading
+                  toks(ov).text.toLowerCase.endsWith("ing") &&
+                  subjOf.get(ov).exists(_.nonEmpty) => subjOf(ov)
+              }.getOrElse(Nil)).distinct
+              if (viaParticiple.nonEmpty) viaParticiple else heads0
+            }
             if (vg.passive) {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = heads
@@ -935,9 +955,14 @@ object RuleNlp {
     // and so do the content delivery networks" → the networks collect too)
     var eIdx = start
     while (eIdx < end - 3) {
-      if (toks(eIdx).pos == "CCONJ" && toks(eIdx + 1).lemma == "so" &&
-        toks(eIdx + 2).lemma == "do") {
-        chunkAt(eIdx + 3).foreach { c =>
+      // ", and so do <NP>" / ", as do(es) <NP>" both repeat the nearest
+      // preceding predicate with a new subject
+      val soDo = toks(eIdx).pos == "CCONJ" && toks(eIdx + 1).lemma == "so" &&
+        toks(eIdx + 2).lemma == "do"
+      val asDo = toks(eIdx).lemma == "as" && toks(eIdx + 1).lemma == "do" &&
+        eIdx > start && toks(eIdx - 1).text == ","
+      if (soDo || asDo) {
+        chunkAt(if (soDo) eIdx + 3 else eIdx + 2).foreach { c =>
           vgs.map(_.verb).filter(_ < eIdx).lastOption.foreach { v =>
             addDep(v, c.head, "subj")
             subjOf(v) = subjOf.getOrElse(v, Nil) :+ c.head
@@ -1099,6 +1124,42 @@ object RuleNlp {
             toks(j).lemma == "you" || toks(j).lemma == "your")
       }
       unlessYou.foreach { u => neg.retain(_ > u) }
+    }
+
+    // --- discontinued practice: "no longer <verb>" negates its clause's
+    // verb, and "no longer do so" (do-so ellipsis) also negates the
+    // anaphoric antecedent ("We previously collected your precise
+    // location, but we no longer do so")
+    locally {
+      (start until end - 2).foreach { k =>
+        if (toks(k).lemma == "no" && toks(k + 1).lemma == "longer") {
+          vgs.find(_.verb > k + 1) match {
+            case Some(vg) =>
+              neg += vg.verb
+              if (toks(vg.verb).lemma == "do" &&
+                vg.verb + 1 < end && toks(vg.verb + 1).lemma == "so")
+                vgs.filter(_.verb < k).map(_.verb).lastOption.foreach(neg += _)
+            case None =>
+              // aux-only "do so" never formed a verb group: negate the
+              // ellipsis antecedent directly
+              if (k + 2 < end && toks(k + 2).lemma == "do" &&
+                k + 3 < end && toks(k + 3).lemma == "so")
+                vgs.filter(_.verb < k).map(_.verb).lastOption.foreach(neg += _)
+          }
+        }
+      }
+    }
+
+    // --- prohibition scope: "prohibited/prevented/barred from <gerund>"
+    // negates the gerund's practice (a ban is not a disclosure)
+    locally {
+      val ProhibitLemmas = Set("prohibit", "prevent", "bar", "forbid", "ban")
+      (start until end - 2).foreach { k =>
+        if (ProhibitLemmas.contains(toks(k).lemma) &&
+          toks(k + 1).lemma == "from" &&
+          toks(k + 2).text.toLowerCase.endsWith("ing"))
+          neg += k + 2
+      }
     }
 
     // --- colon appositive: "<clause>: A, B and C" ----------------------
@@ -1381,13 +1442,27 @@ object RuleNlp {
       deps: ListBuffer[Dep]): Unit = {
     val colonIdx = (start until end).find(k => toks(k).text == ":")
     colonIdx.foreach { ci =>
-      val preHead = chunks.filter(_.end <= ci).lastOption.map(_.head).getOrElse(-1)
-      if (preHead >= 0) {
-        val postChunks = chunks.filter(_.start > ci)
-        val inEdges = deps.filter(d => d.to == preHead && d.from >= 0).toList
-        postChunks.foreach { c =>
-          inEdges.foreach(e => deps += Dep(e.from, c.head, e.dep))
-          deps += Dep(preHead, c.head, "appos")
+      // type-aware anchoring: DATA post-chunks take the role of the root
+      // verb's OBJECT (not a trailing adverbial PP's noun — "collected at
+      // signup: your date of birth"), ACTOR post-chunks take the role of
+      // the nearest pre-colon ACTOR ("with the parties described below:
+      // ..., with our email service provider")
+      val rootObj = for {
+        r <- deps.find(d => d.from == -1)
+        o <- deps.find(d => d.from == r.to && d.dep == "obj" && d.to < ci)
+      } yield o.to
+      val nearest = chunks.filter(_.end <= ci).lastOption.map(_.head)
+      val preActor = chunks.filter(c => c.end <= ci && toks(c.head).ner == "ACTOR")
+        .lastOption.map(_.head)
+      val preData = rootObj.orElse(nearest)
+      val postChunks = chunks.filter(_.start > ci)
+      postChunks.foreach { c =>
+        val anchor = (if (toks(c.head).ner == "ACTOR") preActor.orElse(preData)
+        else preData).getOrElse(-1)
+        if (anchor >= 0) {
+          deps.filter(d => d.to == anchor && d.from >= 0).toList
+            .foreach(e => deps += Dep(e.from, c.head, e.dep))
+          deps += Dep(anchor, c.head, "appos")
         }
       }
     }
