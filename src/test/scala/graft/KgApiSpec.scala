@@ -295,6 +295,46 @@ class KgApiSpec extends AnyFunSuite {
     assert(inc.exists(t => t._3 == "credit / debit card number"))
   }
 
+  test("round-4 kernel mechanisms: distractor families stay silent") {
+    def positives(html: String) =
+      tupleSet(html).filterNot(_._2.startsWith("NOT_"))
+    // discontinued practice (no-longer + do-so ellipsis)
+    assert(positives("<p>We formerly collected your browsing history, " +
+      "but we no longer do so.</p>").isEmpty)
+    // prohibition on partners
+    assert(positives("<p>Our vendors are prohibited from collecting your " +
+      "health information.</p>").isEmpty)
+    // user-to-user visibility: the only collecting subject is the user
+    // class, which KgApi.partyTuples / Holdout.predict exclude like "you"
+    assert(positives("<p>Other members can see your profile picture.</p>")
+      .forall(t => t._1 == "user" || t._2 == "SUBSUM"))
+    // exclusively on-device processing
+    assert(positives("<p>Your fingerprint is processed solely on your device.</p>")
+      .isEmpty)
+  }
+
+  test("round-4 kernel mechanisms: retention and transmission idioms") {
+    // as-do ellipsis repeats the predicate with a new subject
+    val asDo = tupleSet("<p>We retain your phone number, as do our subsidiaries.</p>")
+    assert(asDo.contains(("we", "STORE", "phone number")))
+    assert(asDo.contains(("business partner", "STORE", "phone number")))
+    // container of a data anaphor
+    assert(tupleSet("<p>We collect your email address. We keep a hashed " +
+      "version of it.</p>").exists(t => t._2 == "STORE" && t._3 == "email address"))
+    // persist = retention; containing = container subsumption
+    assert(tupleSet("<p>Backups containing your purchase history persist " +
+      "for one year.</p>").exists(t => t._1 == "we" && t._3 == "purchase history"))
+    // leaves-your-device transmission
+    assert(tupleSet("<p>With telemetry enabled, crash dumps leave your device.</p>")
+      .contains(("we", "COLLECT", "crash / log data")))
+    // streams-to transmission names only the recipient side
+    val stream = tupleSet("<p>Session logs stream to our analytics vendor.</p>")
+    assert(stream.exists(t => t._2 == "BE_SHARED" && t._3 == "usage information"))
+    // recorded-media composition: calls + record = audio recording
+    assert(tupleSet("<p>Calls to our support line may be recorded.</p>")
+      .exists(t => t._1 == "we" && t._3 == "audio recording"))
+  }
+
   test("round-3 kernel mechanisms: negation scopes") {
     def positives(html: String) =
       tupleSet(html).filterNot(_._2.startsWith("NOT_"))
