@@ -528,6 +528,26 @@ object DocKernel {
             }
           }
         }
+        // copular restrictor: "X is limited to A and B" / "X consists of
+        // A, B" — the restriction enumerates what X is → SUBSUM(X, A/B)
+        p.deps.foreach { dep =>
+          if ((dep.dep == "root" || dep.dep == "ccomp") &&
+            (p.tokens(dep.to).lemma == "limit" || p.tokens(dep.to).lemma == "consist")) {
+            val v = dep.to
+            val subj = p.out(v).filter(_.dep == "subj").map(_.to)
+            val objs = for {
+              pe <- p.out(v)
+              if pe.dep == "prep" &&
+                (p.tokens(pe.to).lemma == "to" || p.tokens(pe.to).lemma == "of")
+              oe <- p.out(pe.to) if oe.dep == "obj"
+            } yield oe.to
+            for (s <- subj; o <- objs) {
+              val (sT, oT) = (p.tokens(s), p.tokens(o))
+              if (sT.pos != "PRON" && oT.pos != "PRON" && entCompatible(sT.ner, oT.ner))
+                st.link(d, p, s, o, Subsum)
+            }
+          }
+        }
         // container participle: "backups containing your order history" —
         // the reduced relative's object is subsumed by its upper noun
         p.deps.foreach { dep =>

@@ -221,7 +221,7 @@ object Patterns {
     ("leave:root|ccomp",
       Seq("!:subj@DT", "!device:obj@E2"), Seq("COLLECT", "WE", "DT")),
     // DT streams/flows to E2
-    ("stream|flow:root|ccomp",
+    ("stream|flow|transfer:root|ccomp",
       Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of

@@ -693,7 +693,20 @@ object RuleNlp {
       var relclUpper = -1
       var relclSubj = -1
       chunkBefore(vg.auxStart) match {
-        case Some(cS) if cS.end == vg.auxStart || cS.end == beforeAux + 1 =>
+        case Some(cS0) if cS0.end == vg.auxStart || cS0.end == beforeAux + 1 ||
+          // "[subject chain], VERB": a comma directly before the verb
+          // window ("your account data, including your purchase history,
+          // would transfer") — the walk below resolves the chain head
+          (cS0.end == beforeAux && toks(beforeAux).text == ",") =>
+          // a comma-bounded PROPN appositive is transparent for relcl
+          // detection ("the data that our payment processor, Stripe,
+          // receives"): hop from the appositive back to the real subject
+          val cS =
+            if (cS0.end == beforeAux && toks(beforeAux).text == "," &&
+              toks(cS0.head).pos == "PROPN" && cS0.start - 1 > start &&
+              toks(cS0.start - 1).text == ",")
+              chunkBefore(cS0.start - 1).filter(_.end == cS0.start - 1).getOrElse(cS0)
+            else cS0
           // is there another chunk or relativizer before cS?
           val gap = (cS.start - 1)
           // "so that / such that" opens a purpose clause, not a relative
