@@ -1016,7 +1016,16 @@ object DocKernel {
                 // subjectless share-gerund ("Section 7 permits sharing it
                 // with mobile carriers"): the implied sharer is the
                 // operator — same convention as the share-passive
-                p.tokens(m.verb).text.toLowerCase.endsWith("ing")) &&
+                p.tokens(m.verb).text.toLowerCase.endsWith("ing") ||
+                // intransitive transmission ("your account data would
+                // transfer to the successor entity"): an EXTERNAL
+                // destination implies first-party possession (h213
+                // disclosure convention); an our-possessed destination is
+                // our own processor — recipient side only (h207)
+                (Set("stream", "flow", "transfer").contains(p.tokens(m.verb).lemma) &&
+                  m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
+                    p.chunkOf(h).exists(c =>
+                      (c.start until h).exists(k => p.tokens(k).lemma == "our")))))) &&
               // "stored locally" / "processed on your device" = on-device,
               // not operator collection
               !(m.verb + 1 < p.end && p.tokens(m.verb + 1).lemma == "locally") &&

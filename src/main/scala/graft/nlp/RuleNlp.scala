@@ -745,7 +745,15 @@ object RuleNlp {
         }
       }
 
-      val isConj = lastVerb >= 0 && !vg.toMarked && {
+      val isConj = lastVerb >= 0 && !vg.toMarked &&
+        // coordinated verbs share voice: an ACTIVE relcl verb followed by a
+        // comma and a PASSIVE matrix verb ("Page URLs you visit, ..., are
+        // appended") is a clause boundary, not a verb chain
+        (vgs(vgIdx - 1).passive == vg.passive ||
+          // a bare -ed participle conjunct inherits the leader's voice
+          // ("may be monitored or recorded")
+          (toks(vg.verb).text.toLowerCase.endsWith("ed") &&
+            vg.auxStart == vg.verb)) && {
         // start the gap AFTER the previous verb's attached object chunks
         // ("set their own cookies and collect ..." is coordination even
         // though the leader has an object in between)
@@ -896,7 +904,23 @@ object RuleNlp {
             while (walkUp) {
               val gap = c.start - 1
               val gl = if (gap > start) toks(gap).lemma else ""
-              if (gap > start && (gl == "of" || gl == "about" || gl == "in" ||
+              if (c.start - 4 >= start && toks(c.start - 1).lemma == "with" &&
+                (toks(c.start - 2).lemma == "along" || toks(c.start - 2).lemma == "together") &&
+                toks(c.start - 3).text == "," && toks(c.start - 4).pos == "VERB" &&
+                deps.exists(dd => dd.dep == "relcl" && dd.to == c.start - 4)) {
+                // ", along with X," directly after a relcl verb: the
+                // accompaniment rides with the relativized NP ("Page URLs
+                // you visit, along with timestamps, are appended") — hop to
+                // the relcl upper; the plain-NP accompaniment case keeps the
+                // backward conj-group walk
+                val u = deps.collectFirst {
+                  case dd if dd.dep == "relcl" && dd.to == c.start - 4 => dd.from
+                }.get
+                chunks.find(ch => ch.start <= u && u < ch.end) match {
+                  case Some(pc) if pc.head != c.head => c = pc
+                  case _ => walkUp = false
+                }
+              } else if (gap > start && (gl == "of" || gl == "about" || gl == "in" ||
                 gl == "on" || gl == "within" || gl == "to" || gl == "from" ||
                 gl == "with")) {
                 // NP-internal PP: the chain root owns the verb ("smart

@@ -66,4 +66,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout4 precision regressed: $p")
     assert(r >= 0.99, s"holdout4 recall regressed: $r")
   }
+
+  test("holdout batch-5 P/R regression floors (closed at 1.0/1.0 in round 4)") {
+    val rows = Holdout.prRows(Holdout.predicted5.toSet, Holdout.truth5.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout5 precision regressed: $p")
+    assert(r >= 0.99, s"holdout5 recall regressed: $r")
+  }
 }
