@@ -29,5 +29,6 @@ object HoldoutReport {
     report("3", Holdout.predicted3.toSet, Holdout.truth3.toSet)
     report("4", Holdout.predicted4.toSet, Holdout.truth4.toSet)
     report("5", Holdout.predicted5.toSet, Holdout.truth5.toSet)
+    report("6", Holdout.predicted6.toSet, Holdout.truth6.toSet)
   }
 }
