@@ -211,7 +211,7 @@ object DocKernel {
     * mentions by the activity-relcl annotator; index = Src(-2, idx). */
   private val ActivityTerms = Vector(
     "browsing history", "purchase history", "usage information",
-    "audio recording")
+    "audio recording", "photo / video", "contact list")
 
   private def activityTermOf(p: Parse, v: Int): Option[Int] =
     p.tokens(v).lemma match {
@@ -223,6 +223,10 @@ object DocKernel {
         Some(if (appCtx) 2 else 0)
       case "purchase" | "buy" => Some(1)
       case "use" => Some(2)
+      // "the newsletters you open" = engagement tracking (open rate)
+      case "open" => Some(0)
+      // "the friends you invite" = the social graph (contact list)
+      case "invite" => Some(5)
       case _ => None
     }
 
@@ -302,12 +306,20 @@ object DocKernel {
                 // "a record of the products you viewed": the generic
                 // container above the of-PP subsumes the activity too, so
                 // collection captures on the container reach the term
-                val containerHead = for {
+                val containerHead = (for {
                   ofObj <- p.deps.find(o => o.dep == "obj" && o.to == upper)
                   if p.tokens(ofObj.from).lemma == "of"
                   ownerPrep <- p.deps.find(o => o.dep == "prep" && o.to == ofObj.from)
                   if GenericContainers.contains(p.tokens(ownerPrep.from).lemma.toLowerCase)
-                } yield ownerPrep.from
+                } yield ownerPrep.from).orElse {
+                  // pre-verb subject chains have no of-deps yet —
+                  // adjacency: "[A list] of [the friends you invite]"
+                  p.chunkOf(upper).filter(uc => uc.start - 1 > p.start &&
+                      p.tokens(uc.start - 1).lemma == "of")
+                    .flatMap(uc => p.chunks.find(pc => pc.end == uc.start - 1 &&
+                      GenericContainers.contains(p.tokens(pc.head).lemma.toLowerCase))
+                      .map(_.head))
+                }
                 terms.foreach { ti =>
                   val syn = st.activitySrc(p, ti)
                   (Some(upper) ++ containerHead).foreach { up =>
@@ -534,7 +546,10 @@ object DocKernel {
           if ((dep.dep == "root" || dep.dep == "ccomp") &&
             (p.tokens(dep.to).lemma == "limit" || p.tokens(dep.to).lemma == "consist")) {
             val v = dep.to
-            val subj = p.out(v).filter(_.dep == "subj").map(_.to)
+            // the restricted node: subject, or the passive's promoted
+            // object ("X is limited to A" / "we limit X to A")
+            val subj = p.out(v).filter(e => e.dep == "subj" || e.dep == "obj")
+              .map(_.to)
             val objs = for {
               pe <- p.out(v)
               if pe.dep == "prep" &&
@@ -545,6 +560,18 @@ object DocKernel {
               val (sT, oT) = (p.tokens(s), p.tokens(o))
               if (sT.pos != "PRON" && oT.pos != "PRON" && entCompatible(sT.ner, oT.ner))
                 st.link(d, p, s, o, Subsum)
+            }
+          }
+        }
+        // adjacency container-of: "[A record] of [each chat session] is
+        // kept" — pre-verb subject chains have no of-deps, so the
+        // dep-based container path below misses them
+        p.chunks.foreach { c =>
+          if (GenericContainers.contains(p.tokens(c.head).lemma.toLowerCase) &&
+            c.end < p.end && p.tokens(c.end).lemma == "of") {
+            p.chunks.find(_.start == c.end + 1).foreach { dtc =>
+              if (p.tokens(dtc.head).ner == "DATA" && p.tokens(dtc.head).pos != "PRON")
+                st.link(d, p, c.head, dtc.head, Subsum)
             }
           }
         }
@@ -909,7 +936,37 @@ object DocKernel {
             p.chunks.find(_.start == c.end + 1).foreach { oc =>
               if (MediaObjNouns.contains(p.tokens(oc.head).lemma))
                 linkAudio(Seq(c.head, oc.head))
+              // "a recording of your screen" captures visual media
+              else if (p.tokens(oc.head).lemma == "screen") {
+                val syn = st.activitySrc(p, 4)
+                for (up <- Seq(c.head, oc.head); s1 <- d.srcs(up)) {
+                  st.linkSrc(s1, syn, Subsum)
+                  st.recordMention(d, p, up, s1)
+                  st.sentText.getOrElseUpdate(s1, p.text)
+                }
+              }
             }
+          }
+        }
+        // photograph/film as capture verbs: the actor acquires photo/video
+        // regardless of what is photographed ("couriers ... photographing
+        // your door"); agentless/passive forms fall to the operator
+        (p.start until p.end).foreach { v =>
+          val vt = p.tokens(v)
+          if ((vt.lemma == "photograph" || vt.lemma == "film") && vt.pos == "VERB" &&
+            !p.neg.contains(v)) {
+            val syn = st.activitySrc(p, 4)
+            val subjs = p.out(v).filter(_.dep == "subj").map(_.to)
+              .filter(h2 => p.tokens(h2).ner == "ACTOR" && p.tokens(h2).lemma != "you")
+            if (subjs.nonEmpty)
+              subjs.foreach { s =>
+                for (ss <- d.srcs(s)) {
+                  st.linkSrc(ss, syn, Collect)
+                  st.recordMention(d, p, s, ss)
+                }
+              }
+            else st.linkSrc(st.implicitWeSrc(p), syn, Collect)
+            st.sentText.getOrElseUpdate(syn, p.text)
           }
         }
       }
@@ -924,21 +981,55 @@ object DocKernel {
     st.docs.foreach { d =>
       d.parses.sliding(2).foreach {
         case Vector(p1, p2) =>
-          val verbless = !(p2.start until p2.end).exists(k =>
-            p2.tokens(k).pos == "VERB" || p2.tokens(k).pos == "AUX")
+          // to-marked infinitives are purpose material, not the clause's
+          // finite verb ("; to verify identity, your passport.")
+          def finiteVerbAt(k: Int): Boolean = {
+            val t = p2.tokens(k)
+            t.pos == "AUX" || (t.pos == "VERB" &&
+              !(k > p2.start && p2.tokens(k - 1).lemma == "to"))
+          }
+          val verbless = !(p2.start until p2.end).exists(finiteVerbAt)
           val afterSemi = p1.end > p1.start && p1.tokens(p1.end - 1).text == ";"
           if (verbless && afterSemi && p2.chunks.nonEmpty) {
+            // only objects ADJACENT to the infinitive count; a chunk
+            // after a comma is the stranded gap NP, even if the conj walk
+            // absorbed it as a second object
+            def infObj(c2: graft.nlp.RuleNlp.Chunk): Boolean = p2.deps.exists(dd =>
+              dd.dep == "obj" && dd.to == c2.head && dd.from >= 0 &&
+                p2.tokens(dd.from).pos == "VERB" &&
+                !(dd.from + 1 until c2.start).exists(k => p2.tokens(k).text == ","))
             val actors = p2.chunks.takeWhile(c => p2.tokens(c.head).ner == "ACTOR")
-            val rest = p2.chunks.drop(actors.length)
+            val rest = p2.chunks.drop(actors.length).filterNot(infObj)
+            // the finite matrix verb: prefer a root WITH a subject ("To
+            // verify age, we ask ..." has a subjectless infinitive root too)
+            lazy val rootVerb = {
+              val roots = p1.deps.filter(dd => dd.dep == "root" &&
+                p1.tokens(dd.to).pos == "VERB").map(_.to)
+              roots.find(v => p1.out(v).exists(_.dep == "subj"))
+                .orElse(roots.headOption)
+            }
+            lazy val relOf = for {
+              rv <- rootVerb
+              action <- Patterns.lemmaAction.get(p1.tokens(rv).lemma)
+              e <- Patterns.actionMap((action, p1.neg.contains(rv)))
+                .collectFirst { case e @ (0, 1, _) => e }
+            } yield e._3
             if (actors.nonEmpty && rest.nonEmpty &&
               rest.forall(c => p2.tokens(c.head).ner == "DATA")) {
+              relOf.foreach { rel =>
+                for (a <- actors; dt <- rest) st.link(d, p2, a.head, dt.head, rel)
+              }
+            } else if (actors.isEmpty && rest.nonEmpty &&
+              rest.forall(c => p2.tokens(c.head).ner == "DATA")) {
+              // subject AND verb gapped ("To verify age, we ask your date
+              // of birth; to verify identity, your passport.") — inherit
+              // both from the previous clause
               for {
-                rv <- p1.deps.find(dd => dd.dep == "root" &&
-                  p1.tokens(dd.to).pos == "VERB").map(_.to)
-                action <- Patterns.lemmaAction.get(p1.tokens(rv).lemma)
-                (ei, di, rel) <- Patterns.actionMap((action, p1.neg.contains(rv)))
-                  .collectFirst { case e @ (0, 1, _) => e }
-              } for (a <- actors; dt <- rest) st.link(d, p2, a.head, dt.head, rel)
+                rel <- relOf
+                rv <- rootVerb
+                s <- p1.out(rv).filter(_.dep == "subj").map(_.to)
+                dt <- rest
+              } st.link(d, p2, s, dt.head, rel)
             }
           }
         case _ =>
@@ -960,10 +1051,23 @@ object DocKernel {
         p.tokens(k + 3).lemma == "device"
     }
 
+  private val RetractVerbLemmas = Set("end", "cease", "stop", "discontinue")
+
   def annotateCollection(st: DocState): Unit = {
     st.docs.foreach { d =>
-      d.parses.foreach { p =>
-        if (!onDeviceOnly(p)) Patterns.matchSentence(p).foreach { m =>
+      // discontinued practices: "<statement>; that practice ended in 2024."
+      // retracts the preceding sentence's assertions
+      val retractedIdx: Set[Int] = d.parses.zipWithIndex.sliding(2).collect {
+        case Vector((_, i1), (p2, _)) if (p2.start until p2.end - 1).exists { k =>
+          val t = p2.tokens(k)
+          (t.lemma == "this" || t.lemma == "that") &&
+            p2.tokens(k + 1).lemma == "practice" &&
+            (k + 2 until math.min(p2.end, k + 5)).exists(j =>
+              RetractVerbLemmas.contains(p2.tokens(j).lemma))
+        } => i1
+      }.toSet
+      d.parses.zipWithIndex.foreach { case (p, pIdx) =>
+        if (!onDeviceOnly(p) && !retractedIdx.contains(pIdx)) Patterns.matchSentence(p).foreach { m =>
           val entries =
             // ACTIVE deletion ("you can ask us to erase X") is a rights
             // statement, no capture; the agentless PASSIVE ("your data is
@@ -1022,7 +1126,7 @@ object DocKernel {
                 // destination implies first-party possession (h213
                 // disclosure convention); an our-possessed destination is
                 // our own processor — recipient side only (h207)
-                (Set("stream", "flow", "transfer").contains(p.tokens(m.verb).lemma) &&
+                (Set("stream", "flow", "transfer", "convey").contains(p.tokens(m.verb).lemma) &&
                   m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
                     p.chunkOf(h).exists(c =>
                       (c.start until h).exists(k => p.tokens(k).lemma == "our")))))) &&

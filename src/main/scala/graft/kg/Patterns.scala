@@ -221,8 +221,21 @@ object Patterns {
     ("leave:root|ccomp",
       Seq("!:subj@DT", "!device:obj@E2"), Seq("COLLECT", "WE", "DT")),
     // DT streams/flows to E2
-    ("stream|flow|transfer:root|ccomp",
-      Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2"))))
+    ("stream|flow|transfer|convey:root|ccomp",
+      Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2")),
+    // light verb: E1 make/take a copy/recording/scan of DT
+    ("make|take:root|ccomp|xcomp",
+      Seq(":subj@E1", "!copy|record|recording|backup|scan|note:obj,of,:obj@DT"),
+      Seq("STORE", "E1", "DT")),
+    // DT feeds into our systems
+    ("feed:root|ccomp",
+      Seq("!:subj@DT", "!into:prep,:obj@E2"), Seq("COLLECT", "WE", "DT")),
+    // E1 knows/learns about DT
+    ("know|learn:root|ccomp|relcl",
+      Seq(":subj@E1", "!about,:obj@DT"), Seq("COLLECT", "E1", "DT")),
+    // E1 asks DT directly
+    ("ask:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */
@@ -315,7 +328,8 @@ object Patterns {
   /** Verb lemma → action class, for mechanisms that need a verb's action
     * outside a full pattern match (e.g. gapped coordination). */
   lazy val lemmaAction: Map[String, String] =
-    (graft.nlp.Lexicon.tokenMap("VERB_SHARE_WITH").map(_ -> "SHARE") ++
+    (graft.nlp.Lexicon.tokenMap("VERB_REQUIRE_TODO").map(_ -> "COLLECT") ++
+      graft.nlp.Lexicon.tokenMap("VERB_SHARE_WITH").map(_ -> "SHARE") ++
       graft.nlp.Lexicon.tokenMap("VERB_SELL_TO").map(_ -> "SELL") ++
       graft.nlp.Lexicon.tokenMap("VERB_USE").map(_ -> "USE") ++
       graft.nlp.Lexicon.tokenMap("VERB_STORE").map(_ -> "STORE") ++

@@ -31,7 +31,9 @@ object Lexicon {
     "apply", "enter",
     "build", "create", "compile", "generate", "capture", "remember",
     "rely", "fall", "resort", "depend", "decline", "mean", "determine",
-    "persist", "contain", "leave", "stream", "append")
+    "persist", "contain", "leave", "stream", "append", "archive", "write",
+    "note", "export", "convey", "feed", "know", "learn", "photograph",
+    "invite", "open", "take", "acknowledge", "admit", "deny", "gather")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who")
@@ -52,7 +54,7 @@ object Lexicon {
   val coordConj: Set[String] = Set("and", "or", "but", "nor")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
     "that", "which", "whether", "unless", "whenever", "wherever", "whereby",
-    "wherein", "once", "although", "though", "since")
+    "wherein", "once", "although", "though", "since", "than")
   val negations: Set[String] = Set("not", "never", "n't", "neither")
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
@@ -83,6 +85,7 @@ object Lexicon {
     "got" -> "get", "gotten" -> "get", "made" -> "make", "sent" -> "send",
     "used" -> "use", "seen" -> "see", "saw" -> "see", "taken" -> "take",
     "took" -> "take", "known" -> "know", "knew" -> "know",
+    "written" -> "write", "wrote" -> "write",
     "parties" -> "party", "companies" -> "company", "policies" -> "policy",
     "cookies" -> "cookie", "technologies" -> "technology",
     "identities" -> "identity", "activities" -> "activity",
@@ -108,7 +111,7 @@ object Lexicon {
     "save", "preserve", "require", "ensure", "secure", "enhance", "manage",
     "delete", "update", "give", "make", "notice", "purchase", "device",
     "operate", "administer", "handle", "merge", "infer", "derive",
-    "place", "create", "erase", "generate", "aggregate", "associate",
+    "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
     "compile", "change", "observe", "archive", "profile", "trace",
     "arrive")
 

@@ -150,7 +150,8 @@ object RuleNlp {
 
   /** Comma-introduced adverbs that continue (or pad) a conjunct group. */
   private val ConjCueAdvs = Set("specifically", "namely", "particularly",
-    "especially", "optionally", "i.e.", "e.g.")
+    "especially", "optionally", "i.e.", "e.g.", "typically", "usually",
+    "generally")
   /** Nouns that name an attribute OF something — "the name of your mobile
     * carrier" — rather than user data in their own right. */
   private val AttributeHeads = Set("name")
@@ -295,6 +296,13 @@ object RuleNlp {
           // with...", "see the above") — nominal reading so the chunker
           // keeps it and verb patterns can capture it as an object
           t.pos = "NOUN"
+        case "ADJ" if (t.text.toLowerCase.endsWith("ed") ||
+          t.text.toLowerCase.endsWith("en")) && at(i - 1) == "AUX" &&
+          (at(i + 1) == "ADP" || at(i + 1) == "TO") =>
+          // participial adjectives after an auxiliary with a PP complement
+          // are the passive verb ("sign-in events are written to an audit
+          // trail"), not the attributive reading ("written consent")
+          t.pos = "VERB"
         case "ADP" if t.lemma == "as" && i + 2 < n &&
           toks(i + 1).lemma == "well" && toks(i + 2).lemma == "as" =>
           // "as well as" coordinates like and/or — retag the triple CCONJ so
@@ -522,7 +530,10 @@ object RuleNlp {
     }
     chunks.foreach { c =>
       if (!consentConditional &&
-        (c.start until c.end).exists(k => toks(k).pos == "DET" && toks(k).lemma == "no"))
+        (c.start until c.end).exists(k => toks(k).pos == "DET" && toks(k).lemma == "no" &&
+          // "no more X than ..." is a comparative bound, not negation
+          !(k + 1 < c.end && toks(k + 1).lemma == "more" &&
+            (c.end until math.min(end, c.end + 2)).exists(j => toks(j).lemma == "than"))))
         neg += c.head
     }
     val text = renderText(toks, start, end)
@@ -660,21 +671,29 @@ object RuleNlp {
             // profile, you must provide ..." and "..., our payment
             // processor, Stripe, receives ..." must not absorb the next
             // clause's subject into the object group
-            def leadsToPredicate(c0: Chunk): Boolean = {
+            def predicateKind(c0: Chunk): Int = { // 0 none, 1 verb, 2 aux
               var q = c0.end
               var guard = 0
               while (q < end && guard < 8) {
                 if (toks(q).text == ",") q += 1
                 else chunks.find(_.start == q) match {
                   case Some(cc) => q = cc.end
-                  case None => return toks(q).pos == "AUX" || toks(q).pos == "VERB" ||
-                    toks(q).pos == "VERBC"
+                  case None => return toks(q).pos match {
+                    case "AUX" => 2
+                    case "VERB" | "VERBC" => 1
+                    case _ => 0
+                  }
                 }
                 guard += 1
               }
-              false
+              0
             }
-            if (!sawCconj && leadsToPredicate(nc)) go = false
+            val kind = predicateKind(nc)
+            // bare comma + any predicate = clause boundary; with a CCONJ,
+            // only an AUX-led chain is one ("..., and those images are
+            // retained") — a VERB-led chain is a relcl inside the list
+            // ("your name and the pages you visit")
+            if ((!sawCconj && kind >= 1) || (sawCconj && kind == 2)) go = false
             else { heads += nc.head; cur = nc }
           case _ => go = false
         }
@@ -697,7 +716,19 @@ object RuleNlp {
           // "[subject chain], VERB": a comma directly before the verb
           // window ("your account data, including your purchase history,
           // would transfer") — the walk below resolves the chain head
-          (cS0.end == beforeAux && toks(beforeAux).text == ",") =>
+          (cS0.end == beforeAux && toks(beforeAux).text == ",") ||
+          // "[chain], whether successful or not, VERB": only closing
+          // parenthetical filler (, / or / not / advs) before the window
+          (cS0.end < vg.auxStart && (cS0.end until vg.auxStart).forall { k2 =>
+            val t2 = toks(k2)
+            (t2.pos == "PUNCT" && t2.text == ",") || t2.pos == "CCONJ" ||
+              t2.pos == "PART" || t2.pos == "ADV"
+          }) ||
+          // "[upper] [subj] [relcl-verb] VERB": a bare relative directly
+          // before the verb window ("A list of the friends you invite is
+          // kept") — the matrix subject chain starts at the upper
+          (cS0.end == beforeAux && toks(beforeAux).pos == "VERB" &&
+            deps.exists(dd => dd.dep == "relcl" && dd.to == beforeAux)) =>
           // a comma-bounded PROPN appositive is transparent for relcl
           // detection ("the data that our payment processor, Stripe,
           // receives"): hop from the appositive back to the real subject
@@ -706,7 +737,13 @@ object RuleNlp {
               toks(cS0.head).pos == "PROPN" && cS0.start - 1 > start &&
               toks(cS0.start - 1).text == ",")
               chunkBefore(cS0.start - 1).filter(_.end == cS0.start - 1).getOrElse(cS0)
-            else cS0
+            else if (cS0.end == beforeAux && toks(beforeAux).pos == "VERB" &&
+              deps.exists(dd => dd.dep == "relcl" && dd.to == beforeAux)) {
+              val u = deps.collectFirst {
+                case dd if dd.dep == "relcl" && dd.to == beforeAux => dd.from
+              }.get
+              chunks.find(ch => ch.start <= u && u < ch.end).getOrElse(cS0)
+            } else cS0
           // is there another chunk or relativizer before cS?
           val gap = (cS.start - 1)
           // "so that / such that" opens a purpose clause, not a relative
@@ -745,6 +782,22 @@ object RuleNlp {
         }
       }
 
+      // is the previous verb's clause introduced by a subordinator? ("...,
+      // and when you open them, feed into ...": 'open' leads no
+      // coordination — the matrix clause resumes after the parenthetical)
+      def subordinateLed(vgx: VGroup): Boolean = {
+        var k = vgx.auxStart - 1
+        var found = false
+        var stop = false
+        while (k >= start && !stop) {
+          val t2 = toks(k)
+          if (t2.pos == "SCONJ") { found = true; stop = true }
+          else if (t2.text == "," || t2.pos == "CCONJ" || t2.pos == "VERB") stop = true
+          else k -= 1
+        }
+        found
+      }
+
       val isConj = lastVerb >= 0 && !vg.toMarked &&
         // coordinated verbs share voice: an ACTIVE relcl verb followed by a
         // comma and a PASSIVE matrix verb ("Page URLs you visit, ..., are
@@ -768,7 +821,12 @@ object RuleNlp {
         // a comma-separated clause with its own subject has non-conj tokens
         // in between, so it never matches
         between.nonEmpty &&
-          between.forall(k => toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ","))
+          between.forall(k => toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",")) &&
+          // a comma CLOSING a subordinate-led clause ends it — the matrix
+          // resumes ("..., and when you open them, feed into ...");
+          // comma-less coordination stays inside the clause ("that you
+          // supply an email address and choose a password")
+          !(between.exists(k => toks(k).text == ",") && subordinateLed(vgs(vgIdx - 1)))
       }
 
       if (vg.toMarked && lastVerb >= 0) {
@@ -848,7 +906,7 @@ object RuleNlp {
         // "without"-gerund is a negative statement
         val gerundPrep = prevTok >= start && toks(prevTok).pos == "ADP" &&
           toks(v).text.toLowerCase.endsWith("ing") &&
-          Set("before", "after", "while", "upon", "when", "without")
+          Set("before", "after", "while", "upon", "when", "without", "by")
             .contains(toks(prevTok).lemma)
         if (gerundPrep && prevMain >= 0 && subjOf.get(prevMain).exists(_.nonEmpty)) {
           val hs = subjOf(prevMain)
@@ -856,15 +914,29 @@ object RuleNlp {
           subjOf(v) = hs
           if (toks(prevTok).lemma == "without") neg += v
         } else if (relclHead.isDefined) {
-          addDep(v, relclHead.get, "subj")
-          subjOf(v) = List(relclHead.get)
+          // voice-aware: "[A list of the friends you invite] is kept" —
+          // the relcl head is the PASSIVE matrix verb's promoted object
+          if (vg.passive) {
+            addDep(v, relclHead.get, "obj")
+            objOf(v) = List(relclHead.get)
+          } else {
+            addDep(v, relclHead.get, "subj")
+            subjOf(v) = List(relclHead.get)
+          }
         } else
         // subject: nearest chunk ending at aux window start; when that chunk
         // is the object of a pre-verb of/about-PP, the subject is the chain
         // ROOT ("Audio recordings of support calls are retained" →
         // recordings, not calls)
         chunkBefore(vg.auxStart) match {
-          case Some(c0) if c0.end >= vg.auxStart - 1 =>
+          case Some(c0) if c0.end >= vg.auxStart - 1 ||
+            // only closing parenthetical filler intervenes ("[chain],
+            // whether successful or not, are written ...")
+            (c0.end until vg.auxStart).forall { k2 =>
+              val t2 = toks(k2)
+              (t2.pos == "PUNCT" && t2.text == ",") || t2.pos == "CCONJ" ||
+                t2.pos == "PART" || t2.pos == "ADV"
+            } =>
             // ", <participle> from <NP>," before the verb: the nearest chunk
             // is inside a participial PP — the real subject is the
             // participle's own subject, resolved through up to three
@@ -930,6 +1002,57 @@ object RuleNlp {
                   case Some(pc) if pc.end == gap => c = pc
                   case _ => walkUp = false
                 }
+              } else if (toks(c.head).pos == "PRON" && {
+                // pronoun object inside a comma-bounded subordinate
+                // parenthetical ("..., and when you open them, feed ..."):
+                // the matrix subject is the NP before the parenthetical,
+                // with a relcl subject resolved to its upper
+                val sconjAt = (start until c.start).findLast(k2 =>
+                  toks(k2).pos == "SCONJ" &&
+                    deps.exists(dd => dd.dep == "obj" && dd.to == c.head &&
+                      dd.from > k2 && dd.from < c.start + 3))
+                sconjAt.exists { sj =>
+                  val openComma = (start until sj).findLast(k2 => toks(k2).text == ",")
+                  openComma.exists { oc =>
+                    chunkBefore(oc) match {
+                      case Some(pc0) =>
+                        val pc =
+                          if (deps.exists(dd => dd.dep == "relcl" &&
+                            subjOf.get(dd.to).exists(_.contains(pc0.head))))
+                            deps.collectFirst {
+                              case dd if dd.dep == "relcl" &&
+                                subjOf.get(dd.to).exists(_.contains(pc0.head)) =>
+                                chunks.find(ch => ch.start <= dd.from && dd.from < ch.end)
+                            }.flatten.getOrElse(pc0)
+                          else pc0
+                        if (pc.head != c.head) { c = pc; true } else false
+                      case None => false
+                    }
+                  }
+                }
+              }) {
+                // handled inside the guard (c reassigned)
+              } else if (gap > start && (gl == "exclude" || gl == "except")) {
+                // pre-verb exceptive: "..., excluding message content, is
+                // kept" — the excluded NP is NOT captured; the chain
+                // continues at the NP before the exceptive
+                neg += c.head
+                val before = if (gap - 1 > start && toks(gap - 1).text == ",") gap - 1 else gap
+                chunkBefore(before) match {
+                  case Some(pc) => c = pc
+                  case None => walkUp = false
+                }
+              } else if ((start until c.start).findLast(k2 =>
+                toks(k2).pos == "SCONJ" && toks(k2).lemma == "whether" &&
+                  k2 > start && toks(k2 - 1).text == ",").exists { w =>
+                // ", whether successful or not," parenthetical: the matrix
+                // subject is the NP before the opening comma
+                chunkBefore(w - 1) match {
+                  case Some(pc) if pc.head != c.head => c = pc; true
+                  case _ => false
+                }
+              }) {
+                // handled inside the guard (c reassigned)
               } else if (gap > start && gl == "include" &&
                 gap - 1 > start && toks(gap - 1).text == ",") {
                 // ", including X," appositive between the subject chain and
@@ -1079,6 +1202,59 @@ object RuleNlp {
             !objOf.get(vg.verb).exists(_.nonEmpty)).foreach { vg =>
             addDep(vg.verb, fc.head, "obj")
             objOf(vg.verb) = List(fc.head)
+          }
+        }
+      }
+    }
+
+    // --- get-passive: "Your photos may get shared with our sponsors" —
+    // the participle after 'get' is passive and 'get''s subject is its
+    // promoted object
+    deps.toVector.foreach { dg =>
+      if (dg.dep == "subj" && dg.from >= 0 && toks(dg.from).lemma == "get" &&
+        dg.from + 1 < end && toks(dg.from + 1).pos == "VERB" &&
+        toks(dg.from + 1).text.toLowerCase.endsWith("ed")) {
+        val part = dg.from + 1
+        addDep(part, dg.to, "obj")
+        objOf(part) = objOf.getOrElse(part, Nil) :+ dg.to
+        passiveExtra += part
+      }
+    }
+
+    // --- VP ellipsis: "..., but your search terms are, for autocomplete"
+    // — a stranded be-AUX inherits the nearest preceding passive verb,
+    // whose promoted-object set gains the stranded subject
+    (start until end).foreach { k =>
+      if (toks(k).pos == "AUX" && toks(k).lemma == "be" &&
+        (k + 1 >= end || toks(k + 1).pos == "PUNCT")) {
+        for {
+          c <- chunkBefore(k) if c.end == k
+          pv <- vgs.filter(v2 => v2.verb < k &&
+            (v2.passive || passiveExtra.contains(v2.verb))).lastOption
+        } {
+          addDep(pv.verb, c.head, "obj")
+          objOf(pv.verb) = objOf.getOrElse(pv.verb, Nil) :+ c.head
+        }
+      }
+    }
+
+    // --- right-node raising: "We collect, and our partners receive, your
+    // device identifier" — v1's captured "object" is really the next
+    // conjunct's subject; it shares v2's (right-node) object instead. The
+    // comma directly after v1 is the signature.
+    deps.toVector.foreach { d1 =>
+      if (d1.dep == "obj" && d1.from + 1 < end && toks(d1.from + 1).text == ",") {
+        deps.find(d2 => d2.dep == "subj" && d2.to == d1.to &&
+          d2.from > d1.from &&
+          // the conjunct's subject must be EXACTLY the raised node — a
+          // multi-subject verb absorbed other material, not RNR
+          subjOf.get(d2.from).exists(_ == List(d1.to))).foreach { d2 =>
+          val (v1, v2) = (d1.from, d2.from)
+          deps.filterInPlace(dd => !(dd.from == v1 && dd.dep == "obj" && dd.to == d1.to))
+          objOf(v1) = objOf.getOrElse(v1, Nil).filterNot(_ == d1.to)
+          objOf.get(v2).foreach { o2 =>
+            o2.foreach(h => addDep(v1, h, "obj"))
+            objOf(v1) = objOf.getOrElse(v1, Nil) ++ o2
           }
         }
       }
@@ -1334,14 +1510,24 @@ object RuleNlp {
         pendingNeg = true
         if (t.text.toLowerCase == "neither") negChain = true
         k += 1
+      } else if (t.pos == "SCONJ" && t.lemma == "than") {
+        // comparative clause ("no more data than is necessary, ...") —
+        // skip to the comma; the appositive exemplars after it still
+        // belong to this verb
+        val nc = (k + 1 until regionEnd).find(j => toks(j).text == ",")
+        k = nc.map(_ + 1).getOrElse(regionEnd)
       } else if (t.pos == "SCONJ" && t.lemma != "whether") {
         // a subordinate clause boundary ("... log your IP address when you
         // connect") — nothing after it is this verb's material
         k = regionEnd
       } else if (t.pos == "ADP" || (t.pos == "SCONJ" && t.lemma == "whether")) {
         val p = k
-        if (negChain && (t.lemma == "except" || t.lemma == "excluding" ||
+        if (negChain && (t.lemma == "except" || t.lemma == "exclude" ||
           t.lemma == "save" || t.lemma == "barring")) carveNext = true
+        // in a POSITIVE clause, "excluding X" states X is NOT captured
+        // ("a record of each chat session, excluding message content, is
+        // kept")
+        else if (t.lemma == "exclude") pendingNeg = true
         // noun-prep collocations where the PP hangs off the noun, not the
         // verb ("access to X", "information about X")
         val collocation = lastNounHead >= 0 && (Set(
@@ -1434,6 +1620,12 @@ object RuleNlp {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = objOf.getOrElse(v, Nil) ++ heads
               carveNext = false
+            } else if (c.start - 2 >= start && toks(c.start - 2).text == "," &&
+              ConjCueAdvs.contains(toks(c.start - 1).lemma)) {
+              // ", typically/namely A and B" appositive exemplars extend
+              // the verb's object set
+              heads.foreach { h => addDep(v, h, "obj"); if (pendingNeg) neg += h }
+              objOf(v) = objOf.getOrElse(v, Nil) ++ heads
             } else if (negChain) {
               // later conjunct of a neither-chain stays negated
               heads.foreach { h => addDep(v, h, "obj"); neg += h }

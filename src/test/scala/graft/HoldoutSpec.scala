@@ -74,4 +74,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout5 precision regressed: $p")
     assert(r >= 0.99, s"holdout5 recall regressed: $r")
   }
+
+  test("holdout batch-6 P/R regression floors (closed at 1.0/1.0 in round 4)") {
+    val rows = Holdout.prRows(Holdout.predicted6.toSet, Holdout.truth6.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout6 precision regressed: $p")
+    assert(r >= 0.99, s"holdout6 recall regressed: $r")
+  }
 }
