@@ -30,5 +30,6 @@ object HoldoutReport {
     report("4", Holdout.predicted4.toSet, Holdout.truth4.toSet)
     report("5", Holdout.predicted5.toSet, Holdout.truth5.toSet)
     report("6", Holdout.predicted6.toSet, Holdout.truth6.toSet)
+    report("7", Holdout.predicted7.toSet, Holdout.truth7.toSet)
   }
 }
