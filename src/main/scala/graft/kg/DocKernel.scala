@@ -998,8 +998,9 @@ object DocKernel {
               dd.dep == "obj" && dd.to == c2.head && dd.from >= 0 &&
                 p2.tokens(dd.from).pos == "VERB" &&
                 !(dd.from + 1 until c2.start).exists(k => p2.tokens(k).text == ","))
-            val actors = p2.chunks.takeWhile(c => p2.tokens(c.head).ner == "ACTOR")
-            val rest = p2.chunks.drop(actors.length).filterNot(infObj)
+            val usable = p2.chunks.filterNot(infObj)
+            val actors = usable.takeWhile(c => p2.tokens(c.head).ner == "ACTOR")
+            val rest = usable.drop(actors.length)
             // the finite matrix verb: prefer a root WITH a subject ("To
             // verify age, we ask ..." has a subjectless infinitive root too)
             lazy val rootVerb = {

@@ -112,7 +112,7 @@ object Lexicon {
     "delete", "update", "give", "make", "notice", "purchase", "device",
     "operate", "administer", "handle", "merge", "infer", "derive",
     "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
-    "compile", "change", "observe", "archive", "profile", "trace",
+    "compile", "change", "observe", "archive", "profile", "trace", "cease",
     "arrive")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim

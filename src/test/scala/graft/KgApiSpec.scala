@@ -335,6 +335,40 @@ class KgApiSpec extends AnyFunSuite {
       .exists(t => t._1 == "we" && t._3 == "audio recording"))
   }
 
+  test("round-4 kernel mechanisms: batch-6 constructions (fresh variants)") {
+    // right-node raising
+    val rnr = tupleSet("<p>We collect, and our service providers receive, your postal code.</p>")
+    assert(rnr.contains(("we", "COLLECT", "postal address")))
+    assert(rnr.exists(t => t._1 == "service provider" && t._3 == "postal address"))
+    // get-passive share
+    assert(tupleSet("<p>Your voiceprint may get shared with insurers.</p>")
+      .exists(t => t._2 == "BE_SHARED" && t._3 == "voiceprint"))
+    // comparative bound is not negation; cue appositive extends objects
+    assert(tupleSet("<p>We keep no more information than necessary, " +
+      "typically your email address.</p>")
+      .contains(("we", "STORE", "email address")))
+    // light verb
+    assert(tupleSet("<p>We take a scan of your driver's license.</p>")
+      .exists(t => t._1 == "we" && t._3 == "driver's license number"))
+    // practice retraction
+    assert(!tupleSet("<p>We shared usage data with data brokers. " +
+      "That practice ceased in 2020.</p>")
+      .exists(t => !t._2.startsWith("NOT_") && t._2 != "SUBSUM"))
+    // in-clause excluding negates the excluded NP only
+    val excl = tupleSet("<p>A log of sign-ins, excluding your password, is retained.</p>")
+      .filterNot(_._2.startsWith("NOT_"))
+    assert(excl.exists(t => t._3 == "usage information"))
+    assert(!excl.exists(t => t._3 == "account credential"))
+    // copular restrictor
+    val lim = tupleSet("<p>The data our hosting provider receives is limited to your zip code.</p>")
+    assert(lim.exists(t => t._1 == "service provider" && t._3 == "postal address"))
+    // gapped purpose-infinitive clause inherits subject and verb
+    val gap2 = tupleSet("<p>To greet you, we request your first name; " +
+      "to verify you, your passport.</p>")
+    assert(gap2.exists(t => t._1 == "we" && t._3 == "person name"))
+    assert(gap2.exists(t => t._1 == "we" && t._3 == "passport number"))
+  }
+
   test("round-3 kernel mechanisms: negation scopes") {
     def positives(html: String) =
       tupleSet(html).filterNot(_._2.startsWith("NOT_"))
