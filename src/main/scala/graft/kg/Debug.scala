@@ -41,7 +41,7 @@ object Debug {
       // @/path/to/file reads the HTML from a file (sbt eats ';' in args)
       val raw = args.mkString(" ")
       val html =
-        if (raw.startsWith("@")) scala.io.Source.fromFile(raw.drop(1)).mkString
+        if (raw.startsWith("@")) scala.io.Source.fromFile(raw.drop(1), "UTF-8").mkString
         else raw
       show("arg", html)
       return

@@ -194,7 +194,8 @@ object DocKernel {
   /** Generic containers whose of-complement carries the real datatype
     * ("a copy of your passport", "records of the products you viewed"). */
   private val GenericContainers = Set("copy", "record", "backup", "category",
-    "type", "kind", "example", "variety", "log", "history", "list", "version")
+    "type", "kind", "example", "variety", "log", "history", "list", "version",
+    "note")
 
   /** Verbs whose ACTIVE voice states a deletion right, not a practice. */
   private val DeletionVerbs = Set("delete", "erase", "remove", "purge")
@@ -211,7 +212,8 @@ object DocKernel {
     * mentions by the activity-relcl annotator; index = Src(-2, idx). */
   private val ActivityTerms = Vector(
     "browsing history", "purchase history", "usage information",
-    "audio recording", "photo / video", "contact list")
+    "audio recording", "photo / video", "contact list",
+    "interest / preference", "call log")
 
   private def activityTermOf(p: Parse, v: Int): Option[Int] =
     p.tokens(v).lemma match {
@@ -227,6 +229,12 @@ object DocKernel {
       case "open" => Some(0)
       // "the friends you invite" = the social graph (contact list)
       case "invite" => Some(5)
+      // "the theme you prefer" / "the filters you applied" = preferences
+      case "prefer" | "apply" => Some(6)
+      // "the query you typed" = search activity
+      case "type" => Some(0)
+      // "what it hears" = captured audio
+      case "hear" => Some(3)
       case _ => None
     }
 
@@ -276,7 +284,9 @@ object DocKernel {
             val v = dep.to
             val subjTok = p.out(v).collectFirst {
               case e if e.dep == "subj" &&
-                (p.tokens(e.to).lemma == "you" || p.tokens(e.to).lemma == "user") => e.to
+                (p.tokens(e.to).lemma == "you" || p.tokens(e.to).lemma == "user" ||
+                  // "what it hears": device-subject capture verbs
+                  p.tokens(e.to).lemma == "it") => e.to
             }
             subjTok.foreach { s =>
               // conj verbs sharing the relcl subject ("viewed and purchased")
@@ -302,6 +312,17 @@ object DocKernel {
               }
               val terms =
                 if (exemplified) Nil else verbs.flatMap(activityTermOf(p, _)).distinct
+              // upload-class relcls: "each photo you back up" — the user
+              // hands the upper datum to the operator
+              val UploadVerbs = Set("upload", "back", "submit", "import")
+              if (!exemplified && p.tokens(upper).ner == "DATA" &&
+                verbs.exists(v2 => UploadVerbs.contains(p.tokens(v2).lemma))) {
+                d.srcs(upper).foreach { us =>
+                  st.linkSrc(st.implicitWeSrc(p), us, "COLLECT")
+                  st.recordMention(d, p, upper, us)
+                  st.sentText.getOrElseUpdate(us, p.text)
+                }
+              }
               if (terms.nonEmpty) {
                 // "a record of the products you viewed": the generic
                 // container above the of-PP subsumes the activity too, so
@@ -433,6 +454,34 @@ object DocKernel {
     }
   }
 
+  private val RetentionSignals = Set("survive", "retain", "keep", "store",
+    "remain", "stay", "persist", "archive")
+
+  /** "As for <DT>," topicalization with a retention-signal clause ("As for
+    * your browsing history, only aggregate statistics survive our nightly
+    * purge") — the topicalized datum is held by the operator. */
+  def annotateTopicalization(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        val s = p.start
+        if (p.end - s > 4 && p.tokens(s).lemma == "as" &&
+          p.tokens(s + 1).lemma == "for" && p.neg.isEmpty) {
+          p.chunks.find(c => c.start == s + 2 && c.ner == "DATA").foreach { fc =>
+            if (fc.end < p.end && p.tokens(fc.end).text == "," &&
+              (fc.end until p.end).exists(k =>
+                RetentionSignals.contains(p.tokens(k).lemma))) {
+              d.srcs(fc.head).foreach { src =>
+                st.linkSrc(st.implicitWeSrc(p), src, "STORE")
+                st.recordMention(d, p, fc.head, src)
+                st.sentText.getOrElseUpdate(src, p.text)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Question-answer fragments ("What do we collect? In short, your device
     * identifier and your approximate location."): the interrogative is
     * skipped per reference semantics, but a verbless NP fragment right
@@ -449,13 +498,34 @@ object DocKernel {
             (q.start until q.end).exists(k => q.tokens(k).lemma == "we")
         }
         val verbless = !(p.start until p.end).exists(k => p.tokens(k).pos == "VERB")
-        if (prevIsCollectQ && verbless) {
+        val negAnswer = (p.start until p.end).exists(k =>
+          Set("no", "never", "none", "nothing").contains(p.tokens(k).lemma))
+        if (prevIsCollectQ && verbless && !negAnswer) {
           p.chunks.filter(_.ner == "DATA").foreach { c =>
             d.srcs(c.head).foreach { dtSrc =>
               st.linkSrc(st.implicitWeSrc(p), dtSrc, Collect)
               st.recordMention(d, p, c.head, dtSrc)
               st.sentText.getOrElseUpdate(dtSrc, p.text)
             }
+          }
+        }
+        // rhetorical self-FAQ: "Why do we need your email address? To send
+        // receipts." — the QUESTION carries the datum; a purpose-fragment
+        // (or verbless) non-negative answer affirms the practice
+        if (prevIsCollectQ && !negAnswer &&
+          (verbless || p.tokens(p.start).lemma == "to")) {
+          prev.foreach { q =>
+            q.chunks.filter(c => c.ner == "DATA" &&
+              // not the wh-focus itself ("WHAT INFORMATION do we collect?")
+              !(c.start until c.end).exists(k =>
+                q.tokens(k).lemma == "what" || q.tokens(k).lemma == "which"))
+              .foreach { c =>
+                d.srcs(c.head).foreach { dtSrc =>
+                  st.linkSrc(st.implicitWeSrc(q), dtSrc, Collect)
+                  st.recordMention(d, q, c.head, dtSrc)
+                  st.sentText.getOrElseUpdate(dtSrc, q.text)
+                }
+              }
           }
         }
         prev = Some(p)
@@ -931,6 +1001,20 @@ object DocKernel {
         }
         p.chunks.foreach { c =>
           val h = p.tokens(c.head)
+          if ((h.lemma == "note" || h.lemma == "log") && h.pos == "NOUN" &&
+            c.end < p.end && p.tokens(c.end).lemma == "of") {
+            // "notes/log of the call" = the call record (call log)
+            p.chunks.find(_.start == c.end + 1).foreach { oc =>
+              if (MediaObjNouns.contains(p.tokens(oc.head).lemma)) {
+                val syn = st.activitySrc(p, 7)
+                for (up <- Seq(c.head, oc.head); s1 <- d.srcs(up)) {
+                  st.linkSrc(s1, syn, Subsum)
+                  st.recordMention(d, p, up, s1)
+                  st.sentText.getOrElseUpdate(s1, p.text)
+                }
+              }
+            }
+          }
           if ((h.lemma == "record" || h.lemma == "transcription") &&
             h.pos == "NOUN" && c.end < p.end && p.tokens(c.end).lemma == "of") {
             p.chunks.find(_.start == c.end + 1).foreach { oc =>
@@ -990,6 +1074,38 @@ object DocKernel {
           }
           val verbless = !(p2.start until p2.end).exists(finiteVerbAt)
           val afterSemi = p1.end > p1.start && p1.tokens(p1.end - 1).text == ";"
+          // "; so does your device model." — repeat p1's action with the
+          // new chunk in the slot p1's subject occupied
+          if (afterSemi && p2.end - p2.start >= 3 &&
+            p2.tokens(p2.start).lemma == "so" &&
+            p2.tokens(p2.start + 1).lemma == "do") {
+            val roots = p1.deps.filter(dd => dd.dep == "root" &&
+              p1.tokens(dd.to).pos == "VERB").map(_.to)
+            for {
+              rv <- roots.find(v2 => p1.out(v2).exists(_.dep == "subj"))
+              action <- Patterns.lemmaAction.get(p1.tokens(rv).lemma)
+              (_, _, rel) <- Patterns.actionMap((action, p1.neg.contains(rv)))
+                .collectFirst { case e @ (0, 1, _) => e }
+              c2 <- p2.chunks.headOption
+            } {
+              val t2 = p2.tokens(c2.head)
+              if (t2.ner == "DATA") {
+                // DT-subject action ("Diagnostics accompany ...") — the new
+                // datum is captured the same way
+                d.srcs(c2.head).foreach { s2 =>
+                  st.linkSrc(st.implicitWeSrc(p2), s2, rel)
+                  st.recordMention(d, p2, c2.head, s2)
+                  st.sentText.getOrElseUpdate(s2, p2.text)
+                }
+              } else if (t2.ner == "ACTOR") {
+                // actor-subject action ("We collect X; so do our partners")
+                for {
+                  o <- p1.out(rv).filter(_.dep == "obj").map(_.to)
+                  if p1.tokens(o).ner == "DATA"
+                } st.link(d, p2, c2.head, o, rel)
+              }
+            }
+          }
           if (verbless && afterSemi && p2.chunks.nonEmpty) {
             // only objects ADJACENT to the infinitive count; a chunk
             // after a comma is the stranded gap NP, even if the conj walk
@@ -1491,6 +1607,7 @@ object DocKernel {
     annotateNominalizations(st)
     annotateExceptives(st)
     annotateQaFragments(st)
+    annotateTopicalization(st)
     annotateGapping(st)
     annotateColonTaxonomy(st)
     annotateSubsumption(st)

@@ -201,7 +201,8 @@ object KgQueries {
         ("b3", Holdout.pages3, Holdout.truth3),
         ("b4", Holdout.pages4, Holdout.truth4),
         ("b5", Holdout.pages5, Holdout.truth5),
-        ("b6", Holdout.pages6, Holdout.truth6))
+        ("b6", Holdout.pages6, Holdout.truth6),
+        ("b7", Holdout.pages7, Holdout.truth7))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -846,7 +847,8 @@ object KgQueries {
       ("b3", Holdout.predicted3, Holdout.truth3),
       ("b4", Holdout.predicted4, Holdout.truth4),
       ("b5", Holdout.predicted5, Holdout.truth5),
-      ("b6", Holdout.predicted6, Holdout.truth6)).flatMap { case (b, got, want) =>
+      ("b6", Holdout.predicted6, Holdout.truth6),
+      ("b7", Holdout.predicted7, Holdout.truth7)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }

@@ -235,7 +235,20 @@ object Patterns {
       Seq(":subj@E1", "!about,:obj@DT"), Seq("COLLECT", "E1", "DT")),
     // E1 asks DT directly
     ("ask:root|ccomp",
-      Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT"))))
+      Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT")),
+    // DT accompanies/syncs (middle voice)
+    ("accompany|sync:root|ccomp",
+      Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
+    // records bear DT
+    ("bear:root|ccomp",
+      Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
+    // DT stays/remains (embedded/retained)
+    ("stay|remain:root|ccomp",
+      Seq("!:subj@DT"), Seq("STORE", "WE", "DT")),
+    // E1 takes notes/a copy
+    ("take:root|ccomp",
+      Seq(":subj@E1", "!note|copy|recording|scan|backup:obj@DT"),
+      Seq("STORE", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */
@@ -328,7 +341,10 @@ object Patterns {
   /** Verb lemma → action class, for mechanisms that need a verb's action
     * outside a full pattern match (e.g. gapped coordination). */
   lazy val lemmaAction: Map[String, String] =
-    (graft.nlp.Lexicon.tokenMap("VERB_REQUIRE_TODO").map(_ -> "COLLECT") ++
+    (Set("accompany", "sync", "leave", "know", "learn").map(_ -> "COLLECT") ++
+      Set("persist", "stay", "remain", "bear").map(_ -> "STORE") ++
+      Set("stream", "flow", "convey").map(_ -> "SHARE") ++
+      graft.nlp.Lexicon.tokenMap("VERB_REQUIRE_TODO").map(_ -> "COLLECT") ++
       graft.nlp.Lexicon.tokenMap("VERB_SHARE_WITH").map(_ -> "SHARE") ++
       graft.nlp.Lexicon.tokenMap("VERB_SELL_TO").map(_ -> "SELL") ++
       graft.nlp.Lexicon.tokenMap("VERB_USE").map(_ -> "USE") ++

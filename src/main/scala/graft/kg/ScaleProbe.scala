@@ -80,6 +80,7 @@ object ScaleProbe {
       "nominal" -> DocKernel.annotateNominalizations,
       "exceptive" -> DocKernel.annotateExceptives,
       "qaFrag" -> DocKernel.annotateQaFragments,
+      "topical" -> DocKernel.annotateTopicalization,
       "gapping" -> DocKernel.annotateGapping,
       "taxonomy" -> DocKernel.annotateColonTaxonomy,
       "subsum" -> DocKernel.annotateSubsumption,

@@ -33,7 +33,9 @@ object Lexicon {
     "rely", "fall", "resort", "depend", "decline", "mean", "determine",
     "persist", "contain", "leave", "stream", "append", "archive", "write",
     "note", "export", "convey", "feed", "know", "learn", "photograph",
-    "invite", "open", "take", "acknowledge", "admit", "deny", "gather")
+    "invite", "open", "take", "acknowledge", "admit", "deny", "gather",
+    "inspect", "survive", "accompany", "bear", "hear", "prefer", "file",
+    "round", "cease", "stay", "type", "remain", "embed", "bill")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who")
@@ -50,8 +52,8 @@ object Lexicon {
     "about", "by", "in", "on", "at", "as", "regarding", "through", "via",
     "into", "without", "within", "during", "under", "between", "like",
     "including", "across", "after", "before", "against", "upon", "outside",
-    "besides", "except", "excluding")
-  val coordConj: Set[String] = Set("and", "or", "but", "nor")
+    "besides", "except", "excluding", "alongside")
+  val coordConj: Set[String] = Set("and", "or", "but", "nor", "plus")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
     "that", "which", "whether", "unless", "whenever", "wherever", "whereby",
     "wherein", "once", "although", "though", "since", "than")
@@ -113,7 +115,7 @@ object Lexicon {
     "operate", "administer", "handle", "merge", "infer", "derive",
     "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
     "compile", "change", "observe", "archive", "profile", "trace", "cease",
-    "arrive")
+    "arrive", "type", "stay")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -90,7 +90,12 @@ object RuleNlp {
     var i = 0
     while (i < n) {
       val c = text.charAt(i)
-      if (c == '\n') {
+      if (c == '\u2014' || c == '\u2013') {
+        // em/en dashes punctuate like commas for parsing (the appositive
+        // machinery keys on ','); sentence evidence renders the comma —
+        // an accepted normalization, like the ASCII fold upstream
+        toks += ","; ws += i + 1; i += 1
+      } else if (c == '\n') {
         toks += "\n"; ws += i + 1; i += 1
       } else if (c == ' ' || c == '\t' || c == '\r' || Character.isWhitespace(c)) {
         i += 1
@@ -234,6 +239,11 @@ object RuleNlp {
             (at(i + 1) == "NOUN" || at(i + 1) == "ADJ" || at(i + 1) == "PROPN" ||
               at(i + 1) == "VERBC"))
             t.pos = "ADJ"
+          // a verb candidate directly before "of" heads a noun phrase
+          // ("notes of the call are taken") — exempting 'consist'
+          if (t.pos == "VERB" && t.lemma != "consist" && i + 1 < n &&
+            at(i + 1) == "ADP" && toks(i + 1).lemma == "of")
+            t.pos = "NOUN"
           // "have/get/gain/request access to X": access is the object noun;
           // an auxiliary-tagged access-verb before it is the real main verb
           if (i > 0 && t.lemma == "access" &&
@@ -302,6 +312,11 @@ object RuleNlp {
           // participial adjectives after an auxiliary with a PP complement
           // are the passive verb ("sign-in events are written to an audit
           // trail"), not the attributive reading ("written consent")
+          t.pos = "VERB"
+        case "ADV" if t.lemma == "back" && at(i - 1) == "PRON" &&
+          i + 1 < n && toks(i + 1).lemma == "up" =>
+          // phrasal verb "back up" after a pronoun subject ("the photos
+          // you back up")
           t.pos = "VERB"
         case "ADP" if t.lemma == "as" && i + 2 < n &&
           toks(i + 1).lemma == "well" && toks(i + 2).lemma == "as" =>
@@ -671,29 +686,40 @@ object RuleNlp {
             // profile, you must provide ..." and "..., our payment
             // processor, Stripe, receives ..." must not absorb the next
             // clause's subject into the object group
-            def predicateKind(c0: Chunk): Int = { // 0 none, 1 verb, 2 aux
+            // kind: 0 none, 1 verb, 2 aux; sawChunk: a subject chunk
+            // intervened before the predicate (relcl shape)
+            def predicateKind(c0: Chunk): (Int, Boolean) = {
               var q = c0.end
               var guard = 0
+              var sawChunk = false
               while (q < end && guard < 8) {
                 if (toks(q).text == ",") q += 1
                 else chunks.find(_.start == q) match {
-                  case Some(cc) => q = cc.end
-                  case None => return toks(q).pos match {
+                  case Some(cc) => sawChunk = true; q = cc.end
+                  case None => return (toks(q).pos match {
                     case "AUX" => 2
-                    case "VERB" | "VERBC" => 1
+                    case "VERB" | "VERBC" =>
+                      // a participle directly after the NP is a reduced
+                      // relative ("postal address printed on the package"),
+                      // not a clause
+                      val tx = toks(q).text.toLowerCase
+                      if (!sawChunk && (tx.endsWith("ed") || tx.endsWith("ing"))) 0
+                      else 1
                     case _ => 0
-                  }
+                  }, sawChunk)
                 }
                 guard += 1
               }
-              0
+              (0, sawChunk)
             }
-            val kind = predicateKind(nc)
+            val (kind, viaChunk) = predicateKind(nc)
             // bare comma + any predicate = clause boundary; with a CCONJ,
-            // only an AUX-led chain is one ("..., and those images are
-            // retained") — a VERB-led chain is a relcl inside the list
-            // ("your name and the pages you visit")
-            if ((!sawCconj && kind >= 1) || (sawCconj && kind == 2)) go = false
+            // an AUX-led chain ("..., and those images are retained") or a
+            // DIRECT finite verb ("..., and its location tag stays...") is
+            // one — but a verb reached through a subject chunk is a relcl
+            // inside the list ("your name and the pages you visit")
+            if ((!sawCconj && kind >= 1) || (sawCconj && kind == 2) ||
+              (sawCconj && kind == 1 && !viaChunk)) go = false
             else { heads += nc.head; cur = nc }
           case _ => go = false
         }
@@ -901,6 +927,19 @@ object RuleNlp {
           case Dep(upper, rv, "relcl")
             if vgIdx > 0 && vgs(vgIdx - 1).verb == rv && rv + 1 == vg.auxStart => upper
         }
+        // coordinated relativized NPs share the role: "Both the query you
+        // typed and the filters you applied are remembered" — earlier
+        // uppers whose relcl verb is followed only by conj glue join in
+        val relclGroup: List[Int] = relclHead match {
+          case Some(h0) => (deps.collect {
+            case Dep(u, rv2, "relcl") if rv2 < vg.auxStart && u != h0 &&
+              chunks.find(_.start > rv2).exists(nc => nc.start < vg.auxStart &&
+                (rv2 + 1 until nc.start).forall(k2 =>
+                  toks(k2).pos == "CCONJ" ||
+                    (toks(k2).pos == "PUNCT" && toks(k2).text == ","))) => u
+          }.toList :+ h0).distinct
+          case None => Nil
+        }
         // temporal/privative gerund: "before collecting X", "without
         // sharing Y" — the gerund's subject is the matrix subject, and a
         // "without"-gerund is a negative statement
@@ -917,11 +956,11 @@ object RuleNlp {
           // voice-aware: "[A list of the friends you invite] is kept" —
           // the relcl head is the PASSIVE matrix verb's promoted object
           if (vg.passive) {
-            addDep(v, relclHead.get, "obj")
-            objOf(v) = List(relclHead.get)
+            relclGroup.foreach(h => addDep(v, h, "obj"))
+            objOf(v) = relclGroup
           } else {
-            addDep(v, relclHead.get, "subj")
-            subjOf(v) = List(relclHead.get)
+            relclGroup.foreach(h => addDep(v, h, "subj"))
+            subjOf(v) = relclGroup
           }
         } else
         // subject: nearest chunk ending at aux window start; when that chunk
@@ -1096,8 +1135,20 @@ object RuleNlp {
               // subject conj group, outside the verb's aux window
               val subjStart = chunks.filter(ch => heads.contains(ch.head))
                 .map(_.start).minOption.getOrElse(c.start)
-              if (subjStart - 1 >= start && toks(subjStart - 1).pos == "PART" &&
-                toks(subjStart - 1).lemma == "neither") neg += v
+              // "Neither we nor anyone acting for us retains ...": scan the
+              // whole pre-subject coordination for the fronted 'neither'
+              var nk = subjStart - 1
+              var neitherFound = false
+              while (nk >= start && !neitherFound &&
+                // participles inside the subject NP ("anyone acting for
+                // us") are transparent; only a finite verb stops the scan
+                (toks(nk).pos != "VERB" ||
+                  toks(nk).text.toLowerCase.endsWith("ing")) &&
+                toks(nk).text != ";") {
+                if (toks(nk).lemma == "neither") neitherFound = true
+                nk -= 1
+              }
+              if (neitherFound) neg += v
             }
           case _ =>
         }
@@ -1260,6 +1311,28 @@ object RuleNlp {
       }
     }
 
+    // --- right-node raising over a PP verb: "We ask for, and verify, the
+    // identity document" — the dangling preposition takes the second
+    // conjunct's object, and the conjunct inherits the first verb's subject
+    (start until end - 2).foreach { v1 =>
+      if (toks(v1).pos == "VERB" && toks(v1 + 1).pos == "ADP" &&
+        toks(v1 + 2).text == "," && !deps.exists(d => d.from == v1 + 1)) {
+        vgs.find(_.verb > v1 + 2).foreach { vg2 =>
+          objOf.get(vg2.verb).foreach { o2 =>
+            if (o2.nonEmpty) {
+              addDep(v1, v1 + 1, "prep")
+              o2.foreach(h => addDep(v1 + 1, h, "obj"))
+              if (subjOf.get(vg2.verb).forall(_.isEmpty))
+                subjOf.get(v1).foreach { s1 =>
+                  s1.foreach(h => addDep(vg2.verb, h, "subj"))
+                  subjOf(vg2.verb) = s1
+                }
+            }
+          }
+        }
+      }
+    }
+
     // --- pseudo-cleft: "What our servers record(, besides X,) is Y" — the
     // wh-free-relative's verb takes the post-copula predicate NP as its
     // object (the mirror image of the it-cleft above)
@@ -1270,7 +1343,13 @@ object RuleNlp {
           !objOf.get(vg.verb).exists(_.nonEmpty)).foreach { vg =>
           val cop = (vg.verb + 1 until end).find(k =>
             toks(k).pos == "AUX" && toks(k).lemma == "be")
-          for (cp <- cop; fc <- chunks.find(_.start > cp)) {
+          // a participle after the copula is a passive predicate ("What
+          // little location data we see IS ROUNDED ..."), not a cleft focus
+          val clefted = cop.exists { cp =>
+            (cp + 1 until end).find(k => toks(k).pos != "ADV")
+              .exists(a => toks(a).pos != "VERB")
+          }
+          if (clefted) for (cp <- cop; fc <- chunks.find(_.start > cp)) {
             addDep(vg.verb, fc.head, "obj")
             objOf(vg.verb) = List(fc.head)
           }
@@ -1375,6 +1454,18 @@ object RuleNlp {
       }
     }
 
+    // --- cessation scope: "had ceased storing X" / "stopped collecting Y"
+    // negates the ceased practice
+    locally {
+      val CeaseLemmas = Set("cease", "stop", "discontinue", "quit")
+      (start until end - 1).foreach { k =>
+        if (CeaseLemmas.contains(toks(k).lemma) && toks(k).pos == "VERB" &&
+          toks(k + 1).pos == "VERB" &&
+          toks(k + 1).text.toLowerCase.endsWith("ing"))
+          neg += k + 1
+      }
+    }
+
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
@@ -1437,7 +1528,7 @@ object RuleNlp {
           // "namely", "specifically", "like", "such as") — for extraction
           // purposes the appositive names the same collected thing, so both
           // heads join the group
-          val linkWord = Set("together", "along", "with", "i.e.", "e.g.", "namely",
+          val linkWord = Set("together", "along", "with", "alongside", "i.e.", "e.g.", "namely",
             "specifically", "particularly", "especially", "like", "such", "as")
           val usedLink = between.exists(k => linkWord.contains(toks(k).lemma))
           val conjOnly = between.nonEmpty && between.forall(k =>
@@ -1500,11 +1591,33 @@ object RuleNlp {
         // colon list: post-colon chunks are appositives (colonAppos), not
         // objects/datives of the verb
         k = regionEnd
-      } else if (t.text == "," && chunks.find(_.start == k + 1).exists(nc =>
-        nc.end < end && (toks(nc.end).pos == "AUX" || toks(nc.end).pos == "VERB" ||
-          toks(nc.end).pos == "VERBC"))) {
-        // ", <chunk> <verb>" is the next clause's subject+predicate, not
-        // material of this verb ("Where required by law, we retain ...")
+      } else if (t.text == "," && {
+        // ", <chunk> (and <chunk>)* <finite verb>" is the next clause's
+        // subject chain + predicate, not material of this verb ("Where
+        // required by law, we retain ..."; "..., crash dumps and memory
+        // snapshots leave your device"); participles stay reduced relatives
+        var q = k + 1
+        var guard = 0
+        var clause = false
+        var done = chunks.find(_.start == q).isEmpty
+        while (!done && guard < 8 && q < end) {
+          chunks.find(_.start == q) match {
+            case Some(cc) => q = cc.end
+            case None =>
+              val tq = toks(q)
+              if (tq.pos == "CCONJ" || tq.text == ",") q += 1
+              else {
+                val tx = tq.text.toLowerCase
+                clause = tq.pos == "AUX" ||
+                  ((tq.pos == "VERB" || tq.pos == "VERBC") &&
+                    !tx.endsWith("ed") && !tx.endsWith("ing"))
+                done = true
+              }
+          }
+          guard += 1
+        }
+        clause
+      }) {
         k = regionEnd
       } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
         pendingNeg = true
@@ -1620,10 +1733,11 @@ object RuleNlp {
               heads.foreach(h => addDep(v, h, "obj"))
               objOf(v) = objOf.getOrElse(v, Nil) ++ heads
               carveNext = false
-            } else if (c.start - 2 >= start && toks(c.start - 2).text == "," &&
+            } else if (c.start - 2 >= start &&
+              (toks(c.start - 2).text == "," || toks(c.start - 2).text == "-") &&
               ConjCueAdvs.contains(toks(c.start - 1).lemma)) {
-              // ", typically/namely A and B" appositive exemplars extend
-              // the verb's object set
+              // ", typically/namely A and B" / "- specifically A -"
+              // appositive exemplars extend the verb's object set
               heads.foreach { h => addDep(v, h, "obj"); if (pendingNeg) neg += h }
               objOf(v) = objOf.getOrElse(v, Nil) ++ heads
             } else if (negChain) {

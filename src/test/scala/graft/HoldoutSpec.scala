@@ -82,4 +82,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout6 precision regressed: $p")
     assert(r >= 0.99, s"holdout6 recall regressed: $r")
   }
+
+  test("holdout batch-7 P/R regression floors (closed at 1.0/1.0 in round 4)") {
+    val rows = Holdout.prRows(Holdout.predicted7.toSet, Holdout.truth7.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout7 precision regressed: $p")
+    assert(r >= 0.99, s"holdout7 recall regressed: $r")
+  }
 }
