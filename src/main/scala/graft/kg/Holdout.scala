@@ -90,6 +90,11 @@ object Holdout {
   lazy val pages7: Vector[WebPage] = loadPages("holdout7_docs.tsv")
   lazy val truth7: Vector[(String, String, String)] = loadTruth("holdout7_truth.tsv")
 
+  /** Batch 8 (round-4 close): the standing open batch after batch 7
+    * closed; its FIRST run is the live zero-shot number. */
+  lazy val pages8: Vector[WebPage] = loadPages("holdout8_docs.tsv")
+  lazy val truth8: Vector[(String, String, String)] = loadTruth("holdout8_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -118,6 +123,7 @@ object Holdout {
   lazy val predicted5: Vector[(String, String, String)] = predict(pages5)
   lazy val predicted6: Vector[(String, String, String)] = predict(pages6)
   lazy val predicted7: Vector[(String, String, String)] = predict(pages7)
+  lazy val predicted8: Vector[(String, String, String)] = predict(pages8)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -31,5 +31,6 @@ object HoldoutReport {
     report("5", Holdout.predicted5.toSet, Holdout.truth5.toSet)
     report("6", Holdout.predicted6.toSet, Holdout.truth6.toSet)
     report("7", Holdout.predicted7.toSet, Holdout.truth7.toSet)
+    report("8", Holdout.predicted8.toSet, Holdout.truth8.toSet)
   }
 }
