@@ -28,8 +28,10 @@ object DocKernel {
     "variety", "category", "example")
   private val DataAnaphors = Set("it", "this", "that")
   private val ActorAnaphors = Set("they", "these", "those")
-  private val DemonstrativeDets = Set("this", "that", "such", "these", "those")
-  private val GenericDataHeads = Set("data", "datum", "information", "detail")
+  private val DemonstrativeDets = Set("this", "that", "such", "these",
+    "those", "its", "their")
+  private val GenericDataHeads = Set("data", "datum", "information",
+    "detail", "number")
   private val PurposeNouns = Set("purpose", "reason", "use")
   private val ChildWords = Set("child", "minor", "kid", "teenager")
 
@@ -278,6 +280,23 @@ object DocKernel {
             }
           }
         }
+        // embedded interrogatives: "which pages load slowly" — the wh-NP
+        // names browsing activity when its predicate is a page-activity verb
+        p.chunks.foreach { c =>
+          if (c.start > p.start &&
+            (p.tokens(c.start - 1).lemma == "which" ||
+              p.tokens(c.start - 1).lemma == "what") &&
+            c.end < p.end && p.tokens(c.head).lemma == "page" &&
+            Set("load", "visit", "view", "render", "open")
+              .contains(p.tokens(c.end).lemma)) {
+            val syn = st.activitySrc(p, 0)
+            d.srcs(c.head).foreach { s1 =>
+              st.linkSrc(s1, syn, Subsum)
+              st.recordMention(d, p, c.head, s1)
+              st.sentText.getOrElseUpdate(s1, p.text)
+            }
+          }
+        }
         p.deps.foreach { dep =>
           if (dep.dep == "relcl") {
             val upper = dep.from
@@ -474,6 +493,33 @@ object DocKernel {
                 st.linkSrc(st.implicitWeSrc(p), src, "STORE")
                 st.recordMention(d, p, fc.head, src)
                 st.sentText.getOrElseUpdate(src, p.text)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Adjectival access predicates: "X is visible/accessible/available to
+    * Y" — Y gets to see X. */
+  def annotateAccessPredicates(st: DocState): Unit = {
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        (p.start until p.end - 2).foreach { k =>
+          val t = p.tokens(k)
+          if ((t.lemma == "visible" || t.lemma == "accessible" ||
+            t.lemma == "available") && k > p.start &&
+            (p.tokens(k - 1).pos == "AUX" || p.tokens(k - 1).lemma == "become") &&
+            p.tokens(k + 1).lemma == "to" &&
+            !p.neg.contains(k)) {
+            p.chunks.find(c => c.start == k + 2 &&
+              p.tokens(c.head).ner == "ACTOR").foreach { ac =>
+              // subject: the clause's first DATA chunk (topicalized
+              // subjects with parentheticals resist the local walk)
+              p.chunks.find(c2 => c2.end < k &&
+                p.tokens(c2.head).ner == "DATA").foreach { sc =>
+                st.link(d, p, ac.head, sc.head, "USE")
               }
             }
           }
@@ -1243,7 +1289,12 @@ object DocKernel {
                 // destination implies first-party possession (h213
                 // disclosure convention); an our-possessed destination is
                 // our own processor — recipient side only (h207)
-                (Set("stream", "flow", "transfer", "convey").contains(p.tokens(m.verb).lemma) &&
+                // expletive-controlled infinitive ("It falls to our
+                // auditors to inspect X"): the only captured subject is the
+                // dummy 'it'
+                (m.verb > p.start && p.tokens(m.verb - 1).lemma == "to" &&
+                  ents.nonEmpty && ents.forall(t2 => d.toks(t2).lemma == "it")) ||
+                (Set("stream", "flow", "transfer", "convey", "go").contains(p.tokens(m.verb).lemma) &&
                   m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
                     p.chunkOf(h).exists(c =>
                       (c.start until h).exists(k => p.tokens(k).lemma == "our")))))) &&
@@ -1608,6 +1659,7 @@ object DocKernel {
     annotateExceptives(st)
     annotateQaFragments(st)
     annotateTopicalization(st)
+    annotateAccessPredicates(st)
     annotateGapping(st)
     annotateColonTaxonomy(st)
     annotateSubsumption(st)

@@ -114,7 +114,7 @@ object Patterns {
     // E1 link/combine/associate X to/with DT (both X and DT are processed)
     ("link|combine|associate|merge:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "to|with,:obj@X"), Seq("USE", "E1", "DT")),
-    ("link|combine|associate|merge:root|ccomp",
+    ("link|combine|associate|merge|watermark|stamp:root|ccomp",
       Seq(":subj@E1", "!to|with,:obj@DT"), Seq("USE", "E1", "DT")),
     // you consent/agree to the collection/processing of DT (implicit WE)
     ("consent|agree:root|ccomp",
@@ -221,7 +221,7 @@ object Patterns {
     ("leave:root|ccomp",
       Seq("!:subj@DT", "!device:obj@E2"), Seq("COLLECT", "WE", "DT")),
     // DT streams/flows to E2
-    ("stream|flow|transfer|convey:root|ccomp",
+    ("stream|flow|transfer|convey|go:root|ccomp",
       Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2")),
     // light verb: E1 make/take a copy/recording/scan of DT
     ("make|take:root|ccomp|xcomp",
@@ -244,7 +244,7 @@ object Patterns {
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains (embedded/retained)
     ("stay|remain:root|ccomp",
-      Seq("!:subj@DT"), Seq("STORE", "WE", "DT")),
+      Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
       Seq(":subj@E1", "!note|copy|recording|scan|backup:obj@DT"),
@@ -343,7 +343,7 @@ object Patterns {
   lazy val lemmaAction: Map[String, String] =
     (Set("accompany", "sync", "leave", "know", "learn").map(_ -> "COLLECT") ++
       Set("persist", "stay", "remain", "bear").map(_ -> "STORE") ++
-      Set("stream", "flow", "convey").map(_ -> "SHARE") ++
+      Set("stream", "flow", "convey", "go").map(_ -> "SHARE") ++
       graft.nlp.Lexicon.tokenMap("VERB_REQUIRE_TODO").map(_ -> "COLLECT") ++
       graft.nlp.Lexicon.tokenMap("VERB_SHARE_WITH").map(_ -> "SHARE") ++
       graft.nlp.Lexicon.tokenMap("VERB_SELL_TO").map(_ -> "SELL") ++

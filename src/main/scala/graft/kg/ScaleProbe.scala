@@ -81,6 +81,7 @@ object ScaleProbe {
       "exceptive" -> DocKernel.annotateExceptives,
       "qaFrag" -> DocKernel.annotateQaFragments,
       "topical" -> DocKernel.annotateTopicalization,
+      "access" -> DocKernel.annotateAccessPredicates,
       "gapping" -> DocKernel.annotateGapping,
       "taxonomy" -> DocKernel.annotateColonTaxonomy,
       "subsum" -> DocKernel.annotateSubsumption,

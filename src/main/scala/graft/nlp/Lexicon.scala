@@ -35,13 +35,16 @@ object Lexicon {
     "note", "export", "convey", "feed", "know", "learn", "photograph",
     "invite", "open", "take", "acknowledge", "admit", "deny", "gather",
     "inspect", "survive", "accompany", "bear", "hear", "prefer", "file",
-    "round", "cease", "stay", "type", "remain", "embed", "bill")
+    "round", "cease", "stay", "type", "remain", "embed", "bill", "go",
+    "freeze", "watermark", "load", "download", "become", "suspect", "attempt")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
-    "them", "it", "he", "she", "this", "that", "these", "those", "who")
+    "them", "it", "he", "she", "this", "that", "these", "those", "who",
+    "there")
   val determiners: Set[String] = Set("the", "a", "an", "your", "our",
     "their", "its", "my", "his", "her", "any", "some", "all", "each",
-    "certain", "various", "such", "no", "other", "additional", "more")
+    "certain", "various", "such", "no", "other", "additional", "more",
+    "every")
   val auxiliaries: Set[String] = Set("may", "might", "can", "could", "will",
     "would", "shall", "should", "must", "do", "does", "did", "is", "are",
     "was", "were", "be", "been", "being", "am", "has", "have", "had",
@@ -66,8 +69,10 @@ object Lexicon {
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
     "necessary", "such", "sensitive", "non-personal", "new", "relevant",
-    "applicable", "general", "specific", "own", "online",
-    "parental", "explicit", "prior", "written", "valid")
+    "applicable", "general", "specific", "own", "online", "reachable",
+    "located", "based",
+    "parental", "explicit", "prior", "written", "valid", "visible",
+    "accessible", "available")
   val stopWords: Set[String] = Set("the", "a", "an", "of", "to", "and",
     "or", "for", "in", "on", "at", "by", "with", "from", "about", "as",
     "is", "are", "be", "we", "you", "our", "your", "their", "this", "that",
@@ -85,6 +90,7 @@ object Lexicon {
     "children" -> "child", "kept" -> "keep", "held" -> "hold",
     "sold" -> "sell", "given" -> "give", "gave" -> "give",
     "got" -> "get", "gotten" -> "get", "made" -> "make", "sent" -> "send",
+    "frozen" -> "freeze", "froze" -> "freeze",
     "used" -> "use", "seen" -> "see", "saw" -> "see", "taken" -> "take",
     "took" -> "take", "known" -> "know", "knew" -> "know",
     "written" -> "write", "wrote" -> "write",
@@ -115,7 +121,7 @@ object Lexicon {
     "operate", "administer", "handle", "merge", "infer", "derive",
     "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
     "compile", "change", "observe", "archive", "profile", "trace", "cease",
-    "arrive", "type", "stay")
+    "arrive", "type", "stay", "purge", "freeze")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

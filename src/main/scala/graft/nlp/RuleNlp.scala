@@ -231,6 +231,12 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
+          // a clause-initial attributive gerund before a noun heads an NP
+          // ("Typing indicators", "Tracking technologies")
+          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ing") &&
+            (i == 0 || at(i - 1) == "PUNCT") &&
+            (at(i + 1) == "NOUN" || at(i + 1) == "PROPN"))
+            t.pos = "NOUN"
           // pre-nominal past participle right after a verb is an adjective
           // inside the object NP ("share aggregated demographic
           // information"), not a second predicate
@@ -278,7 +284,8 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
-        case "NOUN" if t.text.toLowerCase.endsWith("ed") && t.text.length > 4 &&
+        case "NOUN" if (t.text.toLowerCase.endsWith("ed") ||
+          t.text.toLowerCase.endsWith("en")) && t.text.length > 4 &&
           (at(i - 1) == "AUX" || (at(i - 1) == "ADV" && at(i - 2) == "AUX")) =>
           // "-ed" directly after an auxiliary is a past participle even when
           // the verb is outside the lexicons ("is created and stored"):
@@ -1071,6 +1078,14 @@ object RuleNlp {
                 }
               }) {
                 // handled inside the guard (c reassigned)
+              } else if (c.start - 3 >= start && toks(c.start - 1).pos == "ADP" &&
+                toks(c.start - 2).pos == "ADJ" && toks(c.start - 3).text == ",") {
+                // ", reachable at <NP>," appositive parenthetical — hop to
+                // the NP before the opening comma
+                chunkBefore(c.start - 3) match {
+                  case Some(pc) if pc.head != c.head => c = pc
+                  case _ => walkUp = false
+                }
               } else if (gap > start && (gl == "exclude" || gl == "except")) {
                 // pre-verb exceptive: "..., excluding message content, is
                 // kept" — the excluded NP is NOT captured; the chain
@@ -1307,6 +1322,35 @@ object RuleNlp {
             o2.foreach(h => addDep(v1, h, "obj"))
             objOf(v1) = objOf.getOrElse(v1, Nil) ++ o2
           }
+        }
+      }
+    }
+
+    // --- pied-piping relative: "[the vendors] to whom we disclose [DT]" —
+    // the relcl upper is the preposition's object, completing the
+    // share-with/to pattern shape
+    (start + 1 until end - 2).foreach { k =>
+      if (toks(k).lemma == "to" && (toks(k + 1).lemma == "whom" ||
+        toks(k + 1).lemma == "which")) {
+        for {
+          up <- chunkBefore(k)
+          vg2 <- vgs.find(_.verb > k + 1)
+        } {
+          addDep(vg2.verb, k, "prep")
+          addDep(k, up.head, "obj")
+        }
+      }
+    }
+
+    // --- embedded interrogative complement: "note which pages load
+    // slowly" — the wh-NP is the matrix verb's object
+    vgs.foreach { vg =>
+      val v = vg.verb
+      if (v + 2 < end && (toks(v + 1).lemma == "which" || toks(v + 1).lemma == "what") &&
+        !objOf.get(v).exists(_.nonEmpty)) {
+        chunks.find(_.start == v + 2).foreach { c =>
+          addDep(v, c.head, "obj")
+          objOf(v) = List(c.head)
         }
       }
     }
@@ -1670,7 +1714,7 @@ object RuleNlp {
             case Some(c) =>
               // a carve-out exceptive PP is comma-bounded: its object never
               // extends across the closing comma into the carved conjunct
-              val heads = if (carveNext) List(c.head) else conjChunkHeads(c)
+              var heads = if (carveNext) List(c.head) else conjChunkHeads(c)
               if (t.lemma == "by" && vg.passive) {
                 // agent → subjects (reference handle_agent)
                 heads.foreach { h => addDep(v, h, "subj"); if (pendingNeg) neg += h }
@@ -1690,6 +1734,17 @@ object RuleNlp {
               } else {
                 addDep(v, p, "prep")
                 if (pendingNeg) neg += p
+                // a comma-opened parenthetical PP ("remains, on our
+                // servers, a copy of...") closes at the next comma — its
+                // object group must not absorb the material after it
+                val parenPP = p - 1 >= start && toks(p - 1).text == ","
+                val closing = (p + 1 until regionEnd).find(k2 => toks(k2).text == ",")
+                if (parenPP && closing.isDefined) {
+                  val hs = heads.filter(h =>
+                    chunks.find(ch => ch.start <= h && h < ch.end)
+                      .exists(_.end <= closing.get))
+                  if (hs.nonEmpty) heads = hs
+                }
                 heads.foreach { h => addDep(p, h, "obj"); if (pendingNeg) neg += h }
                 chainRoot = heads.last
               }

@@ -90,4 +90,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout7 precision regressed: $p")
     assert(r >= 0.99, s"holdout7 recall regressed: $r")
   }
+
+  test("holdout batch-8 P/R regression floors (closed at 1.0/1.0 in round 4)") {
+    val rows = Holdout.prRows(Holdout.predicted8.toSet, Holdout.truth8.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout8 precision regressed: $p")
+    assert(r >= 0.99, s"holdout8 recall regressed: $r")
+  }
 }
