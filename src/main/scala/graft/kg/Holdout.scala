@@ -95,6 +95,11 @@ object Holdout {
   lazy val pages8: Vector[WebPage] = loadPages("holdout8_docs.tsv")
   lazy val truth8: Vector[(String, String, String)] = loadTruth("holdout8_truth.tsv")
 
+  /** Batch 9 (round-4 close): the standing open batch after batch 8
+    * closed; its FIRST run is the live zero-shot number. */
+  lazy val pages9: Vector[WebPage] = loadPages("holdout9_docs.tsv")
+  lazy val truth9: Vector[(String, String, String)] = loadTruth("holdout9_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -124,6 +129,7 @@ object Holdout {
   lazy val predicted6: Vector[(String, String, String)] = predict(pages6)
   lazy val predicted7: Vector[(String, String, String)] = predict(pages7)
   lazy val predicted8: Vector[(String, String, String)] = predict(pages8)
+  lazy val predicted9: Vector[(String, String, String)] = predict(pages9)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

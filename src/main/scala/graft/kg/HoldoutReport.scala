@@ -32,5 +32,6 @@ object HoldoutReport {
     report("6", Holdout.predicted6.toSet, Holdout.truth6.toSet)
     report("7", Holdout.predicted7.toSet, Holdout.truth7.toSet)
     report("8", Holdout.predicted8.toSet, Holdout.truth8.toSet)
+    report("9", Holdout.predicted9.toSet, Holdout.truth9.toSet)
   }
 }
