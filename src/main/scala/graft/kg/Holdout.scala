@@ -100,6 +100,12 @@ object Holdout {
   lazy val pages9: Vector[WebPage] = loadPages("holdout9_docs.tsv")
   lazy val truth9: Vector[(String, String, String)] = loadTruth("holdout9_truth.tsv")
 
+  /** Batch 10 (round-5 opening): written and labeled BEFORE any round-5
+    * kernel commit; doubles as the zero-shot held-out test set for the
+    * learned semantic scorer (round-4 VERDICT next #1). */
+  lazy val pages10: Vector[WebPage] = loadPages("holdout10_docs.tsv")
+  lazy val truth10: Vector[(String, String, String)] = loadTruth("holdout10_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -130,6 +136,7 @@ object Holdout {
   lazy val predicted7: Vector[(String, String, String)] = predict(pages7)
   lazy val predicted8: Vector[(String, String, String)] = predict(pages8)
   lazy val predicted9: Vector[(String, String, String)] = predict(pages9)
+  lazy val predicted10: Vector[(String, String, String)] = predict(pages10)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

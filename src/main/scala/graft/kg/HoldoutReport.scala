@@ -33,5 +33,6 @@ object HoldoutReport {
     report("7", Holdout.predicted7.toSet, Holdout.truth7.toSet)
     report("8", Holdout.predicted8.toSet, Holdout.truth8.toSet)
     report("9", Holdout.predicted9.toSet, Holdout.truth9.toSet)
+    report("10", Holdout.predicted10.toSet, Holdout.truth10.toSet)
   }
 }
