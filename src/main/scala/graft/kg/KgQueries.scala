@@ -192,9 +192,9 @@ object KgQueries {
     // (reported in COVERAGE.md with a next-round target).
     "kg_eval_holdout" -> ((s, _) => {
       import s.implicits._
-      // ALL five batches run distributed (round-3 VERDICT wrong #2 noted
-      // only batch 1 did; batches 2-5 were spec-floor-only): one row per
-      // (batch, party)
+      // All CLOSED batches run distributed, one row per (batch, party).
+      // The standing open batch (zero-shot protocol) is excluded until it
+      // closes — it joins this list with its closing commit.
       val batches = Seq(
         ("b1", Holdout.pages, Holdout.truth),
         ("b2", Holdout.pages2, Holdout.truth2),

@@ -36,7 +36,10 @@ object Lexicon {
     "invite", "open", "take", "acknowledge", "admit", "deny", "gather",
     "inspect", "survive", "accompany", "bear", "hear", "prefer", "file",
     "round", "cease", "stay", "type", "remain", "embed", "bill", "go",
-    "freeze", "watermark", "load", "download", "become", "suspect", "attempt")
+    "freeze", "watermark", "load", "download", "become", "suspect", "attempt",
+    // prohibition verbs: without a VERB reading they become opaque non-party
+    // subjects and trigger the implicit-operator path (round-4 ADVICE)
+    "prohibit", "forbid")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -152,7 +155,8 @@ object Lexicon {
         else if (w.endsWith("ing") && w.length > 5) {
           val base = w.dropRight(3)
           if (eRestore.contains(base + "e")) base + "e"
-          else if (base.length > 2 && base(base.length - 1) == base(base.length - 2)) base.dropRight(1)
+          else if (base.length > 2 && base(base.length - 1) == base(base.length - 2) &&
+            !base.endsWith("ss") && !base.endsWith("ll")) base.dropRight(1)
           else base
         } else if (w.endsWith("ed") && w.length > 4) {
           val base = w.dropRight(2)

@@ -231,6 +231,14 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
+          // a bare gerund after a preposition with no object of its own is
+          // a noun ("except for billing,", "used for tracking.") — gerunds
+          // governing an object stay verbs ("from sharing your email")
+          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ing") &&
+            prev == "ADP" &&
+            (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" ||
+              at(i + 1) == "ADP"))
+            t.pos = "NOUN"
           // a clause-initial attributive gerund before a noun heads an NP
           // ("Typing indicators", "Tracking technologies")
           if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ing") &&
@@ -1490,11 +1498,17 @@ object RuleNlp {
     // negates the gerund's practice (a ban is not a disclosure)
     locally {
       val ProhibitLemmas = Set("prohibit", "prevent", "bar", "forbid", "ban")
-      (start until end - 2).foreach { k =>
-        if (ProhibitLemmas.contains(toks(k).lemma) &&
-          toks(k + 1).lemma == "from" &&
-          toks(k + 2).text.toLowerCase.endsWith("ing"))
-          neg += k + 2
+      (start until end - 1).foreach { k =>
+        if (ProhibitLemmas.contains(toks(k).lemma)) {
+          // "prohibited FROM <gerund>"
+          if (k + 2 < end && toks(k + 1).lemma == "from" &&
+            toks(k + 2).text.toLowerCase.endsWith("ing"))
+            neg += k + 2
+          // direct gerund object, no "from": "prohibits sharing X",
+          // "we forbid collecting Y" — the banned practice is negated
+          else if (toks(k + 1).text.toLowerCase.endsWith("ing"))
+            neg += k + 1
+        }
       }
     }
 

@@ -239,7 +239,11 @@ object HtmlSegmenter {
           var j = i
           while (j < n && segs(j).segType == "TEXT" &&
             segs(j).parentId == s.parentId && isColonItem(segs(j).text)) j += 1
-          if (j - i >= 1) Some(j) else None
+          // require a RUN of >=2 colon-category lines, matching the bullet
+          // families' convention — a single "Note: ..." prose line after a
+          // list-forward intro is ordinary text, not a one-item list
+          // (round-4 ADVICE)
+          if (j - i >= 2) Some(j) else None
         } else None
       (bullet, colonItems) match {
         case (None, Some(j)) =>

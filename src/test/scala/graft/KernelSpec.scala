@@ -179,6 +179,31 @@ class KernelSpec extends AnyFunSuite {
     assert(GraphBuilder.dedupBySubstring(Vector("a b", "a b c", "x")) == Vector("a b c", "x"))
   }
 
+  test("prohibit-class verbs negate a direct gerund object (no 'from')") {
+    // round-4 ADVICE medium: these previously inverted into positives
+    val got = triples("<p>Our policy prohibits sharing your email address with advertisers.</p>" +
+      "<p>We forbid collecting your health records.</p>")
+    assert(!got.exists(t => !t._2.startsWith("NOT_")),
+      s"prohibited practices must not assert positives: $got")
+    assert(got.contains(("advertiser", "NOT_BE_SHARED", "email address")))
+    assert(got.contains(("we", "NOT_COLLECT", "health information")))
+  }
+
+  test("'selling' lemmatizes to sell — progressive sale statements match") {
+    // round-4 ADVICE low: -ing de-doubling lacked the ll/ss guard
+    val got = triples("<p>We are selling your purchase history to partners.</p>")
+    assert(got.contains(("business partner", "BE_SOLD", "purchase history")))
+  }
+
+  test("single colon-category prose line after an intro is NOT a list") {
+    // round-4 ADVICE low: one matching line used to convert to LISTITEM
+    val segs = HtmlSegmenter.segment("t",
+      "<p>We collect the following information:</p>" +
+        "<p>Note: we may update this policy.</p>")
+    assert(!segs.exists(_.segType == "LISTITEM"),
+      s"prose line restructured into a one-item list: $segs")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
