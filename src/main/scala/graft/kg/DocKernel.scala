@@ -26,7 +26,7 @@ object DocKernel {
   private val SubsumCues = Set("especially", "particularly", "namely")
   private val QuantOfNouns = Set("some", "all", "any", "type", "kind",
     "variety", "category", "example")
-  private val DataAnaphors = Set("it", "this", "that")
+  private val DataAnaphors = Set("it", "this", "that", "them")
   private val ActorAnaphors = Set("they", "these", "those")
   private val DemonstrativeDets = Set("this", "that", "such", "these",
     "those", "its", "their")
@@ -197,7 +197,7 @@ object DocKernel {
     * ("a copy of your passport", "records of the products you viewed"). */
   private val GenericContainers = Set("copy", "record", "backup", "category",
     "type", "kind", "example", "variety", "log", "history", "list", "version",
-    "note")
+    "note", "recording", "replay")
 
   /** Verbs whose ACTIVE voice states a deletion right, not a practice. */
   private val DeletionVerbs = Set("delete", "erase", "remove", "purge")
@@ -215,7 +215,7 @@ object DocKernel {
   private val ActivityTerms = Vector(
     "browsing history", "purchase history", "usage information",
     "audio recording", "photo / video", "contact list",
-    "interest / preference", "call log")
+    "interest / preference", "call log", "device fingerprint")
 
   private def activityTermOf(p: Parse, v: Int): Option[Int] =
     p.tokens(v).lemma match {
@@ -1083,9 +1083,16 @@ object DocKernel {
         // your door"); agentless/passive forms fall to the operator
         (p.start until p.end).foreach { v =>
           val vt = p.tokens(v)
-          if ((vt.lemma == "photograph" || vt.lemma == "film") && vt.pos == "VERB" &&
+          val captureTerm =
+            if (vt.lemma == "photograph" || vt.lemma == "film") 4
+            // fingerprint-the-browser: the acquired datum is the device
+            // fingerprint, regardless of the object ("our servers
+            // fingerprint your browser")
+            else if (vt.lemma == "fingerprint") 8
+            else -1
+          if (captureTerm >= 0 && vt.pos == "VERB" &&
             !p.neg.contains(v)) {
-            val syn = st.activitySrc(p, 4)
+            val syn = st.activitySrc(p, captureTerm)
             val subjs = p.out(v).filter(_.dep == "subj").map(_.to)
               .filter(h2 => p.tokens(h2).ner == "ACTOR" && p.tokens(h2).lemma != "you")
             if (subjs.nonEmpty)
@@ -1229,8 +1236,19 @@ object DocKernel {
               RetractVerbLemmas.contains(p2.tokens(j).lemma))
         } => i1
       }.toSet
+      // in-sentence retraction appositive: "<statement> — a practice since
+      // discontinued." / ", a practice we have ended" retracts its own
+      // sentence (same cue words as the cross-sentence form)
+      def selfRetracted(p: RuleNlp.Parse): Boolean =
+        (p.start until p.end - 1).exists { k =>
+          p.tokens(k).lemma == "practice" &&
+            (k + 1 until math.min(p.end, k + 5)).exists(j =>
+              RetractVerbLemmas.contains(p.tokens(j).lemma) ||
+                p.tokens(j).text.toLowerCase == "discontinued" ||
+                p.tokens(j).text.toLowerCase == "ended")
+        }
       d.parses.zipWithIndex.foreach { case (p, pIdx) =>
-        if (!onDeviceOnly(p) && !retractedIdx.contains(pIdx)) Patterns.matchSentence(p).foreach { m =>
+        if (!onDeviceOnly(p) && !retractedIdx.contains(pIdx) && !selfRetracted(p)) Patterns.matchSentence(p).foreach { m =>
           val entries =
             // ACTIVE deletion ("you can ask us to erase X") is a rights
             // statement, no capture; the agentless PASSIVE ("your data is

@@ -203,7 +203,8 @@ object KgQueries {
         ("b5", Holdout.pages5, Holdout.truth5),
         ("b6", Holdout.pages6, Holdout.truth6),
         ("b7", Holdout.pages7, Holdout.truth7),
-        ("b8", Holdout.pages8, Holdout.truth8))
+        ("b8", Holdout.pages8, Holdout.truth8),
+        ("b9", Holdout.pages9, Holdout.truth9))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -850,7 +851,8 @@ object KgQueries {
       ("b5", Holdout.predicted5, Holdout.truth5),
       ("b6", Holdout.predicted6, Holdout.truth6),
       ("b7", Holdout.predicted7, Holdout.truth7),
-      ("b8", Holdout.predicted8, Holdout.truth8)).flatMap { case (b, got, want) =>
+      ("b8", Holdout.predicted8, Holdout.truth8),
+      ("b9", Holdout.predicted9, Holdout.truth9)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }

@@ -242,13 +242,32 @@ object Patterns {
     // records bear DT
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
-    // DT stays/remains (embedded/retained)
-    ("stay|remain:root|ccomp",
+    // DT stays/remains/lingers/survives (embedded/retained)
+    ("stay|remain|linger|survive:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
       Seq(":subj@E1", "!note|copy|recording|scan|backup:obj@DT"),
-      Seq("STORE", "E1", "DT"))))
+      Seq("STORE", "E1", "DT")),
+    // E1 treats DT as <adjective> (possession presupposition)
+    ("treat:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT"), Seq("STORE", "E1", "DT")),
+    // X runs against DT (process-vs-data join)
+    ("run:root|ccomp",
+      Seq(":subj@E1", "!against,:obj@E2"), Seq("COLLECT", "E1", "X", "E2")),
+    // DT informs first-party decisioning
+    ("inform:root|ccomp",
+      Seq("!:subj@DT"), Seq("USE", "WE", "DT")),
+    // DT finds its way into <store>
+    ("find:root|ccomp",
+      Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
+      Seq("COLLECT", "WE", "DT")),
+    // DT reaches/enters/lands/sticks (figurative ingress)
+    ("reach|enter|land|stick:root|ccomp",
+      Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
+    // DT helps us <verb>
+    ("help|assist:root|ccomp",
+      Seq("!:subj@DT"), Seq("USE", "WE", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

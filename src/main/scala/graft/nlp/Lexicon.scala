@@ -39,7 +39,11 @@ object Lexicon {
     "freeze", "watermark", "load", "download", "become", "suspect", "attempt",
     // prohibition verbs: without a VERB reading they become opaque non-party
     // subjects and trigger the implicit-operator path (round-4 ADVICE)
-    "prohibit", "forbid")
+    "prohibit", "forbid",
+    // batch-9 figurative ingress/retention/acquisition members — pattern
+    // roots outside the token map need the VERB reading to anchor
+    "reach", "land", "stick", "linger", "treat", "inform", "find", "pay",
+    "fingerprint")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -58,7 +62,7 @@ object Lexicon {
     "about", "by", "in", "on", "at", "as", "regarding", "through", "via",
     "into", "without", "within", "during", "under", "between", "like",
     "including", "across", "after", "before", "against", "upon", "outside",
-    "besides", "except", "excluding", "alongside")
+    "besides", "except", "excluding", "alongside", "notwithstanding")
   val coordConj: Set[String] = Set("and", "or", "but", "nor", "plus")
   val subordConj: Set[String] = Set("if", "when", "because", "while",
     "that", "which", "whether", "unless", "whenever", "wherever", "whereby",

@@ -231,6 +231,13 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
+          // a base-form verb candidate between a preposition and a noun is
+          // an attributive modifier, not a predicate ("in aggregate
+          // heatmaps", "for select partners")
+          if (t.pos == "VERB" && t.text == t.lemma && prev == "ADP" &&
+            toks(i - 1).lemma != "to" &&
+            (at(i + 1) == "NOUN" || at(i + 1) == "PROPN"))
+            t.pos = "NOUN"
           // a bare gerund after a preposition with no object of its own is
           // a noun ("except for billing,", "used for tracking.") — gerunds
           // governing an object stay verbs ("from sharing your email")
@@ -537,6 +544,16 @@ object RuleNlp {
 
   /** Build the normalized per-sentence dependency graph. */
   def parseSentence(toks: Vector[Tok], start: Int, end: Int): Parse = {
+    // a sentence with no finite verb restores a demoted -s verb candidate
+    // ("Face-matching runs against the photos in your gallery"): the
+    // plural-noun misreading only holds when another verb carries the clause
+    if (!(start until end).exists(i => toks(i).pos == "VERB")) {
+      (start + 1 until end).find { i =>
+        val t = toks(i)
+        t.pos == "NOUN" && t.text.endsWith("s") && t.text == t.text.toLowerCase &&
+          verbLemmas.contains(t.lemma)
+      }.foreach(i => toks(i).pos = "VERB")
+    }
     val chunks = chunk(toks, start, end)
     val deps = new ListBuffer[Dep]
     val neg = scala.collection.mutable.Set[Int]()
@@ -633,7 +650,12 @@ object RuleNlp {
           } else if (p.pos == "PART" && p.lemma == "to") {
             toTok = j; j -= 1; continue = false
           } else if (p.pos == "ADV") j -= 1
-          else continue = false
+          else if (p.text == "," && j - 2 >= start && toks(j - 1).pos == "ADV" &&
+            toks(j - 2).text == ",") {
+            // parenthetical adverb between aux and verb is transparent:
+            // "automated filters do, however, scan them"
+            j -= 3
+          } else continue = false
         }
         // passive only if the verb looks like a past participle
         val vt = toks(i)
@@ -1043,6 +1065,21 @@ object RuleNlp {
                   case dd if dd.dep == "relcl" && dd.to == c.start - 4 => dd.from
                 }.get
                 chunks.find(ch => ch.start <= u && u < ch.end) match {
+                  case Some(pc) if pc.head != c.head => c = pc
+                  case _ => walkUp = false
+                }
+              } else if (c.start - 2 >= start &&
+                (toks(c.start - 1).lemma == "never" || toks(c.start - 1).lemma == "not" ||
+                  toks(c.start - 1).lemma == "nor") &&
+                (toks(c.start - 2).text == "," ||
+                  (c.start - 3 >= start && toks(c.start - 2).pos == "CCONJ" &&
+                    toks(c.start - 3).text == ","))) {
+                // ", never your exact birthday," / ", but not X," negative
+                // appositive: the excluded NP is negated, and the clause's
+                // real subject is the NP before the opening comma
+                neg += c.head
+                val openAt = if (toks(c.start - 2).text == ",") c.start - 2 else c.start - 3
+                chunkBefore(openAt) match {
                   case Some(pc) if pc.head != c.head => c = pc
                   case _ => walkUp = false
                 }
@@ -1714,11 +1751,11 @@ object RuleNlp {
         val subsumAnchor =
           if (subsumCue && commaBefore && chainRoot >= 0) chainRoot else lastNounHead
         val nounAttach = (t.lemma == "of") || collocation || subsumCue
-        // ", together/along with X" after the object (possibly after an
-        // intervening of-PP) adds X as a further OBJECT of the verb
-        val accompaniment = t.lemma == "with" && p >= start + 2 &&
-          (toks(p - 1).lemma == "together" || toks(p - 1).lemma == "along") &&
-          toks(p - 2).text == ","
+        // "together/along with X" after the object (comma optional:
+        // "radio back the delivery outcome together with your street
+        // name") adds X as a further OBJECT of the verb
+        val accompaniment = t.lemma == "with" && p >= start + 1 &&
+          (toks(p - 1).lemma == "together" || toks(p - 1).lemma == "along")
         // skip "in order to" here (handled as purpose acl by clause pass)
         val isInOrder = t.lemma == "in" && p + 2 < end &&
           toks(p + 1).lemma == "order" && toks(p + 2).lemma == "to"

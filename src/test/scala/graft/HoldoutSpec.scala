@@ -98,4 +98,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout8 precision regressed: $p")
     assert(r >= 0.99, s"holdout8 recall regressed: $r")
   }
+
+  test("holdout batch-9 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted9.toSet, Holdout.truth9.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout9 precision regressed: $p")
+    assert(r >= 0.99, s"holdout9 recall regressed: $r")
+  }
 }

@@ -204,6 +204,41 @@ class KernelSpec extends AnyFunSuite {
       s"prose line restructured into a one-item list: $segs")
   }
 
+  test("round-5 kernel mechanisms: figurative ingress/retention/possession (fresh variants)") {
+    // ingress verb class: datum-subject motion into the operator's store
+    val ing = triples("<p>Your device identifier reaches our servers with each request.</p>")
+    assert(ing.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") && t._3 == "device identifier"), s"$ing")
+    // retention class: linger/survive join stay/remain
+    val ret = triples("<p>Crash logs linger in our archive for a year.</p>")
+    assert(ret.exists(t => t._1 == "we" && t._3 == "crash / log data"), s"$ret")
+    // possession presupposition: treat X as <adj>
+    val tr = triples("<p>We treat your voiceprint as sensitive.</p>")
+    assert(tr.exists(t => t._1 == "we" && t._3 == "voiceprint"), s"$tr")
+    // find-its-way idiom
+    val fw = triples("<p>Your email address finds its way into our database.</p>")
+    assert(fw.exists(t => t._1 == "we" && t._3 == "email address"), s"$fw")
+    // verbless-sentence -s restore + run-against
+    val ra = triples("<p>Face-matching runs against your profile picture.</p>")
+    assert(ra.exists(t => t._3 == "photo / video"), s"$ra")
+    assert(ra.exists(t => t._3 == "biometric information"), s"$ra")
+  }
+
+  test("round-5 kernel mechanisms: parentheticals, ellipsis, accompaniment (fresh variants)") {
+    // ", never NP," negative appositive: excluded NP silent, subject kept
+    val na = triples("<p>Your gender, never your legal name, informs our recommendations.</p>")
+    assert(na.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") && t._3 == "gender"), s"$na")
+    assert(!na.exists(t => !t._2.startsWith("NOT_") && t._3 == "person name"), s"$na")
+    // aux + ", however," + verb stays one verb group
+    val de = triples("<p>Our staff do, however, review your voice recordings.</p>")
+    assert(de.exists(t => t._1 == "we" && t._3 == "voiceprint"), s"$de")
+    // comma-free accompaniment joins the object group
+    val ac = triples("<p>Couriers transmit the outcome together with your postal code.</p>")
+    assert(ac.exists(t => t._3 == "postal address"), s"$ac")
+    // in-sentence practice retraction stays silent
+    val rt = triples("<p>We retained chat backups indefinitely - a practice since discontinued.</p>")
+    assert(!rt.exists(t => !t._2.startsWith("NOT_")), s"$rt")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
