@@ -219,6 +219,40 @@ object KgQueries {
         .orderBy("batch", "party")
     }),
 
+    // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
+    // OPEN holdout batch 10 (idiomatic predicates, never seen in training)
+    // scored by the pure-rule kernel vs kernel ∪ learned scorer. Both
+    // systems run DISTRIBUTED — the kernel through the standard
+    // triplesFromPages path, the scorer as a per-partition batched model
+    // (per-JVM lazy load, the ONNX-session pattern). The oracle replays
+    // both driver-side; the VALUE (scorer strictly above kernel on recall
+    // and F1) is the honest deliverable, frozen in COVERAGE.md.
+    "kg_eval_semantic" -> ((s, _) => {
+      import s.implicits._
+      val want = Holdout.truth10.toSet
+      val pages = s.createDataset(Holdout.pages10)
+      val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .filter(Holdout.isRealTuple).toSet
+      val scored = pages.mapPartitions { it =>
+        val m = SemanticScorer.fromResource
+        it.flatMap { p =>
+          val cands = SemanticScorer.candidates(p.url,
+            new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+          SemanticScorer.predictTuples(m, cands)
+        }
+      }.collect().toSet.filter(Holdout.isRealTuple)
+      val rows =
+        Holdout.prRows(kernel, want).map { case (p, tp, fpv, fn, pr, rc) =>
+          ("kernel", p, tp, fpv, fn, pr, rc)
+        } ++
+          Holdout.prRows(kernel ++ scored, want).map { case (p, tp, fpv, fn, pr, rc) =>
+            ("kernel+mlp", p, tp, fpv, fn, pr, rc)
+          }
+      rows.toDF("system", "party", "tp", "fp", "fn", "precision", "recall")
+        .orderBy("system", "party")
+    }),
+
     // A2: per-predicate edge statistics
     "kg_collect_stats" -> ((s, _) => {
       sharedTriples(s)
@@ -861,6 +895,23 @@ object KgQueries {
       s"SELECT batch, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("batch", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), holdout)}) ORDER BY batch, party"
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
+    val semRows = {
+      val want = Holdout.truth10.toSet
+      val kernel = Holdout.predicted10.toSet
+      val m0 = SemanticScorer.fromResource
+      val scored = Holdout.pages10.flatMap { p =>
+        SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+      }.toSet.filter(Holdout.isRealTuple)
+      (Holdout.prRows(kernel, want).map { case (p, tp, fpv, fn, pr, rc) =>
+        Seq("kernel", p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
+      } ++
+        Holdout.prRows(kernel ++ scored, want).map { case (p, tp, fpv, fn, pr, rc) =>
+          Seq("kernel+mlp", p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
+        })
+    }
+    m("kg_eval_semantic") =
+      s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
     val purposeEval = {
       def r4(x: Double): Double = math.round(x * 10000) / 10000.0
       def row(model: String, c: (Long, Long, Long)) = {

@@ -213,6 +213,11 @@ object Normalizer {
     }
   }
 
+  /** Whether a term is a canonical dictionary datatype (vs a raw stem
+    * fallback) — used by the semantic scorer's dictionary-hit indicator. */
+  lazy val canonicalDataTerms: Set[String] = dataCanonical.values.toSet
+  def isCanonicalData(term: String): Boolean = canonicalDataTerms.contains(term)
+
   /** Purpose phrase → labels (v1 keyword model; SURVEY.md U8). */
   def classifyPurpose(text: String): Seq[String] = {
     val words = text.toLowerCase.split("[^a-z0-9-]+").filter(_.nonEmpty).toSet

@@ -1,0 +1,41 @@
+package graft.kg
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Dev tool: zero-shot semantic-scorer report on the OPEN holdout batch 10
+  * — kernel-only vs kernel ∪ scorer, with per-doc diffs for the combined
+  * system. `sbt "runMain graft.kg.SemReport"` */
+object SemReport {
+
+  def scorerTuples(pages: Vector[Model.WebPage]): Set[(String, String, String)] = {
+    val m = SemanticScorer.fromResource
+    pages.flatMap { p =>
+      val cands = SemanticScorer.candidates(p.url, new String(p.html, UTF_8))
+      SemanticScorer.predictTuples(m, cands)
+    }.toSet
+  }
+
+  def main(args: Array[String]): Unit = {
+    val want = Holdout.truth10.toSet
+    val kernel = Holdout.predicted10.toSet
+    val combined = kernel ++ scorerTuples(Holdout.pages10)
+    def show(tag: String, got: Set[(String, String, String)]): Unit =
+      Holdout.prRows(got, want).foreach { case (p, tp, fp, fn, pr, rc) =>
+        println(f"SEM10 $tag%-12s $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
+      }
+    show("kernel", kernel)
+    show("kernel+mlp", combined)
+    val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
+    byUrl.foreach { u =>
+      val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
+      val w = want.filter(_._1 == u).map(t => (t._2, t._3))
+      val miss = w -- g
+      val extra = g -- w
+      if (miss.nonEmpty || extra.nonEmpty) {
+        println(s"DOC $u")
+        miss.toVector.sorted.foreach(t => println(s"  MISS  $t"))
+        extra.toVector.sorted.foreach(t => println(s"  EXTRA $t"))
+      }
+    }
+  }
+}

@@ -76,6 +76,24 @@ final class MlpModel(
     out
   }
 
+  /** Sparse single-example forward returning the sigmoid of logit 0 (the
+    * semantic scorer's models carry a single "collect" label). `h` is a
+    * caller-provided scratch array of length `hidden`. */
+  def forwardSparse(x: Array[(Int, Float)], h: Array[Float]): Double = {
+    var j = 0
+    while (j < hidden) {
+      var s = b1(j)
+      var k = 0
+      while (k < x.length) { val (i, xv) = x(k); s += xv * w1(i * hidden + j); k += 1 }
+      h(j) = math.max(0f, s)
+      j += 1
+    }
+    var s2 = b2(0)
+    var j2 = 0
+    while (j2 < hidden) { s2 += h(j2) * w2(j2 * labels.size); j2 += 1 }
+    1.0 / (1.0 + math.exp(-s2))
+  }
+
   def save(out: DataOutputStream): Unit = {
     out.writeInt(dim); out.writeInt(hidden); out.writeInt(labels.size)
     labels.foreach(out.writeUTF)

