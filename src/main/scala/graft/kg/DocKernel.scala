@@ -533,19 +533,37 @@ object DocKernel {
     * skipped per reference semantics, but a verbless NP fragment right
     * after a what-do-we-collect question answers it (recall extension —
     * ubiquitous in FAQ-style policies). */
+  private val QaNegAnswer = Set("no", "never", "none", "nothing")
+
   def annotateQaFragments(st: DocState): Unit = {
     st.docs.foreach { d =>
       var prev: Option[Parse] = None
       d.parses.foreach { p =>
-        val prevIsCollectQ = prev.exists { q =>
-          (q.start until q.end).exists(k => q.tokens(k).text == "?") &&
-            (q.start until q.end).exists(k =>
-              Patterns.collectishLemmas.contains(q.tokens(k).lemma)) &&
-            (q.start until q.end).exists(k => q.tokens(k).lemma == "we")
+        // tight-loop flags (this runs for EVERY sentence of every context
+        // doc; the closure/Range version was a measurable allocator)
+        val prevIsCollectQ = prev match {
+          case Some(q) =>
+            var qm = false; var coll = false; var we = false
+            var k = q.start
+            while (k < q.end && !(qm && coll && we)) {
+              val t = q.tokens(k)
+              if (t.text == "?") qm = true
+              if (!coll && Patterns.collectishLemmas.contains(t.lemma)) coll = true
+              if (t.lemma == "we") we = true
+              k += 1
+            }
+            qm && coll && we
+          case None => false
         }
-        val verbless = !(p.start until p.end).exists(k => p.tokens(k).pos == "VERB")
-        val negAnswer = (p.start until p.end).exists(k =>
-          Set("no", "never", "none", "nothing").contains(p.tokens(k).lemma))
+        var verbless = true
+        var negAnswer = false
+        var ki = p.start
+        while (ki < p.end) {
+          val t = p.tokens(ki)
+          if (t.pos == "VERB") verbless = false
+          if (QaNegAnswer.contains(t.lemma)) negAnswer = true
+          ki += 1
+        }
         if (prevIsCollectQ && verbless && !negAnswer) {
           p.chunks.filter(_.ner == "DATA").foreach { c =>
             d.srcs(c.head).foreach { dtSrc =>
@@ -1227,26 +1245,53 @@ object DocKernel {
     st.docs.foreach { d =>
       // discontinued practices: "<statement>; that practice ended in 2024."
       // retracts the preceding sentence's assertions
-      val retractedIdx: Set[Int] = d.parses.zipWithIndex.sliding(2).collect {
-        case Vector((_, i1), (p2, _)) if (p2.start until p2.end - 1).exists { k =>
-          val t = p2.tokens(k)
-          (t.lemma == "this" || t.lemma == "that") &&
-            p2.tokens(k + 1).lemma == "practice" &&
-            (k + 2 until math.min(p2.end, k + 5)).exists(j =>
-              RetractVerbLemmas.contains(p2.tokens(j).lemma))
-        } => i1
-      }.toSet
+      val retractedIdx: Set[Int] = {
+        var s = Set.empty[Int]
+        var i1 = 0
+        while (i1 + 1 < d.parses.length) {
+          val p2 = d.parses(i1 + 1)
+          var k = p2.start
+          var hit = false
+          while (!hit && k < p2.end - 1) {
+            val t = p2.tokens(k)
+            if ((t.lemma == "this" || t.lemma == "that") &&
+              p2.tokens(k + 1).lemma == "practice") {
+              var j = k + 2
+              val jEnd = math.min(p2.end, k + 5)
+              while (!hit && j < jEnd) {
+                if (RetractVerbLemmas.contains(p2.tokens(j).lemma)) hit = true
+                j += 1
+              }
+            }
+            k += 1
+          }
+          if (hit) s += i1
+          i1 += 1
+        }
+        s
+      }
       // in-sentence retraction appositive: "<statement> — a practice since
       // discontinued." / ", a practice we have ended" retracts its own
       // sentence (same cue words as the cross-sentence form)
-      def selfRetracted(p: RuleNlp.Parse): Boolean =
-        (p.start until p.end - 1).exists { k =>
-          p.tokens(k).lemma == "practice" &&
-            (k + 1 until math.min(p.end, k + 5)).exists(j =>
-              RetractVerbLemmas.contains(p.tokens(j).lemma) ||
-                p.tokens(j).text.toLowerCase == "discontinued" ||
-                p.tokens(j).text.toLowerCase == "ended")
+      def selfRetracted(p: RuleNlp.Parse): Boolean = {
+        var k = p.start
+        while (k < p.end - 1) {
+          if (p.tokens(k).lemma == "practice") {
+            var j = k + 1
+            val jEnd = math.min(p.end, k + 5)
+            while (j < jEnd) {
+              val tj = p.tokens(j)
+              if (RetractVerbLemmas.contains(tj.lemma) ||
+                tj.lemma == "discontinued" || tj.lemma == "ended" ||
+                graft.nlp.Lexicon.lower(tj.text) == "discontinued" ||
+                graft.nlp.Lexicon.lower(tj.text) == "ended") return true
+              j += 1
+            }
+          }
+          k += 1
         }
+        false
+      }
       d.parses.zipWithIndex.foreach { case (p, pIdx) =>
         if (!onDeviceOnly(p) && !retractedIdx.contains(pIdx) && !selfRetracted(p)) Patterns.matchSentence(p).foreach { m =>
           val entries =

@@ -35,19 +35,28 @@ object Patterns {
     }
   }
 
+  /** Captures are SLOT-INDEXED at compile time (capture name → dense int),
+    * so the match-time DFS state is a couple of tiny arrays and a bitmask
+    * instead of mutable Maps/Sets per candidate root — the matcher runs for
+    * every (dep edge × root pattern) of every sentence and was a measurable
+    * allocator in the collection annotator. */
   final case class Pattern(
       id: Int,
       root: TokenMatcher,
-      chains: Vector[Vector[(TokenMatcher, Option[String])]],
+      chains: Vector[Vector[(TokenMatcher, Int)]], // capture slot, -1 = none
       required: Set[Int],
-      transform: Vector[String]) {
-    /** reusable empty DFS state (immutable) — was rebuilt per dep edge */
-    lazy val emptyProgress: Map[Int, List[Int]] =
-      chains.indices.map(_ -> List.empty[Int]).toMap
-    /** transform precompiled: action + per-arg fallback name lists (parsing
-      * `E2|E3` specs per match was a measurable allocator) */
+      transform: Vector[String],
+      saveNames: Vector[String]) {
+    /** reusable empty DFS state (never mutated — dfs copies on extend) */
+    lazy val emptyProgress: Array[List[Int]] =
+      Array.fill(chains.length)(List.empty[Int])
+    lazy val requiredMask: Long = required.foldLeft(0L)((m, i) => m | (1L << i))
     lazy val action: String = transform.head
-    lazy val argSpecs: Vector[Array[String]] = transform.tail.map(_.split('|'))
+    /** per-arg fallback slot lists; -2 = the implicit-WE sentinel */
+    lazy val argSlots: Vector[Array[Int]] = transform.tail.map(_.split('|').map {
+      case "WE" => -2
+      case nm => saveNames.indexOf(nm) // -1 if the name never captures
+    })
   }
 
   /** Sentinel token index standing for the implicit first party in
@@ -62,17 +71,20 @@ object Patterns {
     val tm = Lexicon.tokenMap
     specs.zipWithIndex.map { case ((root, chains, transform), id) =>
       val required = scala.collection.mutable.Set[Int]()
+      val names = scala.collection.mutable.LinkedHashMap[String, Int]()
       val parsed = chains.zipWithIndex.map { case (raw, ci) =>
         val body = if (raw.startsWith("!")) { required += ci; raw.drop(1) } else raw
         body.split(',').toVector.map { item =>
           val (tokRule, save) = item.indexOf('@') match {
-            case -1 => (item, None)
-            case ix => (item.substring(0, ix), Some(item.substring(ix + 1)))
+            case -1 => (item, -1)
+            case ix => (item.substring(0, ix),
+              names.getOrElseUpdate(item.substring(ix + 1), names.size))
           }
           (TokenMatcher.parse(tokRule, tm), save)
         }
       }.toVector
-      Pattern(id, TokenMatcher.parse(root, tm), parsed, required.toSet, transform.toVector)
+      Pattern(id, TokenMatcher.parse(root, tm), parsed, required.toSet,
+        transform.toVector, names.keys.toVector)
     }.toVector
   }
 
@@ -288,8 +300,9 @@ object Patterns {
       // root candidates: any edge target whose (lemma, dep) matches
       if (pat.root.matches(lemmaOf(d.to), d.dep)) {
         val v = d.to
-        val named = scala.collection.mutable.Map[String, List[Int]]().withDefaultValue(Nil)
-        val unmatchedRequired = scala.collection.mutable.Set[Int](pat.required.toSeq: _*)
+        // slot-indexed captures + required-chain bitmask: no Map/Set churn
+        val named = new Array[List[Int]](pat.saveNames.length)
+        var unmatchedRequired = pat.requiredMask
 
         def onSuccess(chainIdx: Int, progress: List[Int]): Unit = {
           val chain = pat.chains(chainIdx)
@@ -299,28 +312,38 @@ object Patterns {
           while (!truncated && k < chain.length && prog.nonEmpty) {
             val node = prog.head
             if (p.neg.contains(node)) truncated = true
-            else chain(k)._2.foreach(s => named(s) = named(s) :+ node)
+            else {
+              val s = chain(k)._2
+              if (s >= 0)
+                named(s) = (if (named(s) == null) Nil else named(s)) :+ node
+            }
             prog = prog.tail
             k += 1
           }
-          if (!truncated) unmatchedRequired -= chainIdx
+          if (!truncated) unmatchedRequired &= ~(1L << chainIdx)
         }
 
-        def dfs(node: Int, dep: String, progress: collection.Map[Int, List[Int]]): Unit = {
-          var continued: scala.collection.mutable.Map[Int, List[Int]] = null
-          progress.foreach { case (ci, prog) =>
-            val chain = pat.chains(ci)
-            val (tm, _) = chain(prog.length)
-            if (tm.matches(lemmaOf(node), dep)) {
-              val np = prog :+ node
-              if (np.length == chain.length) onSuccess(ci, np)
-              else {
-                if (continued == null) continued = scala.collection.mutable.Map()
-                continued(ci) = np
+        // progress: one List per chain, null = chain no longer extendable;
+        // arrays are never mutated after being passed down (copy-on-extend)
+        def dfs(node: Int, dep: String, progress: Array[List[Int]]): Unit = {
+          var continued: Array[List[Int]] = null
+          var ci = 0
+          while (ci < progress.length) {
+            val prog = progress(ci)
+            if (prog != null) {
+              val chain = pat.chains(ci)
+              val tm = chain(prog.length)._1
+              if (tm.matches(lemmaOf(node), dep)) {
+                val np = prog :+ node
+                if (np.length == chain.length) onSuccess(ci, np)
+                else {
+                  if (continued == null) continued = new Array[List[Int]](progress.length)
+                  continued(ci) = np
+                }
               }
             }
+            ci += 1
           }
-          // children share the same (no longer mutated) map — no copy
           if (continued != null) {
             p.out(node).foreach(e => dfs(e.to, e.dep, continued))
           }
@@ -328,16 +351,18 @@ object Patterns {
 
         p.out(v).foreach(e => dfs(e.to, e.dep, pat.emptyProgress))
 
-        if (unmatchedRequired.isEmpty) {
-          val args = pat.argSpecs.map { spec =>
+        if (unmatchedRequired == 0L) {
+          val args = pat.argSlots.map { spec =>
             var r: List[Int] = Nil
             var k = 0
             while (r.isEmpty && k < spec.length) {
-              // "WE" = the implicit first party (nominalization patterns
+              // -2 = the implicit first party (nominalization patterns
               // like "you consent to the collection of DT"); resolved by
               // the collection annotator via the synthetic we-mention
-              r = if (spec(k) == "WE") List(ImplicitWeArg)
-              else named.getOrElse(spec(k), Nil)
+              val s = spec(k)
+              r = if (s == -2) List(ImplicitWeArg)
+              else if (s >= 0 && named(s) != null) named(s)
+              else Nil
               k += 1
             }
             r

@@ -136,6 +136,38 @@ object Lexicon {
     * allocation (executor-wide, like the broadcast dictionaries). */
   private val lemmaCache = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 16)
 
+  /** Lowercase memo: ancestor segments re-tag in every descendant context
+    * doc, so the same surface tokens lowercase thousands of times — cache
+    * the result (bounded, executor-wide, like the lemma cache). */
+  private val lowerCache = new java.util.concurrent.ConcurrentHashMap[String, String](1 << 16)
+
+  def lower(word: String): String = {
+    val cached = lowerCache.get(word)
+    if (cached != null) cached
+    else {
+      val l = word.toLowerCase
+      if (lowerCache.size < 200000) lowerCache.put(word, l)
+      l
+    }
+  }
+
+  /** Allocation-free "is already all-lowercase" (the tagger's common case
+    * guard `t.text == t.text.toLowerCase` built a copy per call). */
+  def isLower(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) != Character.toLowerCase(s.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Allocation-free case-insensitive suffix check. */
+  def endsWithIgnoreCase(s: String, suffix: String): Boolean = {
+    val off = s.length - suffix.length
+    off >= 0 && s.regionMatches(true, off, suffix, 0, suffix.length)
+  }
+
   def lemma(word: String): String = {
     val cached = lemmaCache.get(word)
     if (cached != null) cached

@@ -183,7 +183,7 @@ object RuleNlp {
     var i = 0
     while (i < n) {
       val t = texts(i)
-      val lw = t.toLowerCase
+      val lw = Lexicon.lower(t)
       val lem = lemma(t)
       val pos =
         if (t == "\n") "SPACE"
@@ -221,13 +221,13 @@ object RuleNlp {
           val nounish = prev == "DET" || prev == "ADJ" ||
             (prev == "ADP" && toks(i - 1).lemma == "of") ||
             (prev == "VERBC" || prev == "VERB") && toks(i - 1).lemma == "make" // "make use of"
-          t.pos = if (nounish && t.text == t.text.toLowerCase) "NOUN" else "VERB"
+          t.pos = if (nounish && Lexicon.isLower(t.text)) "NOUN" else "VERB"
           if (i > 0 && toks(i - 1).lemma == "make" && t.lemma == "use")
             t.pos = "NOUN"
           // plural noun misread ("newsletters and promotional offers."): a
           // lowercase -s verb candidate squeezed between a nominal and a
           // boundary token is a noun
-          if (t.pos == "VERB" && t.text.endsWith("s") && t.text == t.text.toLowerCase &&
+          if (t.pos == "VERB" && t.text.endsWith("s") && Lexicon.isLower(t.text) &&
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
@@ -241,21 +241,21 @@ object RuleNlp {
           // a bare gerund after a preposition with no object of its own is
           // a noun ("except for billing,", "used for tracking.") — gerunds
           // governing an object stay verbs ("from sharing your email")
-          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ing") &&
+          if (t.pos == "VERB" && Lexicon.endsWithIgnoreCase(t.text, "ing") &&
             prev == "ADP" &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" ||
               at(i + 1) == "ADP"))
             t.pos = "NOUN"
           // a clause-initial attributive gerund before a noun heads an NP
           // ("Typing indicators", "Tracking technologies")
-          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ing") &&
+          if (t.pos == "VERB" && Lexicon.endsWithIgnoreCase(t.text, "ing") &&
             (i == 0 || at(i - 1) == "PUNCT") &&
             (at(i + 1) == "NOUN" || at(i + 1) == "PROPN"))
             t.pos = "NOUN"
           // pre-nominal past participle right after a verb is an adjective
           // inside the object NP ("share aggregated demographic
           // information"), not a second predicate
-          if (t.pos == "VERB" && t.text.toLowerCase.endsWith("ed") &&
+          if (t.pos == "VERB" && Lexicon.endsWithIgnoreCase(t.text, "ed") &&
             (prev == "VERB" || prev == "VERBC") &&
             (at(i + 1) == "NOUN" || at(i + 1) == "ADJ" || at(i + 1) == "PROPN" ||
               at(i + 1) == "VERBC"))
@@ -283,7 +283,7 @@ object RuleNlp {
           val next = if (j < n) toks(j) else null
           val isPart = next != null &&
             (verbLemmas.contains(next.lemma) || next.pos == "VERBC" || next.pos == "VERB") &&
-            next.text == next.text.toLowerCase
+            Lexicon.isLower(next.text)
           t.pos = if (isPart) "PART" else "ADP"
         case "REL" =>
           // "that/which/who" as relativizer if a verb follows within 3 tokens
@@ -299,15 +299,15 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
-        case "NOUN" if (t.text.toLowerCase.endsWith("ed") ||
-          t.text.toLowerCase.endsWith("en")) && t.text.length > 4 &&
+        case "NOUN" if (Lexicon.endsWithIgnoreCase(t.text, "ed") ||
+          Lexicon.endsWithIgnoreCase(t.text, "en")) && t.text.length > 4 &&
           (at(i - 1) == "AUX" || (at(i - 1) == "ADV" && at(i - 2) == "AUX")) =>
           // "-ed" directly after an auxiliary is a past participle even when
           // the verb is outside the lexicons ("is created and stored"):
           // without this the unknown participle reads as a noun and the
           // passive clause loses its verb group
           t.pos = "VERB"
-        case "NOUN" if t.text.toLowerCase.endsWith("ed") && t.text.length >= 6 &&
+        case "NOUN" if Lexicon.endsWithIgnoreCase(t.text, "ed") && t.text.length >= 6 &&
           (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") &&
           (at(i + 1) == "ADP" || at(i + 1) == "ADV") =>
           // reduced-relative participle between a nominal and a
@@ -315,7 +315,7 @@ object RuleNlp {
           // companies listed below"): an unknown -ed word here is a verb,
           // not part of the NP — length >= 6 keeps -ed nouns (speed) out
           t.pos = "VERB"
-        case "NOUN" if t.text.toLowerCase.endsWith("ing") && t.text.length >= 6 &&
+        case "NOUN" if Lexicon.endsWithIgnoreCase(t.text, "ing") && t.text.length >= 6 &&
           (at(i - 1) == "NOUN" || at(i - 1) == "PROPN") &&
           (at(i + 1) == "ADP" || at(i + 1) == "DET") =>
           // present-participle reduced relative ("agents acting on our
@@ -328,8 +328,8 @@ object RuleNlp {
           // with...", "see the above") — nominal reading so the chunker
           // keeps it and verb patterns can capture it as an object
           t.pos = "NOUN"
-        case "ADJ" if (t.text.toLowerCase.endsWith("ed") ||
-          t.text.toLowerCase.endsWith("en")) && at(i - 1) == "AUX" &&
+        case "ADJ" if (Lexicon.endsWithIgnoreCase(t.text, "ed") ||
+          Lexicon.endsWithIgnoreCase(t.text, "en")) && at(i - 1) == "AUX" &&
           (at(i + 1) == "ADP" || at(i + 1) == "TO") =>
           // participial adjectives after an auxiliary with a PP complement
           // are the passive verb ("sign-in events are written to an audit
@@ -368,7 +368,7 @@ object RuleNlp {
     val lemmas = new Array[String](n)
     val lowers = new Array[String](n)
     var k = 0
-    while (k < n) { lemmas(k) = toks(k).lemma; lowers(k) = toks(k).text.toLowerCase; k += 1 }
+    while (k < n) { lemmas(k) = toks(k).lemma; lowers(k) = Lexicon.lower(toks(k).text); k += 1 }
     var i = 0
     while (i < n) {
       val dLen = dataTrie.longestMatch(lemmas, lowers, i, n)
@@ -381,7 +381,7 @@ object RuleNlp {
       // dictionary phrase ("server log") across a plural noun + verb
       // candidate followed by a subordinator is a clause, not a mention
       if (matched == 2 &&
-        toks(i).text.toLowerCase.endsWith("s") && toks(i).lemma != toks(i).text.toLowerCase &&
+        Lexicon.endsWithIgnoreCase(toks(i).text, "s") && toks(i).lemma != Lexicon.lower(toks(i).text) &&
         verbLemmas.contains(toks(i + 1).lemma) &&
         (i + 2 >= toks.length || toks(i + 2).pos == "SCONJ" || toks(i + 2).pos == "PUNCT")) {
         // the plural head may still be an entity on its own ("our servers")
@@ -394,7 +394,7 @@ object RuleNlp {
         // recorded": 'record' is a DATA unigram, but this is the passive
         // verb, not a mention)
         val auxParticiple = matched == 1 && i > 0 &&
-          toks(i).text.toLowerCase.endsWith("ed") &&
+          Lexicon.endsWithIgnoreCase(toks(i).text, "ed") &&
           (toks(i - 1).pos == "AUX" ||
             // conjoined participle: "may be monitored or recorded"
             (toks(i - 1).pos == "CCONJ" && i > 1 && toks(i - 2).pos == "VERB"))
@@ -550,7 +550,7 @@ object RuleNlp {
     if (!(start until end).exists(i => toks(i).pos == "VERB")) {
       (start + 1 until end).find { i =>
         val t = toks(i)
-        t.pos == "NOUN" && t.text.endsWith("s") && t.text == t.text.toLowerCase &&
+        t.pos == "NOUN" && t.text.endsWith("s") && Lexicon.isLower(t.text) &&
           verbLemmas.contains(t.lemma)
       }.foreach(i => toks(i).pos = "VERB")
     }
@@ -645,7 +645,7 @@ object RuleNlp {
           if (p.pos == "AUX") {
             if (p.lemma == "be") passive = true
             j -= 1
-          } else if (p.pos == "PART" && negations.contains(p.text.toLowerCase)) {
+          } else if (p.pos == "PART" && negations.contains(Lexicon.lower(p.text))) {
             negFlag = true; j -= 1
           } else if (p.pos == "PART" && p.lemma == "to") {
             toTok = j; j -= 1; continue = false
@@ -659,7 +659,7 @@ object RuleNlp {
         }
         // passive only if the verb looks like a past participle
         val vt = toks(i)
-        val pastPart = vt.text.toLowerCase != vt.lemma && !vt.text.toLowerCase.endsWith("ing")
+        val pastPart = Lexicon.lower(vt.text) != vt.lemma && !Lexicon.endsWithIgnoreCase(vt.text, "ing")
         passive = passive && pastPart
         vgs += VGroup(i, j + 1, negFlag, passive, toTok >= 0, toTok)
       }
@@ -739,7 +739,7 @@ object RuleNlp {
                       // a participle directly after the NP is a reduced
                       // relative ("postal address printed on the package"),
                       // not a clause
-                      val tx = toks(q).text.toLowerCase
+                      val tx = Lexicon.lower(toks(q).text)
                       if (!sawChunk && (tx.endsWith("ed") || tx.endsWith("ing"))) 0
                       else 1
                     case _ => 0
@@ -868,7 +868,7 @@ object RuleNlp {
         (vgs(vgIdx - 1).passive == vg.passive ||
           // a bare -ed participle conjunct inherits the leader's voice
           // ("may be monitored or recorded")
-          (toks(vg.verb).text.toLowerCase.endsWith("ed") &&
+          (Lexicon.endsWithIgnoreCase(toks(vg.verb).text, "ed") &&
             vg.auxStart == vg.verb)) && {
         // start the gap AFTER the previous verb's attached object chunks
         // ("set their own cookies and collect ..." is coordination even
@@ -930,7 +930,7 @@ object RuleNlp {
         addDep(-1, v, "root")
         if (vgs(vgIdx - 1).passive || passiveExtra.contains(vgs(vgIdx - 1).verb)) {
           val vt2 = toks(v)
-          if (vt2.text.toLowerCase != vt2.lemma && !vt2.text.toLowerCase.endsWith("ing"))
+          if (Lexicon.lower(vt2.text) != vt2.lemma && !Lexicon.endsWithIgnoreCase(vt2.text, "ing"))
             passiveExtra += v
         }
         conjWith(v) = vgs(vgIdx - 1).verb
@@ -981,7 +981,7 @@ object RuleNlp {
         // sharing Y" — the gerund's subject is the matrix subject, and a
         // "without"-gerund is a negative statement
         val gerundPrep = prevTok >= start && toks(prevTok).pos == "ADP" &&
-          toks(v).text.toLowerCase.endsWith("ing") &&
+          Lexicon.endsWithIgnoreCase(toks(v).text, "ing") &&
           Set("before", "after", "while", "upon", "when", "without", "by")
             .contains(toks(prevTok).lemma)
         if (gerundPrep && prevMain >= 0 && subjOf.get(prevMain).exists(_.nonEmpty)) {
@@ -1180,7 +1180,7 @@ object RuleNlp {
                   // only true participles ("employers sponsoring your
                   // account may view") — finite verbs like "lets us track"
                   // keep the nearest-NP reading
-                  toks(ov).text.toLowerCase.endsWith("ing") &&
+                  Lexicon.endsWithIgnoreCase(toks(ov).text, "ing") &&
                   subjOf.get(ov).exists(_.nonEmpty) => subjOf(ov)
               }.getOrElse(Nil)).distinct
               if (viaParticiple.nonEmpty) viaParticiple else heads0
@@ -1203,7 +1203,7 @@ object RuleNlp {
                 // participles inside the subject NP ("anyone acting for
                 // us") are transparent; only a finite verb stops the scan
                 (toks(nk).pos != "VERB" ||
-                  toks(nk).text.toLowerCase.endsWith("ing")) &&
+                  Lexicon.endsWithIgnoreCase(toks(nk).text, "ing")) &&
                 toks(nk).text != ";") {
                 if (toks(nk).lemma == "neither") neitherFound = true
                 nk -= 1
@@ -1324,7 +1324,7 @@ object RuleNlp {
     deps.toVector.foreach { dg =>
       if (dg.dep == "subj" && dg.from >= 0 && toks(dg.from).lemma == "get" &&
         dg.from + 1 < end && toks(dg.from + 1).pos == "VERB" &&
-        toks(dg.from + 1).text.toLowerCase.endsWith("ed")) {
+        Lexicon.endsWithIgnoreCase(toks(dg.from + 1).text, "ed")) {
         val part = dg.from + 1
         addDep(part, dg.to, "obj")
         objOf(part) = objOf.getOrElse(part, Nil) :+ dg.to
@@ -1539,11 +1539,11 @@ object RuleNlp {
         if (ProhibitLemmas.contains(toks(k).lemma)) {
           // "prohibited FROM <gerund>"
           if (k + 2 < end && toks(k + 1).lemma == "from" &&
-            toks(k + 2).text.toLowerCase.endsWith("ing"))
+            Lexicon.endsWithIgnoreCase(toks(k + 2).text, "ing"))
             neg += k + 2
           // direct gerund object, no "from": "prohibits sharing X",
           // "we forbid collecting Y" — the banned practice is negated
-          else if (toks(k + 1).text.toLowerCase.endsWith("ing"))
+          else if (Lexicon.endsWithIgnoreCase(toks(k + 1).text, "ing"))
             neg += k + 1
         }
       }
@@ -1556,7 +1556,7 @@ object RuleNlp {
       (start until end - 1).foreach { k =>
         if (CeaseLemmas.contains(toks(k).lemma) && toks(k).pos == "VERB" &&
           toks(k + 1).pos == "VERB" &&
-          toks(k + 1).text.toLowerCase.endsWith("ing"))
+          Lexicon.endsWithIgnoreCase(toks(k + 1).text, "ing"))
           neg += k + 1
       }
     }
@@ -1654,11 +1654,11 @@ object RuleNlp {
     // "includes, but is not limited to, your name": the whole splice is
     // filler between the include-verb and its object list
     if (toks(v).lemma == "include" && k < regionEnd &&
-      (toks(k).text == "," || LimitedToFiller.contains(toks(k).text.toLowerCase))) {
+      (toks(k).text == "," || LimitedToFiller.contains(Lexicon.lower(toks(k).text)))) {
       var j = k
       var sawLimit = false
       while (j < regionEnd && (toks(j).pos == "PUNCT" || toks(j).lemma == "be" ||
-        LimitedToFiller.contains(toks(j).text.toLowerCase))) {
+        LimitedToFiller.contains(Lexicon.lower(toks(j).text)))) {
         if (toks(j).lemma == "limit" || toks(j).lemma == "limitation") sawLimit = true
         j += 1
       }
@@ -1702,7 +1702,7 @@ object RuleNlp {
               val tq = toks(q)
               if (tq.pos == "CCONJ" || tq.text == ",") q += 1
               else {
-                val tx = tq.text.toLowerCase
+                val tx = Lexicon.lower(tq.text)
                 clause = tq.pos == "AUX" ||
                   ((tq.pos == "VERB" || tq.pos == "VERBC") &&
                     !tx.endsWith("ed") && !tx.endsWith("ing"))
@@ -1714,9 +1714,9 @@ object RuleNlp {
         clause
       }) {
         k = regionEnd
-      } else if (t.pos == "PART" && negations.contains(t.text.toLowerCase)) {
+      } else if (t.pos == "PART" && negations.contains(Lexicon.lower(t.text))) {
         pendingNeg = true
-        if (t.text.toLowerCase == "neither") negChain = true
+        if (Lexicon.lower(t.text) == "neither") negChain = true
         k += 1
       } else if (t.pos == "SCONJ" && t.lemma == "than") {
         // comparative clause ("no more data than is necessary, ...") —
@@ -1878,7 +1878,7 @@ object RuleNlp {
   private def skipButNotLimitedTo(toks: Vector[Tok], from: Int, end: Int): Int = {
     var k = from
     while (k < end && (toks(k).pos == "PUNCT" ||
-      LimitedToFiller.contains(toks(k).text.toLowerCase))) k += 1
+      LimitedToFiller.contains(Lexicon.lower(toks(k).text)))) k += 1
     k
   }
 
