@@ -62,14 +62,17 @@ object PdfSource {
         if (dict.contains("/FlateDecode")) new String(inflate(data), Latin1)
         else new String(data, Latin1)
       }
-      // ToUnicode CMap streams feed the CID decoder; they are not content
-      val (cmaps, contents) = decoded.partition(c =>
+      // ToUnicode CMap streams feed the CID decoder; they are not content.
+      // CMaps are kept PER STREAM (per font), not merged: a multi-font PDF
+      // has one ToUnicode per font and colliding CIDs mean different
+      // characters — each hex show-string picks the CMap that covers most
+      // of its CIDs, and falls back to single-byte latin-1 decoding when no
+      // CMap covers a majority (round-4 ADVICE low).
+      val (cmapStreams, contents) = decoded.partition(c =>
         c.contains("beginbfchar") || c.contains("beginbfrange"))
-      val cidMap: Map[Int, String] = cmaps.foldLeft(Map.empty[Int, String]) {
-        (acc, c) => acc ++ parseCMap(c)
-      }
+      val cidMaps: Vector[Map[Int, String]] = cmapStreams.map(parseCMap)
       val paras = contents.flatMap { content =>
-        extractText(content, cidMap).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
+        extractText(content, cidMaps).split("\n{2,}").map(_.trim).filter(_.nonEmpty)
       }
       paras.mkString("\n\n")
     }
@@ -171,7 +174,7 @@ object PdfSource {
     }
 
     /** Text-showing operators of one content stream. */
-    private def extractText(s: String, cidMap: Map[Int, String] = Map.empty): String = {
+    private def extractText(s: String, cidMaps: Vector[Map[Int, String]] = Vector.empty): String = {
       val out = new StringBuilder
       val pending = new StringBuilder
       var i = 0
@@ -187,14 +190,24 @@ object PdfSource {
             if (close < 0) i = n
             else {
               val hex = s.substring(i + 1, close).filter(c => Character.digit(c, 16) >= 0)
-              if (cidMap.nonEmpty)
-                hex.grouped(4).filter(_.length == 4).foreach { g =>
-                  pending ++= cidMap.getOrElse(Integer.parseInt(g, 16), "")
-                }
-              else
-                hex.grouped(2).filter(_.length == 2).foreach { g =>
-                  pending += Integer.parseInt(g, 16).toChar
-                }
+              val cids = hex.grouped(4).filter(_.length == 4)
+                .map(g => Integer.parseInt(g, 16)).toVector
+              // best-covering font CMap for THIS string; majority coverage
+              // required, else the string is single-byte text
+              val best =
+                if (cids.isEmpty) None
+                else cidMaps.iterator.map(m => (m, cids.count(m.contains)))
+                  .foldLeft(Option.empty[(Map[Int, String], Int)]) {
+                    case (acc, (m, c)) =>
+                      if (acc.forall(_._2 < c)) Some((m, c)) else acc
+                  }.filter { case (_, covered) => covered * 2 >= cids.size }
+              best match {
+                case Some((m, _)) => cids.foreach(cid => pending ++= m.getOrElse(cid, ""))
+                case None =>
+                  hex.grouped(2).filter(_.length == 2).foreach { g =>
+                    pending += Integer.parseInt(g, 16).toChar
+                  }
+              }
               i = close + 1
             }
           case '(' =>

@@ -199,6 +199,45 @@ class PdfSourceSpec extends AnyFunSuite {
     assert(md2.contains("We store your purchase history."))
   }
 
+  test("multi-font CMaps stay per-font; unmapped hex strings fall back to single-byte") {
+    // round-4 ADVICE low: CMaps used to merge into one document-global
+    // table (later fonts overwrote colliding CIDs) and ANY CMap forced
+    // 2-byte decoding of EVERY hex string. Two fonts with disjoint CID
+    // ranges plus one plain latin-1 hex string must all decode.
+    def cmapFor(pairs: Seq[(Int, Char)]): String =
+      s"""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |${pairs.size} beginbfchar
+         |${pairs.map { case (cid, c) => f"<$cid%04X> <${c.toInt}%04X>" }.mkString("\n")}
+         |endbfchar
+         |endcmap""".stripMargin
+    val textA = "We collect your email address."
+    val textB = "Advertisers receive usage data."
+    val cidA = textA.toSeq.distinct.zipWithIndex.map { case (c, k) => c -> (k + 1) }.toMap
+    val cidB = textB.toSeq.distinct.zipWithIndex.map { case (c, k) => c -> (k + 101) }.toMap
+    val cmapA = cmapFor(cidA.toSeq.map(_.swap).sortBy(_._1))
+    val cmapB = cmapFor(cidB.toSeq.map(_.swap).sortBy(_._1))
+    def hexA(t: String) = "<" + t.map(c => f"${cidA(c)}%04X").mkString + ">"
+    def hexB(t: String) = "<" + t.map(c => f"${cidB(c)}%04X").mkString + ">"
+    val plain = "Plain hex line."
+    val hexPlain = "<" + plain.map(c => f"${c.toInt}%02X").mkString + ">"
+    val content =
+      s"BT /F1 12 Tf 72 720 Td ${hexA(textA)} Tj ET\n" +
+        s"BT /F2 12 Tf 72 700 Td ${hexB(textB)} Tj ET\n" +
+        s"BT /F3 12 Tf 72 680 Td $hexPlain Tj ET"
+    val b = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = b.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n")
+    w(s"5 0 obj << /Length ${cmapA.length} >> stream\n"); w(cmapA); w("\nendstream endobj\n")
+    w(s"6 0 obj << /Length ${cmapB.length} >> stream\n"); w(cmapB); w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n"); w(content)
+    w("\nendstream endobj\n%%EOF\n")
+    val md = PdfSource.PdfTextParser.toMarkdown(b.toByteArray)
+    assert(md.contains(textA), md)
+    assert(md.contains(textB), md)
+    assert(md.contains(plain), md)
+  }
+
   test("PDF rows flow through the normal pipeline and match the HTML path") {
     import spark.implicits._
     val ts = new Timestamp(1700000000000L)
