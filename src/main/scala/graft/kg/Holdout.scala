@@ -106,6 +106,12 @@ object Holdout {
   lazy val pages10: Vector[WebPage] = loadPages("holdout10_docs.tsv")
   lazy val truth10: Vector[(String, String, String)] = loadTruth("holdout10_truth.tsv")
 
+  /** Batch 11 (round 5): written after the scorer's batch-10 zero-shot row
+    * froze and before any batch-10 closure work; the zero-shot test set
+    * for BOTH the rule kernel and kernel + semantic scorer. */
+  lazy val pages11: Vector[WebPage] = loadPages("holdout11_docs.tsv")
+  lazy val truth11: Vector[(String, String, String)] = loadTruth("holdout11_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -137,6 +143,7 @@ object Holdout {
   lazy val predicted8: Vector[(String, String, String)] = predict(pages8)
   lazy val predicted9: Vector[(String, String, String)] = predict(pages9)
   lazy val predicted10: Vector[(String, String, String)] = predict(pages10)
+  lazy val predicted11: Vector[(String, String, String)] = predict(pages11)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -34,5 +34,6 @@ object HoldoutReport {
     report("8", Holdout.predicted8.toSet, Holdout.truth8.toSet)
     report("9", Holdout.predicted9.toSet, Holdout.truth9.toSet)
     report("10", Holdout.predicted10.toSet, Holdout.truth10.toSet)
+    report("11", Holdout.predicted11.toSet, Holdout.truth11.toSet)
   }
 }

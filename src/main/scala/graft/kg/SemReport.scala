@@ -16,15 +16,23 @@ object SemReport {
   }
 
   def main(args: Array[String]): Unit = {
-    val want = Holdout.truth10.toSet
-    val kernel = Holdout.predicted10.toSet
-    val combined = kernel ++ scorerTuples(Holdout.pages10)
-    def show(tag: String, got: Set[(String, String, String)]): Unit =
-      Holdout.prRows(got, want).foreach { case (p, tp, fp, fn, pr, rc) =>
-        println(f"SEM10 $tag%-12s $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
-      }
-    show("kernel", kernel)
-    show("kernel+mlp", combined)
+    // both open-era batches: 10 (the scorer's original frozen test) and 11
+    def batch(tag: String, pages: Vector[Model.WebPage],
+        truth: Vector[(String, String, String)]): Set[(String, String, String)] = {
+      val want = truth.toSet
+      val kernel = Holdout.predict(pages).toSet
+      val combined = kernel ++ scorerTuples(pages)
+      def show(sys: String, got: Set[(String, String, String)]): Unit =
+        Holdout.prRows(got, want).foreach { case (p, tp, fp, fn, pr, rc) =>
+          println(f"SEM$tag $sys%-12s $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
+        }
+      show("kernel", kernel)
+      show("kernel+mlp", combined)
+      combined
+    }
+    batch("10", Holdout.pages10, Holdout.truth10)
+    val combined = batch("11", Holdout.pages11, Holdout.truth11)
+    val want = Holdout.truth11.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
