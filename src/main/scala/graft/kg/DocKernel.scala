@@ -1453,6 +1453,95 @@ object DocKernel {
     }
   }
 
+  /** OOV transmission/egress semantics (batch-10 closure): two general
+    * shapes the pattern bank cannot anchor because the predicate is out of
+    * vocabulary.
+    *  1. agentless PASSIVE with an unknown verb and an our-possessed
+    *     to/into destination ("the transaction amount is whisked off to
+    *     our fraud desk") — the operator receives the subject datum;
+    *  2. negative-universal subject + egress verb + our-possessed object
+    *     ("Nothing you type in support chats escapes our audit trail") —
+    *     the negated escape asserts capture: DATA mentions in the subject
+    *     region are collected. */
+  def annotateOovTransmission(st: DocState): Unit = {
+    val EgressLemmas = Set("escape", "evade", "elude")
+    st.docs.foreach { d =>
+      d.parses.foreach { p =>
+        if (!onDeviceOnly(p)) {
+          // shape 1: OOV passive with our-possessed destination
+          p.passiveVerbs.foreach { v =>
+            if (!graft.nlp.Lexicon.verbLemmas.contains(p.tokens(v).lemma)) {
+              var ourDest = false
+              var i = v + 1
+              while (i < p.end && !ourDest) {
+                val l = p.tokens(i).lemma
+                if (l == "to" || l == "into" || l == "onto") {
+                  var j = i + 1
+                  val jEnd = math.min(p.end, i + 4)
+                  while (j < jEnd && !ourDest) {
+                    if (p.tokens(j).lemma == "our") ourDest = true
+                    j += 1
+                  }
+                }
+                i += 1
+              }
+              if (ourDest && !p.neg.contains(v)) {
+                // subject via dep when present, else the nearest DATA chunk
+                // before the verb group (passive subclauses may carry no
+                // subj edge: "when the transaction amount is whisked ...")
+                val viaDep = p.out(v).collect {
+                  case e if e.dep == "subj" && p.tokens(e.to).ner == "DATA" => e.to
+                }
+                val subjHeads =
+                  if (viaDep.nonEmpty) viaDep
+                  else p.chunks.filter(c => c.end <= v &&
+                    p.tokens(c.head).ner == "DATA" &&
+                    p.tokens(c.head).pos != "PRON").takeRight(1).map(_.head)
+                subjHeads.foreach { sh =>
+                  for (s <- d.srcs(sh)) {
+                    st.linkSrc(st.implicitWeSrc(p), s, Collect)
+                    st.recordMention(d, p, sh, s)
+                    st.sentText.getOrElseUpdate(s, p.text)
+                  }
+                }
+              }
+            }
+          }
+          // shape 2: "Nothing ... escapes our X"
+          p.deps.foreach { dep =>
+            if ((dep.dep == "root" || dep.dep == "ccomp") &&
+              EgressLemmas.contains(p.tokens(dep.to).lemma)) {
+              val v = dep.to
+              var negUniversal = false
+              var k = p.start
+              while (k < v && !negUniversal) {
+                val l = graft.nlp.Lexicon.lower(p.tokens(k).text)
+                if (l == "nothing" || l == "none" ||
+                  (l == "no" && p.tokens(k).pos == "DET")) negUniversal = true
+                k += 1
+              }
+              var ourObj = false
+              k = v + 1
+              while (k < p.end && !ourObj) {
+                if (p.tokens(k).lemma == "our") ourObj = true
+                k += 1
+              }
+              if (negUniversal && ourObj) p.chunks.foreach { c =>
+                if (c.end <= v && p.tokens(c.head).ner == "DATA" &&
+                  p.tokens(c.head).pos != "PRON")
+                  for (s <- d.srcs(c.head)) {
+                    st.linkSrc(st.implicitWeSrc(p), s, Collect)
+                    st.recordMention(d, p, c.head, s)
+                    st.sentText.getOrElseUpdate(s, p.text)
+                  }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** BFS type check through SUBSUM/COREF edges
     * (collection_annotator.py:354-375). */
   private def validateType(st: DocState, d: CtxDoc, p: Parse, toks: List[Int], target: String): Boolean = {
@@ -1728,6 +1817,7 @@ object DocKernel {
     annotateSubsumption(st)
     annotateCoreference(st)
     annotateCollection(st)
+    annotateOovTransmission(st)
     annotatePurpose(st)
     annotateList(st)
     annotateSubject(st)

@@ -224,7 +224,7 @@ object Patterns {
     ("set|place:root|ccomp",
       Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT")),
     // E1 rely on / fall back to / resort to DT
-    ("rely|fall|resort|depend:root|ccomp",
+    ("rely|fall|resort|depend|feast:root|ccomp",
       Seq(":subj@E1", "!on|to|upon:prep,:obj@DT"), Seq("USE", "E1", "DT")),
     // DT persists (retention statement)
     ("persist:root|ccomp",
@@ -240,7 +240,7 @@ object Patterns {
       Seq(":subj@E1", "!copy|record|recording|backup|scan|note:obj,of,:obj@DT"),
       Seq("STORE", "E1", "DT")),
     // DT feeds into our systems
-    ("feed:root|ccomp",
+    ("feed|trickle:root|ccomp",
       Seq("!:subj@DT", "!into:prep,:obj@E2"), Seq("COLLECT", "WE", "DT")),
     // E1 knows/learns about DT
     ("know|learn:root|ccomp|relcl",
@@ -249,7 +249,7 @@ object Patterns {
     ("ask:root|ccomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT")),
     // DT accompanies/syncs (middle voice)
-    ("accompany|sync:root|ccomp",
+    ("accompany|sync|ride|tag:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // records bear DT
     ("bear:root|ccomp",
@@ -275,11 +275,42 @@ object Patterns {
       Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",
-      Seq("!:subj@DT"), Seq("USE", "WE", "DT"))))
+      Seq("!:subj@DT"), Seq("USE", "WE", "DT")),
+    // DT ends up on/in <store>
+    ("end:root|ccomp",
+      Seq("!:subj@DT", "!on|in|onto|into,*STORE_NOUN:obj@E2"),
+      Seq("COLLECT", "WE", "DT")),
+    // DT flows/streams our way
+    ("stream|flow:root|ccomp",
+      Seq("!:subj@DT", "!way:obj"), Seq("COLLECT", "WE", "DT")),
+    // E1 hangs on to DT
+    ("hang:root|ccomp",
+      Seq(":subj@E1", "!on|onto|to,:obj@DT"), Seq("STORE", "E1", "DT")),
+    // E1 gets a peek at / catches wind of DT
+    ("get|catch|take|steal:root|ccomp",
+      Seq(":subj@E1", "!peek|glimpse|look|wind|whiff|sight:obj", "!at|of,:obj@DT"),
+      Seq("USE", "E1", "DT")),
+    // E1 helps themselves to DT
+    ("help:root|ccomp",
+      Seq(":subj@E1", "!themselves:obj", "!to,:obj@DT"),
+      Seq("COLLECT", "E1", "DT")),
+    // DT would leave our <store> (presupposes presence)
+    ("leave:root|ccomp",
+      Seq("!:subj@DT", "!*STORE_NOUN:obj@E2"), Seq("STORE", "WE", "DT")),
+    // DT takes up residence in <store>
+    ("take:root|ccomp",
+      Seq("!:subj@DT", "!residence:obj"), Seq("STORE", "WE", "DT")),
+    // pseudo-cleft ingress focus
+    ("reach|enter|land|stick|slip|settle|lodge:root|ccomp",
+      Seq("!what:subj", "!:obj@DT"), Seq("COLLECT", "WE", "DT")),
+    // light-noun acquisition, PP under the noun
+    ("get|catch|take|steal:root|ccomp",
+      Seq(":subj@E1", "!peek|glimpse|look|wind|whiff|sight:obj,at|of,:obj@DT"),
+      Seq("USE", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

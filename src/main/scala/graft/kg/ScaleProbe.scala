@@ -87,6 +87,7 @@ object ScaleProbe {
       "subsum" -> DocKernel.annotateSubsumption,
       "coref" -> DocKernel.annotateCoreference,
       "collect" -> DocKernel.annotateCollection,
+      "oovTrans" -> DocKernel.annotateOovTransmission,
       "purpose" -> DocKernel.annotatePurpose,
       "list" -> DocKernel.annotateList,
       "subject" -> DocKernel.annotateSubject)

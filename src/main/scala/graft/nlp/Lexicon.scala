@@ -14,8 +14,12 @@ object Lexicon {
   val tokenMap: Map[String, Set[String]] = VerbPatternsYaml.tokenMap
 
   /** Every lemma any pattern can anchor on, plus common policy verbs that
-    * appear in purpose clauses — drives VERB tagging. */
-  val verbLemmas: Set[String] = tokenMap.values.flatten.toSet ++ Set(
+    * appear in purpose clauses — drives VERB tagging. Noun-class token maps
+    * (STORE_NOUN destinations) are excluded: "mailing list" must not gain a
+    * verb reading because "list" is a store noun. */
+  val verbLemmas: Set[String] = tokenMap.collect {
+    case (name, lemmas) if !name.endsWith("_NOUN") => lemmas
+  }.flatten.toSet ++ Set(
     "include", "improve", "personalize", "deliver", "help", "protect",
     "comply", "measure", "send", "contact", "operate", "detect", "prevent",
     "identify", "link", "combine", "serve", "target", "track", "monitor",
@@ -43,7 +47,10 @@ object Lexicon {
     // batch-9 figurative ingress/retention/acquisition members — pattern
     // roots outside the token map need the VERB reading to anchor
     "reach", "land", "stick", "linger", "treat", "inform", "find", "pay",
-    "fingerprint")
+    "fingerprint",
+    // batch-10 closure: figurative ingress/retention/acquisition members
+    "end", "hang", "slip", "settle", "lodge", "ride", "tag", "escape",
+    "sign", "trickle", "feast", "catch", "steal", "flow")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -71,7 +78,7 @@ object Lexicon {
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
     "namely", "together", "sometimes", "always", "so", "back", "otherwise",
-    "along")
+    "along", "up", "off", "away", "down", "still")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",

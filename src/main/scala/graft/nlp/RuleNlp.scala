@@ -229,14 +229,31 @@ object RuleNlp {
           // boundary token is a noun
           if (t.pos == "VERB" && t.text.endsWith("s") && Lexicon.isLower(t.text) &&
             (prev == "NOUN" || prev == "PROPN") &&
+            // free-relative heads need their predicate ("What settles in
+            // our ledger ... is ...")
+            !(i > 0 && (toks(i - 1).lemma == "what" ||
+              toks(i - 1).lemma == "whatever" || toks(i - 1).lemma == "whoever")) &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
+          // "set" as a compound tail between a nominal and a
+          // preposition/punctuation ("the backup set alongside ...", "the
+          // data set,") — lemma-specific: base-form verbs generally DO sit
+          // in this shape under plural subjects ("backups ... persist for")
+          if (t.pos == "VERB" && t.lemma == "set" && t.text == t.lemma &&
+            (prev == "NOUN" || prev == "PROPN") &&
+            (i + 1 >= n || at(i + 1) == "ADP" || at(i + 1) == "PUNCT" ||
+              at(i + 1) == "CCONJ"))
+            t.pos = "NOUN"
+
           // a base-form verb candidate between a preposition and a noun is
-          // an attributive modifier, not a predicate ("in aggregate
-          // heatmaps", "for select partners")
+          // an attributive modifier ("in aggregate heatmaps"); before a
+          // preposition/punctuation it is the bare noun of a PP idiom
+          // ("stays on file with ...", "on record,")
           if (t.pos == "VERB" && t.text == t.lemma && prev == "ADP" &&
             toks(i - 1).lemma != "to" &&
-            (at(i + 1) == "NOUN" || at(i + 1) == "PROPN"))
+            (at(i + 1) == "NOUN" || at(i + 1) == "PROPN" ||
+              at(i + 1) == "ADP" || at(i + 1) == "PUNCT" ||
+              at(i + 1) == "CCONJ" || i + 1 >= n))
             t.pos = "NOUN"
           // a bare gerund after a preposition with no object of its own is
           // a noun ("except for billing,", "used for tracking.") — gerunds
@@ -299,6 +316,12 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
+        case "NOUN" if (t.lemma == "sooner" || t.lemma == "later") &&
+          !(i > 0 && toks(i - 1).lemma == "no") =>
+          // comparative time adverbs ("would leave our archive sooner") —
+          // except the "no sooner" idiom, whose inversion parse keys on
+          // the determiner reading
+          t.pos = "ADV"
         case "NOUN" if (Lexicon.endsWithIgnoreCase(t.text, "ed") ||
           Lexicon.endsWithIgnoreCase(t.text, "en")) && t.text.length > 4 &&
           (at(i - 1) == "AUX" || (at(i - 1) == "ADV" && at(i - 2) == "AUX")) =>
@@ -416,7 +439,13 @@ object RuleNlp {
         // address") — no noun mention continues into a determiner
         val detPredicate = matched == 1 &&
           (toks(i).pos == "VERB" || toks(i).pos == "VERBC") &&
-          i + 1 < n && toks(i + 1).pos == "DET"
+          i + 1 < n && toks(i + 1).pos == "DET" &&
+          // a dict token directly after a SAME-class dict token is the
+          // compound head, not a predicate ("health records the moment
+          // you file" — 'records' continues the DATA compound); gerunds
+          // are exempt ("employers sponsoring your account")
+          !(i > 0 && toks(i - 1).ner == label &&
+            !Lexicon.endsWithIgnoreCase(toks(i).text, "ing"))
         // inside a wh-free-relative ("What our servers record, ...") the
         // clause needs its predicate: a verb-candidate unigram whose left
         // context up to the 'what' is all nominal is that predicate
@@ -624,7 +653,18 @@ object RuleNlp {
         }
       }
     }
-    if (lastReal.exists(k => toks(k).text == "?") || (auxBeforeSubj && !frontedConditional))
+    // restrictive-adverb inversion is declarative, not interrogative
+    // ("Scarcely have you tapped Pay when ...", "No sooner do you ...")
+    val restrictiveInversion = auxBeforeSubj && {
+      (start until end).find(k => toks(k).pos != "SPACE").exists { f =>
+        val l = toks(f).lemma
+        l == "scarcely" || l == "rarely" || l == "seldom" || l == "hardly" ||
+          l == "never" || l == "barely" ||
+          (l == "no" && f + 1 < end && toks(f + 1).lemma == "sooner")
+      }
+    }
+    if (lastReal.exists(k => toks(k).text == "?") ||
+      (auxBeforeSubj && !frontedConditional && !restrictiveInversion))
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
