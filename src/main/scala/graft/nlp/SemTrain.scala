@@ -17,7 +17,10 @@ object SemTrain {
       (Holdout.pages3, Holdout.truth3), (Holdout.pages4, Holdout.truth4),
       (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
       (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
-      (Holdout.pages9, Holdout.truth9))
+      (Holdout.pages9, Holdout.truth9),
+      // batch 10 joined the training set when it CLOSED (kernel == truth
+      // there); batch 11 has never been read here — its row is zero-shot
+      (Holdout.pages10, Holdout.truth10))
     batches.flatMap { case (pages, truth) =>
       val ts = truth.toSet
       pages.map(p => p -> ts.filter(_._1 == p.url))

@@ -46,8 +46,9 @@ class SemScoringSpec extends AnyFunSuite {
     info(f"kernel+mlp P=$cp%.3f R=$cr%.3f F1=$cf%.3f")
     assert(cr > kr, "scorer must add zero-shot recall over the kernel")
     assert(cf > kf, "scorer must improve zero-shot F1 over the kernel")
-    // frozen first-evaluation row: kernel 0/22, combined P 0.538 / R 0.318
-    assert(cr >= 0.3, s"combined zero-shot recall floor: $cr")
-    assert(cp >= 0.5, s"combined zero-shot precision floor: $cp")
+    // frozen first-evaluation rows: kernel 0/22; scorer(b1-9) P 0.538 /
+    // R 0.318; retrained scorer(+b10) P 0.600 / R 0.409 (the committed one)
+    assert(cr >= 0.35, s"combined zero-shot recall floor: $cr")
+    assert(cp >= 0.55, s"combined zero-shot precision floor: $cp")
   }
 }
