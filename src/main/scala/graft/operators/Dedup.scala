@@ -30,22 +30,53 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** 64-permutation MinHash signature from word 3-shingles, banded.
-    * Shingle strings are hashed to 64-bit once; the 64 permutations are
-    * cheap long re-mixes of that value — hashing the string 64 times was
-    * the dominant cost of the signature. */
+    * Shingle strings are hashed to 64-bit once (codegen); the 64
+    * permutation minima are then computed in ONE `mapPartitions` pass with
+    * a preallocated long[64] — the previous all-column form evaluated 64
+    * separate `array_min(transform(...))` expressions, materializing 64
+    * remixed copies of the shingle array per document (round-4 VERDICT
+    * next #6: the signature stage was the dominant minhash cost). The
+    * remix is the same xxhash64 chain Spark's expression computes, via
+    * catalyst's XXH64, so the stage stays deterministic. */
   def minhashBands(docs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
     val rowsPerBand = numHashes / bands
     val sh = docs.select(col("doc_id"),
       transform(shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(h, lit(i)))).as(s"h$i")
-    }
-    val sig = sh.select(col("doc_id") +: sigCols: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((Seq(lit(b)) ++ (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))): _*)
-        .as(s"band$b")
-    }
-    sig.select(col("doc_id") +: bandCols: _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nh = numHashes
+    val nb = bands
+    val banded = sh.as[(Long, Seq[Long])].mapPartitions { it =>
+      val sig = new Array[Long](nh)
+      it.map { case (id, hs) =>
+        java.util.Arrays.fill(sig, Long.MaxValue)
+        hs.foreach { h =>
+          val base = XXH64.hashLong(h, 42L)
+          var i = 0
+          while (i < nh) {
+            val v = XXH64.hashLong(i.toLong, base)
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        val bandKeys = new Array[Long](nb)
+        var b = 0
+        while (b < nb) {
+          var acc = XXH64.hashLong(b.toLong, 42L)
+          var r = 0
+          while (r < rowsPerBand) {
+            acc = XXH64.hashLong(sig(b * rowsPerBand + r), acc)
+            r += 1
+          }
+          bandKeys(b) = acc
+          b += 1
+        }
+        (id, bandKeys)
+      }
+    }.toDF("doc_id", "bandArr")
+    banded.select(col("doc_id") +:
+      (0 until bands).map(b => element_at(col("bandArr"), b + 1).as(s"band$b")): _*)
   }
 
   /** Candidate pairs from LSH buckets, verified with exact shingle Jaccard.
