@@ -143,6 +143,42 @@ object KgPipeline {
       variant: String = "extended"): Dataset[Triple] =
     triplesFromPages(pages(spark, nDocs, seed), variant)
 
+  /** OPT-IN semantic augmentation stage: the committed learned scorer
+    * (kg/SemanticScorer — the engine's U1 transformer slot) proposes
+    * (party, datum) tuples the rule kernel missed, materialized as extra
+    * COLLECT/BE_COLLECTED triples alongside the kernel's. Runs as the same
+    * narrow per-partition batched-model shape as the purpose scorer
+    * (per-JVM lazy load, no shuffle added); default-off so the oracle
+    * parity suite pins the pure-rule graph. A real deployment flips this
+    * on for recall at the measured precision trade (COVERAGE.md zero-shot
+    * tables: batch-11 F1 0.000 → 0.486 on OOV predicates). */
+  def augmentWithScorer(pages: Dataset[WebPage],
+      kernelTriples: Dataset[Triple]): Dataset[Triple] = {
+    import pages.sparkSession.implicits._
+    val scored = pages
+      .filter(col("lang") === "en")
+      .mapPartitions { it =>
+        val m = SemanticScorer.fromResource
+        it.flatMap { p =>
+          val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+          val cands = SemanticScorer.candidates(p.url, html)
+          SemanticScorer.predictTuples(m, cands).iterator
+        }
+      }.toDF("url", "party", "datatype")
+    // dedup at PARTY-TUPLE level through the kernel's closure: a datum the
+    // kernel already reaches (possibly via a more specific actor and a
+    // richer edge type) is not re-asserted
+    val kernelParty = KgApi.partyTuples(kernelTriples)
+      .select(col("url"), col("party"), col("datatype"))
+    val fresh = scored.join(kernelParty, Seq("url", "party", "datatype"), "left_anti")
+      .map { r =>
+        val party = r.getString(1)
+        Triple(r.getString(0), if (party == "we") "we" else "third party",
+          "ACTOR", "COLLECT", r.getString(2), "DATA", Vector.empty, Map.empty)
+      }
+    kernelTriples.unionByName(fresh)
+  }
+
   /** Full pipeline with checkpointed stage tables + lineage (north rule:
     * resume mid-pipeline = stage-table presence check). Purpose labels run
     * through the corpus-level batched scorer between the raw-kernel stage

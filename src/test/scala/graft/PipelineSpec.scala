@@ -217,4 +217,21 @@ class PipelineSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("semantic augmentation stage adds scorer tuples the kernel missed") {
+    import spark.implicits._
+    // the open holdout batch is exactly where the kernel is blind and the
+    // scorer is not — the augmented graph must be a strict superset there
+    val pages = spark.createDataset(graft.kg.Holdout.pages11)
+    val kernel = graft.kg.KgPipeline.triplesFromPages(pages).cache()
+    val aug = graft.kg.KgPipeline.augmentWithScorer(pages, kernel)
+    val kSet = kernel.collect().map(t => (t.url, t.subj, t.obj)).toSet
+    val aSet = aug.collect().map(t => (t.url, t.subj, t.obj)).toSet
+    assert(kSet.subsetOf(aSet), "augmentation must preserve kernel triples")
+    assert(aSet.size > kSet.size, "scorer added no tuples on the open batch")
+    aug.collect().filterNot(t => kSet.contains((t.url, t.subj, t.obj)))
+      .foreach { t =>
+        assert(t.pred == "COLLECT" && (t.subj == "we" || t.subj == "third party"), t.toString)
+      }
+  }
 }
