@@ -138,7 +138,7 @@ object CorpusGen {
 
   /** One generated paragraph: sentence html + its truth triples. */
   private def sentence(url: String, rng: Rng): (String, Vector[Truth]) = {
-    val kind = rng.nextInt(22)
+    val kind = rng.nextInt(24)
     val (dtS, dtC) = rng.pick(dataTerms)
     val (acS, acC) = rng.pick(actors)
     kind match {
@@ -282,6 +282,24 @@ object CorpusGen {
           // the merged we-collect cites both sentences
           Truth(url, "we", "COLLECT", dtC, "", Vector(s1, s2)),
           Truth(url, acC, "BE_SHARED", dtC, "", Vector(s1, s2))))
+      case 22 => // figurative ingress (round-5 idiom verb classes): a
+        // datum-subject motion verb with a first-party store destination
+        // asserts collection — the holdout batches 9-10 families, kept
+        // exercised at 24k-doc scale by the distributed digest oracle
+        val frame = rng.pick(Vector(
+          ("%s reaches our servers.", "COLLECT"),
+          ("%s ends up in our records.", "COLLECT"),
+          ("%s finds its way into our logs.", "COLLECT"),
+          ("%s enters our systems.", "COLLECT")))
+        (frame._1.format(dtS).capitalize,
+          Vector(Truth(url, "we", frame._2, dtC, "")))
+      case 23 => // figurative retention / possession presupposition
+        if (rng.nextInt(2) == 0)
+          (s"$dtS lingers in our archive.".capitalize,
+            Vector(Truth(url, "we", "STORE", dtC, "")))
+        else
+          (s"We treat $dtS as confidential.",
+            Vector(Truth(url, "we", "STORE", dtC, "")))
       case _ => ("", Vector.empty)
     }
   }
