@@ -1585,9 +1585,17 @@ object DocKernel {
     st.docs.foreach { d =>
       // data types already on the receiving end of a COLLECT-family edge
       d.parses.foreach { p =>
-        val collected: Set[Int] = p.chunks.flatMap { c =>
-          d.srcs(c.head).filter(s => st.inEdges(s).exists(e => CollectEdgeTypes(e._3))).map(_ => c.head)
-        }.toSet
+        // tight loop: runs for every sentence of every context doc
+        var collected: Set[Int] = Set.empty
+        var ci = 0
+        while (ci < p.chunks.length) {
+          val c = p.chunks(ci)
+          d.srcs(c.head).foreach { s =>
+            if (st.inEdges(s).exists(e => CollectEdgeTypes(e._3)))
+              collected += c.head
+          }
+          ci += 1
+        }
         if (collected.nonEmpty && !p.text.endsWith(":")) {
           // candidates: (anchorVerb, purposeRoot)
           val cands = mutable.ListBuffer[(Int, Int)]()

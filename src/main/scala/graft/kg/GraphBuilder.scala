@@ -291,14 +291,28 @@ object GraphBuilder {
     val finalEdges = mutable.LinkedHashMap[(String, String, String), (mutable.ListBuffer[Src], mutable.LinkedHashMap[String, mutable.ListBuffer[String]])]()
     val finalAdj = mutable.Map[String, mutable.Set[String]]() // cycle guard view
 
+    // version-stamped scratch (same trick as Digraph.hasPath): this runs
+    // once per candidate final edge, and the fresh Set+Queue per call was
+    // a measurable slice of the merge step's allocation
+    val fhpSeen = mutable.AnyRefMap[String, Int]()
+    var fhpStamp = 0
+    val fhpQ = new java.util.ArrayDeque[String]()
     def finalHasPath(a: String, b: String): Boolean = {
       if (a == b) return true
-      val seen = mutable.Set(a); val q = mutable.Queue(a)
-      while (q.nonEmpty) {
-        val x = q.dequeue()
-        finalAdj.getOrElse(x, Set.empty).foreach { y =>
-          if (y == b) return true
-          if (!seen.contains(y)) { seen += y; q.enqueue(y) }
+      fhpStamp += 1
+      fhpQ.clear()
+      fhpSeen(a) = fhpStamp
+      fhpQ.add(a)
+      while (!fhpQ.isEmpty) {
+        val x = fhpQ.poll()
+        val vs = finalAdj.getOrElse(x, null)
+        if (vs != null) {
+          val it = vs.iterator
+          while (it.hasNext) {
+            val y = it.next()
+            if (y == b) return true
+            if (fhpSeen.getOrElse(y, 0) != fhpStamp) { fhpSeen(y) = fhpStamp; fhpQ.add(y) }
+          }
         }
       }
       false
