@@ -1294,13 +1294,20 @@ object DocKernel {
       }
       d.parses.zipWithIndex.foreach { case (p, pIdx) =>
         if (!onDeviceOnly(p) && !retractedIdx.contains(pIdx) && !selfRetracted(p)) Patterns.matchSentence(p).foreach { m =>
+          // egress presupposition survives negation: "your data never
+          // leaves our servers" asserts the data IS on our servers — the
+          // leave-STORE_NOUN pattern's retention reading is
+          // negation-transparent (the leave-your-device transmission
+          // pattern keeps ordinary polarity)
+          val mNeg = m.neg && !(m.action == "STORE" && m.verb >= 0 &&
+            p.tokens(m.verb).lemma == "leave")
           val entries =
             // ACTIVE deletion ("you can ask us to erase X") is a rights
             // statement, no capture; the agentless PASSIVE ("your data is
             // deleted after 90 days") discloses prior storage
             if (m.verb >= 0 && DeletionVerbs.contains(p.tokens(m.verb).lemma) &&
               !p.passiveVerbs.contains(m.verb)) Nil
-            else Patterns.actionMap((m.action, m.neg))
+            else Patterns.actionMap((m.action, mNeg))
           // implicit first-party only when the match captured no VALID party
           // in any slot ("Your voice may be recorded") — a passive that
           // names one ("shared with analytics providers") keeps reference

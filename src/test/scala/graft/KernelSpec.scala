@@ -239,6 +239,22 @@ class KernelSpec extends AnyFunSuite {
     assert(!rt.exists(t => !t._2.startsWith("NOT_")), s"$rt")
   }
 
+  test("round-5 distractors: idiom verb classes stay silent without a store") {
+    // ingress/egress verbs without the figurative-store shape assert nothing
+    val ends = triples("<p>Your session ends in 30 minutes.</p>")
+    assert(!ends.exists(t => !t._2.startsWith("NOT_")), s"$ends")
+    val leave = triples("<p>You may leave our service at any time.</p>" +
+      "<p>Cookies expire and leave your browser.</p>")
+    assert(!leave.exists(t => !t._2.startsWith("NOT_")), s"$leave")
+    // egress presupposition survives negation: never-leaves-OUR-store is
+    // retention, never-leaves-YOUR-device stays a negative transmission
+    val ours = triples("<p>Your purchase history never leaves our servers.</p>")
+    assert(ours.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "purchase history"), s"$ours")
+    val device = triples("<p>Your fingerprint never leaves your device.</p>")
+    assert(!device.exists(t => !t._2.startsWith("NOT_")), s"$device")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
