@@ -112,6 +112,12 @@ object Holdout {
   lazy val pages11: Vector[WebPage] = loadPages("holdout11_docs.tsv")
   lazy val truth11: Vector[(String, String, String)] = loadTruth("holdout11_truth.tsv")
 
+  /** Batch 12 (round 6 opening): written before any batch-11 closure work;
+    * the zero-shot test set for BOTH the rule kernel and kernel + semantic
+    * scorer once batch 11 closes. */
+  lazy val pages12: Vector[WebPage] = loadPages("holdout12_docs.tsv")
+  lazy val truth12: Vector[(String, String, String)] = loadTruth("holdout12_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -144,6 +150,7 @@ object Holdout {
   lazy val predicted9: Vector[(String, String, String)] = predict(pages9)
   lazy val predicted10: Vector[(String, String, String)] = predict(pages10)
   lazy val predicted11: Vector[(String, String, String)] = predict(pages11)
+  lazy val predicted12: Vector[(String, String, String)] = predict(pages12)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

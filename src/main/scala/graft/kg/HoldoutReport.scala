@@ -35,5 +35,6 @@ object HoldoutReport {
     report("9", Holdout.predicted9.toSet, Holdout.truth9.toSet)
     report("10", Holdout.predicted10.toSet, Holdout.truth10.toSet)
     report("11", Holdout.predicted11.toSet, Holdout.truth11.toSet)
+    report("12", Holdout.predicted12.toSet, Holdout.truth12.toSet)
   }
 }

@@ -31,8 +31,9 @@ object SemReport {
       combined
     }
     batch("10", Holdout.pages10, Holdout.truth10)
-    val combined = batch("11", Holdout.pages11, Holdout.truth11)
-    val want = Holdout.truth11.toSet
+    batch("11", Holdout.pages11, Holdout.truth11)
+    val combined = batch("12", Holdout.pages12, Holdout.truth12)
+    val want = Holdout.truth12.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
