@@ -207,6 +207,11 @@ object DocKernel {
   private val UserSubjects = Set("you", "your", "user", "customer",
     "visitor", "consumer", "member", "subscriber", "applicant", "individual")
 
+  /** Light temporal nouns that head when-connectives ("the moment you
+    * file", "the instant you tap Pay"). */
+  private val TemporalNouns = Set("moment", "minute", "second", "instant",
+    "time", "day", "week", "month", "year")
+
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
 
@@ -1107,6 +1112,10 @@ object DocKernel {
             // fingerprint, regardless of the object ("our servers
             // fingerprint your browser")
             else if (vt.lemma == "fingerprint") 8
+            // taping a call/exchange captures an audio recording whatever
+            // the recorded thing is called ("Support calls are taped",
+            // "the exchange is taped" — batch 11)
+            else if (vt.lemma == "tape") 3
             else -1
           if (captureTerm >= 0 && vt.pos == "VERB" &&
             !p.neg.contains(v)) {
@@ -1320,6 +1329,48 @@ object DocKernel {
               real.nonEmpty && validateType(st, d, p, real, "ACTOR")
             }
           }
+          // external-recipient destination: an into/onto/to-NP after the
+          // verb naming a non-user ACTOR not possessed by "our" — data
+          // deposited in a third party's store is shared with that party,
+          // not retained by the operator ("pencilled into the courier's
+          // roster"; batch 11). The possessor may be a genitive modifier
+          // or the NP head itself ("to the acquiring bank").
+          val destActor: Int = if (m.verb < 0) -1 else {
+            var res = -1
+            var i2 = m.verb + 1
+            while (res < 0 && i2 < p.end) {
+              val ti = p.tokens(i2)
+              if (ti.pos == "ADP" && (ti.lemma == "to" || ti.lemma == "into" ||
+                ti.lemma == "onto")) {
+                var j = i2 + 1
+                var sawOur = false
+                var actor = -1
+                var stop = false
+                while (!stop && j < p.end) {
+                  val tj = p.tokens(j)
+                  if (tj.pos == "PUNCT" || tj.pos == "VERB" || tj.pos == "ADP" ||
+                    tj.pos == "SCONJ" || tj.pos == "AUX") stop = true
+                  else {
+                    if (tj.lemma == "our") sawOur = true
+                    if (tj.ner == "ACTOR" && (tj.pos == "NOUN" || tj.pos == "PROPN") &&
+                      !UserSubjects.contains(tj.lemma.toLowerCase)) actor = j
+                    j += 1
+                  }
+                }
+                if (!sawOur && actor >= 0) res = actor
+                i2 = j
+              } else i2 += 1
+            }
+            res
+          }
+          // diversion particle right after the verb ("siphoned OFF to the
+          // acquiring bank"): the datum is drawn away to the recipient —
+          // no first-party retention reading (contrast plain transmission,
+          // where the h213 convention keeps the sharer's tuple)
+          val diversion = m.verb >= 0 && m.verb + 1 < p.end && {
+            val l = p.tokens(m.verb + 1).lemma
+            l == "off" || l == "away"
+          }
           entries.foreach { case (eIdx, dtIdx, rel) =>
             val ents = m.args.lift(eIdx).getOrElse(Nil)
             val dts = m.args.lift(dtIdx).getOrElse(Nil)
@@ -1367,16 +1418,53 @@ object DocKernel {
                 (Set("stream", "flow", "transfer", "convey", "go").contains(p.tokens(m.verb).lemma) &&
                   m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
                     p.chunkOf(h).exists(c =>
-                      (c.start until h).exists(k => p.tokens(k).lemma == "our")))))) &&
+                      (c.start until h).exists(k => p.tokens(k).lemma == "our"))))) ||
+                // operator-side instrument subject acting on a datum ("Our
+                // databank soaks up every search you run", "the card
+                // reader beams each swipe to our ledger"): an our-possessed
+                // or definite common-noun subject that is neither a party
+                // nor a datum is first-party infrastructure — the operator
+                // acts (metonymy; batch 11). your/their-possessed subjects
+                // stay out, so "your browser sends ..." is unchanged.
+                (ents.nonEmpty && ents.forall { t2 =>
+                  val tk = d.toks(t2)
+                  (tk.pos == "NOUN" || tk.pos == "PROPN") &&
+                    p.chunkOf(t2).exists { c =>
+                      // the determiner may sit just left of the chunk when
+                      // an adverb/adjective premodifier broke it off ("Our
+                      // nightly job")
+                      var k = c.start - 1
+                      while (k >= p.start && (p.tokens(k).pos == "ADV" ||
+                        p.tokens(k).pos == "ADJ")) k -= 1
+                      ((if (k >= p.start) k else c.start) until t2)
+                        .exists { j =>
+                          val l = p.tokens(j).lemma
+                          (l == "our" || l == "the" || l == "this" || l == "these") &&
+                            // a temporal light noun after the determiner
+                            // marks a when-connective, not the subject's
+                            // determiner ("... the moment adjusters file
+                            // them" — 'adjusters' is no instrument)
+                            !(j + 1 until t2).exists(j2 =>
+                              TemporalNouns.contains(p.tokens(j2).lemma))
+                        }
+                    }
+                })) &&
               // "stored locally" / "processed on your device" = on-device,
               // not operator collection
               !(m.verb + 1 < p.end && p.tokens(m.verb + 1).lemma == "locally") &&
               validateType(st, d, p, dts, "DATA")) {
-              // agentless passive → implicit first-party actor
-              for (dt <- dts; dtSrc <- d.srcs(dt)) {
-                st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
-                st.recordMention(d, p, dt, dtSrc)
-                st.sentText.getOrElseUpdate(dtSrc, p.text)
+              if (destActor >= 0 && !rel.startsWith("NOT_") &&
+                (m.action == "STORE" || m.action == "COLLECT")) {
+                // deposit into a third party's store → shared with that
+                // party, not retained by the operator
+                for (dt <- dts) st.link(d, p, destActor, dt, "BE_SHARED")
+              } else if (!(m.action == "SHARE" && diversion && destActor >= 0)) {
+                // agentless passive → implicit first-party actor
+                for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                  st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                  st.recordMention(d, p, dt, dtSrc)
+                  st.sentText.getOrElseUpdate(dtSrc, p.text)
+                }
               }
             } else if (eIdx == 2 &&
               !validateType(st, d, p, ents, "ACTOR") && !rel.startsWith("NOT_") &&
@@ -1489,6 +1577,30 @@ object DocKernel {
                     if (p.tokens(j).lemma == "our") ourDest = true
                     j += 1
                   }
+                } else if (l == "by" && p.tokens(i).pos == "ADP") {
+                  // by-agent naming operator-side instrumentation ("is
+                  // profiled by the store kiosks", "minuted by the fraud
+                  // sentry"): an our-possessed or definite common-noun
+                  // agent that names no party is the operator's machinery
+                  // observing the subject datum (batch 11)
+                  var j = i + 1
+                  var det = false
+                  var party = false
+                  var stop = false
+                  while (!stop && j < p.end) {
+                    val tj = p.tokens(j)
+                    if (tj.pos == "PUNCT" || tj.pos == "VERB" || tj.pos == "ADP" ||
+                      tj.pos == "SCONJ" || tj.pos == "AUX") stop = true
+                    else {
+                      val lj = tj.lemma
+                      if (lj == "our" || lj == "the" || lj == "this" ||
+                        lj == "these") det = true
+                      if (tj.ner == "ACTOR" || tj.ner == "DATA" ||
+                        UserSubjects.contains(lj)) party = true
+                      j += 1
+                    }
+                  }
+                  if (det && !party) ourDest = true
                 }
                 i += 1
               }

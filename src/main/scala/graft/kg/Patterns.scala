@@ -224,8 +224,8 @@ object Patterns {
     ("set|place:root|ccomp",
       Seq(":subj@E1", "!cookie:obj@DT"), Seq("STORE", "E1", "DT")),
     // E1 rely on / fall back to / resort to DT
-    ("rely|fall|resort|depend|feast:root|ccomp",
-      Seq(":subj@E1", "!on|to|upon:prep,:obj@DT"), Seq("USE", "E1", "DT")),
+    ("rely|fall|resort|depend|feast|nibble|graze|snack:root|ccomp",
+      Seq(":subj@E1", "!on|to|upon|at:prep,:obj@DT"), Seq("USE", "E1", "DT")),
     // DT persists (retention statement)
     ("persist:root|ccomp",
       Seq("!:subj@DT"), Seq("STORE", "WE", "DT")),
@@ -236,7 +236,7 @@ object Patterns {
     ("stream|flow|transfer|convey|go:root|ccomp",
       Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2")),
     // light verb: E1 make/take a copy/recording/scan of DT
-    ("make|take:root|ccomp|xcomp",
+    ("make|take|stash|keep:root|ccomp|xcomp",
       Seq(":subj@E1", "!copy|record|recording|backup|scan|note:obj,of,:obj@DT"),
       Seq("STORE", "E1", "DT")),
     // DT feeds into our systems
@@ -249,13 +249,13 @@ object Patterns {
     ("ask:root|ccomp",
       Seq(":subj@E1", "!:obj@DT"), Seq("COLLECT", "E1", "DT")),
     // DT accompanies/syncs (middle voice)
-    ("accompany|sync|ride|tag:root|ccomp",
+    ("accompany|sync|ride|tag|piggyback|hitchhike:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // records bear DT
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -275,7 +275,7 @@ object Patterns {
       Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick|slip|settle|lodge:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",
@@ -305,12 +305,16 @@ object Patterns {
     ("take:root|ccomp",
       Seq("!:subj@DT", "!residence:obj"), Seq("STORE", "WE", "DT")),
     // pseudo-cleft ingress focus
-    ("reach|enter|land|stick|slip|settle|lodge:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate:root|ccomp",
       Seq("!what:subj", "!:obj@DT"), Seq("COLLECT", "WE", "DT")),
     // light-noun acquisition, PP under the noun
     ("get|catch|take|steal:root|ccomp",
       Seq(":subj@E1", "!peek|glimpse|look|wind|whiff|sight:obj,at|of,:obj@DT"),
-      Seq("USE", "E1", "DT"))))
+      Seq("USE", "E1", "DT")),
+    // DT ages/rotates out of <our store> (egress presupposes retention)
+    ("age|expire|rotate:root|ccomp",
+      Seq("!:subj@DT", "!of|from,*STORE_NOUN:obj@E2"),
+      Seq("STORE", "WE", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

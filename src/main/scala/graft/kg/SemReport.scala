@@ -2,9 +2,9 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: zero-shot semantic-scorer report on the OPEN holdout batch 10
-  * — kernel-only vs kernel ∪ scorer, with per-doc diffs for the combined
-  * system. `sbt "runMain graft.kg.SemReport"` */
+/** Dev tool: semantic-scorer report on the open-era batches (10-12; 12 is
+  * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
+  * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
 
   def scorerTuples(pages: Vector[Model.WebPage]): Set[(String, String, String)] = {

@@ -50,7 +50,11 @@ object Lexicon {
     "fingerprint",
     // batch-10 closure: figurative ingress/retention/acquisition members
     "end", "hang", "slip", "settle", "lodge", "ride", "tag", "escape",
-    "sign", "trickle", "feast", "catch", "steal", "flow")
+    "sign", "trickle", "feast", "catch", "steal", "flow",
+    // batch-11 closure: accumulation/residence/consumption/conduit roots
+    // outside the token maps, plus "tape" for the recording capture-term
+    "pile", "wash", "accumulate", "live", "reside", "sit", "nibble",
+    "graze", "snack", "piggyback", "hitchhike", "expire", "rotate", "tape")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -78,7 +82,7 @@ object Lexicon {
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
     "namely", "together", "sometimes", "always", "so", "back", "otherwise",
-    "along", "up", "off", "away", "down", "still")
+    "along", "up", "off", "away", "down", "still", "out")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
@@ -123,7 +127,9 @@ object Lexicon {
     "pages" -> "page", "messages" -> "message", "images" -> "image",
     "times" -> "time", "types" -> "type", "names" -> "name",
     "practices" -> "practice", "sources" -> "source", "stores" -> "store",
-    "features" -> "feature", "profiles" -> "profile", "files" -> "file")
+    "features" -> "feature", "profiles" -> "profile", "files" -> "file",
+    // British doubled-l past forms escape the ll de-doubling exemption
+    "pencilled" -> "pencil", "pencilling" -> "pencil")
 
   /** Bases known to end in -e so -ed/-ing strip restores the e. */
   private val eRestore: Set[String] = Set("include", "use", "store", "share", "provide",
@@ -135,7 +141,8 @@ object Lexicon {
     "operate", "administer", "handle", "merge", "infer", "derive",
     "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
     "compile", "change", "observe", "archive", "profile", "trace", "cease",
-    "arrive", "type", "stay", "purge", "freeze")
+    "arrive", "type", "stay", "purge", "freeze",
+    "tape", "live", "reside", "rotate", "graze", "pile", "shelve")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a
@@ -186,7 +193,14 @@ object Lexicon {
   }
 
   private def computeLemma(word: String): String = {
-    val w = word.toLowerCase
+    val w0 = word.toLowerCase
+    // Saxon genitive stays attached by the tokenizer ("courier's roster")
+    // — strip it so the possessor keeps its dictionary identity
+    val w =
+      if (w0.endsWith("'s") || w0.endsWith("’s")) w0.dropRight(2)
+      else if (w0.length > 2 && (w0.endsWith("'") || w0.endsWith("’")) &&
+        w0.charAt(w0.length - 2) == 's') w0.dropRight(1)
+      else w0
     lemmaExceptions.get(w) match {
       case Some(l) => l
       case None =>

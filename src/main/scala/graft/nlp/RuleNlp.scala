@@ -148,6 +148,10 @@ object RuleNlp {
   // constant word sets hoisted out of per-token/per-sentence hot loops
   private val AccessVerbs = Set("have", "get", "gain", "request", "grant")
 
+  /** True modals — a following base form must be a verb (bare infinitive). */
+  private val ModalAux = Set("may", "might", "can", "could", "will", "would",
+    "shall", "should", "must")
+
   /** Matrix verbs whose OBJECT controls a following infinitive ("ask you
     * to provide"); everything else is subject-controlled ("use X to build"). */
   private val ObjectControlVerbs = Set("ask", "require", "prompt", "oblige",
@@ -228,6 +232,9 @@ object RuleNlp {
           // lowercase -s verb candidate squeezed between a nominal and a
           // boundary token is a noun
           if (t.pos == "VERB" && t.text.endsWith("s") && Lexicon.isLower(t.text) &&
+            // verbs that never nominalize in policy prose keep their
+            // predicate reading ("Your shipping address piggybacks on ...")
+            t.lemma != "piggyback" && t.lemma != "hitchhike" &&
             (prev == "NOUN" || prev == "PROPN") &&
             // free-relative heads need their predicate ("What settles in
             // our ledger ... is ...")
@@ -243,6 +250,31 @@ object RuleNlp {
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "ADP" || at(i + 1) == "PUNCT" ||
               at(i + 1) == "CCONJ"))
+            t.pos = "NOUN"
+          // store-noun compound tails in the same shape ("the customer
+          // file.", "our crash buffer overflows" stays out via the
+          // boundary requirement): a base-form STORE_NOUN lemma between a
+          // nominal and a clause boundary is the compound's head noun,
+          // not a predicate (batch 11 — same rationale as "set" above).
+          // Free relatives AND bound relatives need their predicate ("What
+          // our servers record, ...", "It is X that our servers log."), so
+          // a wh-head or relativizer earlier in the clause keeps VERB.
+          if (t.pos == "VERB" && t.text == t.lemma &&
+            Lexicon.tokenMap("STORE_NOUN").contains(t.lemma) &&
+            (prev == "NOUN" || prev == "PROPN") &&
+            (i + 1 >= n || at(i + 1) == "ADP" || at(i + 1) == "PUNCT" ||
+              at(i + 1) == "CCONJ") && {
+              var j = i - 1
+              var wh = false
+              while (j >= 0 && at(j) != "PUNCT" && !wh) {
+                val l = toks(j).lemma
+                wh = l == "what" || l == "whatever" || l == "whoever" ||
+                  l == "whichever" || l == "that" || l == "which" ||
+                  l == "who" || l == "whom"
+                j -= 1
+              }
+              !wh
+            })
             t.pos = "NOUN"
 
           // a base-form verb candidate between a preposition and a noun is
@@ -316,6 +348,14 @@ object RuleNlp {
           // partitive pronoun: "some of your information" (heads its own NP,
           // resolved by the COREF_SOME_OF pattern)
           t.pos = "PRON"
+        case "NOUN" if i > 0 && at(i - 1) == "AUX" &&
+          ModalAux.contains(toks(i - 1).lemma) && Lexicon.isLower(t.text) &&
+          t.text == t.lemma =>
+          // a modal auxiliary requires a bare infinitive — a base-form
+          // dictionary noun right after would/may/... is the verb
+          // ("voicemails would age out of our vaults": 'age' is a DATA
+          // unigram, but here it predicates)
+          t.pos = "VERB"
         case "NOUN" if (t.lemma == "sooner" || t.lemma == "later") &&
           !(i > 0 && toks(i - 1).lemma == "no") =>
           // comparative time adverbs ("would leave our archive sooner") —
@@ -1366,6 +1406,12 @@ object RuleNlp {
         dg.from + 1 < end && toks(dg.from + 1).pos == "VERB" &&
         Lexicon.endsWithIgnoreCase(toks(dg.from + 1).text, "ed")) {
         val part = dg.from + 1
+        // the participle's own subj capture is an artifact of the rewrite
+        // — drop it so the get-passive looks exactly like the be-passive
+        // ("gets tucked into the customer file" must not capture the
+        // promoted object a second time as E1)
+        deps.filterInPlace(dd => !(dd.from == part && dd.dep == "subj"))
+        subjOf.remove(part)
         addDep(part, dg.to, "obj")
         objOf(part) = objOf.getOrElse(part, Nil) :+ dg.to
         passiveExtra += part
@@ -1790,7 +1836,11 @@ object RuleNlp {
         // ("services like X") → nearest noun
         val subsumAnchor =
           if (subsumCue && commaBefore && chainRoot >= 0) chainRoot else lastNounHead
-        val nounAttach = (t.lemma == "of") || collocation || subsumCue
+        // a bare "of" with no noun to its left ("would age out of our
+        // vaults": verb + particle + of-PP) is the verb's own PP — without
+        // the guard it attached to token -1 and the PP was lost
+        val nounAttach = (t.lemma == "of" && lastNounHead >= 0) ||
+          collocation || subsumCue
         // "together/along with X" after the object (comma optional:
         // "radio back the delivery outcome together with your street
         // name") adds X as a further OBJECT of the verb

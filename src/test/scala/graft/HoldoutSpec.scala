@@ -114,4 +114,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout10 precision regressed: $p")
     assert(r >= 0.99, s"holdout10 recall regressed: $r")
   }
+
+  test("holdout batch-11 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted11.toSet, Holdout.truth11.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout11 precision regressed: $p")
+    assert(r >= 0.99, s"holdout11 recall regressed: $r")
+  }
 }
