@@ -118,6 +118,12 @@ object Holdout {
   lazy val pages12: Vector[WebPage] = loadPages("holdout12_docs.tsv")
   lazy val truth12: Vector[(String, String, String)] = loadTruth("holdout12_truth.tsv")
 
+  /** Batch 13 (round 6): written after batch 11 closed and before any
+    * batch-12 closure work; the zero-shot test set for BOTH the rule
+    * kernel and kernel + semantic scorer once batch 12 closes. */
+  lazy val pages13: Vector[WebPage] = loadPages("holdout13_docs.tsv")
+  lazy val truth13: Vector[(String, String, String)] = loadTruth("holdout13_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -151,6 +157,7 @@ object Holdout {
   lazy val predicted10: Vector[(String, String, String)] = predict(pages10)
   lazy val predicted11: Vector[(String, String, String)] = predict(pages11)
   lazy val predicted12: Vector[(String, String, String)] = predict(pages12)
+  lazy val predicted13: Vector[(String, String, String)] = predict(pages13)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

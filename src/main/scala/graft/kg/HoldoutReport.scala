@@ -36,5 +36,6 @@ object HoldoutReport {
     report("10", Holdout.predicted10.toSet, Holdout.truth10.toSet)
     report("11", Holdout.predicted11.toSet, Holdout.truth11.toSet)
     report("12", Holdout.predicted12.toSet, Holdout.truth12.toSet)
+    report("13", Holdout.predicted13.toSet, Holdout.truth13.toSet)
   }
 }

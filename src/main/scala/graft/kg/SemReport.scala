@@ -32,6 +32,7 @@ object SemReport {
     }
     batch("10", Holdout.pages10, Holdout.truth10)
     batch("11", Holdout.pages11, Holdout.truth11)
+    batch("13", Holdout.pages13, Holdout.truth13)
     val combined = batch("12", Holdout.pages12, Holdout.truth12)
     val want = Holdout.truth12.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
