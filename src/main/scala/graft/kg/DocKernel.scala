@@ -215,6 +215,25 @@ object DocKernel {
   private def entCompatible(a: String, b: String): Boolean =
     a.isEmpty || b.isEmpty || a == "NN" || b == "NN" || a == b
 
+  /** Our/the-determined subject chunk whose HEAD noun is not itself a
+    * dictionary datum — its DATA ner came from a compound modifier
+    * ("Our telemetry bus", "The session recorder"). The modifier names
+    * what the device carries; the chunk is operator infrastructure, not a
+    * datum mention (batch 12). */
+  private def instrumentHead(d: CtxDoc, p: Parse, toks: List[Int]): Boolean =
+    toks.nonEmpty && toks.forall { t =>
+      val tk = d.toks(t)
+      tk.ner == "DATA" && (tk.pos == "NOUN" || tk.pos == "PROPN") &&
+        !Normalizer.dataCanonical.contains(tk.lemma) &&
+        !Normalizer.dataCanonical.contains(tk.text.toLowerCase) &&
+        p.chunkOf(t).exists { c =>
+          (c.start until t).exists { j =>
+            val l = p.tokens(j).lemma
+            l == "our" || l == "the" || l == "this" || l == "these"
+          }
+        }
+    }
+
   /** Surface phrases (all present in phrase_map.yml) minted as synthetic
     * mentions by the activity-relcl annotator; index = Src(-2, idx). */
   private val ActivityTerms = Vector(
@@ -1390,7 +1409,11 @@ object DocKernel {
               // a non-party subject capture ("Section 7 permits sharing it
               // with carriers") leaves the operator as the implied actor
               (!validateType(st, d, p, ents, "ACTOR") &&
-                !validateType(st, d, p, ents, "DATA") &&
+                (!validateType(st, d, p, ents, "DATA") ||
+                  // modifier-promoted DATA ner on an infrastructure head
+                  // ("Our telemetry bus", "The session recorder") must not
+                  // read as a datum subject — batch 12
+                  instrumentHead(d, p, ents)) &&
                 !ents.exists(t => UserSubjects.contains(d.toks(t).lemma.toLowerCase)))) &&
               m.verb >= 0 &&
               // agentless passive — and, for SHARE/SELL, also the agented
@@ -1458,7 +1481,14 @@ object DocKernel {
                 // deposit into a third party's store → shared with that
                 // party, not retained by the operator
                 for (dt <- dts) st.link(d, p, destActor, dt, "BE_SHARED")
-              } else if (!(m.action == "SHARE" && diversion && destActor >= 0)) {
+              } else if (!(m.action == "SHARE" && destActor >= 0 &&
+                (diversion ||
+                  // instrument-subject conduit ("the card reader relaying
+                  // your card number to the processor", "The booking tool
+                  // hands X off to border control"): the device is a
+                  // carrier — only the recipient's tuple stands. Agentless
+                  // passives (ents empty) keep the h213 first-party tuple.
+                  ents.nonEmpty))) {
                 // agentless passive → implicit first-party actor
                 for (dt <- dts; dtSrc <- d.srcs(dt)) {
                   st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
@@ -1516,15 +1546,25 @@ object DocKernel {
           if (m.action == "COLLECT" && !m.neg) {
             val e2 = m.args.lift(2).getOrElse(Nil)
             if (e2.nonEmpty && !validateType(st, d, p, e2, "ACTOR") &&
-              validateType(st, d, p, e2, "DATA")) {
+              validateType(st, d, p, e2, "DATA") &&
+              // "from every session" / "from each visit": a distributively
+              // quantified from-NP is the collection OCCASION, not a datum
+              // the operator processes (batch 12)
+              !e2.exists(t => p.chunkOf(t).exists(c =>
+                (c.start until t).exists { j =>
+                  val l = p.tokens(j).lemma
+                  l == "every" || l == "each"
+                }))) {
               val actors = m.args.lift(0).getOrElse(Nil)
               if (actors.nonEmpty && validateType(st, d, p, actors, "ACTOR")) {
                 for (a <- actors; dt <- e2) st.link(d, p, a, dt, "USE")
               } else if ((actors.isEmpty && m.verb >= 0 &&
                 p.passiveVerbs.contains(m.verb)) ||
                 // "X derived from Y" where X is itself a datatype: the
-                // implicit operator uses Y
-                (actors.nonEmpty && validateType(st, d, p, actors, "DATA"))) {
+                // implicit operator uses Y (infrastructure subjects with
+                // modifier-promoted DATA ner are NOT derived artifacts)
+                (actors.nonEmpty && validateType(st, d, p, actors, "DATA") &&
+                  !instrumentHead(d, p, actors))) {
                 for (dt <- e2; s <- d.srcs(dt)) {
                   st.linkSrc(st.implicitWeSrc(p), s, "USE")
                   st.recordMention(d, p, dt, s)
@@ -1573,10 +1613,26 @@ object DocKernel {
                 if (l == "to" || l == "into" || l == "onto") {
                   var j = i + 1
                   val jEnd = math.min(p.end, i + 4)
+                  // a definite STORE_NOUN-headed destination is the
+                  // operator's own store unless possessed by another party
+                  // ("inked into the member register" — batch 12; genitive
+                  // third-party stores go through destActor instead)
+                  var defDet = false
+                  var storeNoun = false
+                  var otherPoss = false
                   while (j < jEnd && !ourDest) {
-                    if (p.tokens(j).lemma == "our") ourDest = true
+                    val tj = p.tokens(j)
+                    val lj = tj.lemma
+                    if (lj == "our") ourDest = true
+                    if (lj == "the" || lj == "this" || lj == "these") defDet = true
+                    if (lj == "your" || lj == "their" || lj == "his" ||
+                      lj == "her" || tj.text.toLowerCase.endsWith("'s") ||
+                      tj.text.toLowerCase.endsWith("’s")) otherPoss = true
+                    if (graft.nlp.Lexicon.tokenMap("STORE_NOUN").contains(lj))
+                      storeNoun = true
                     j += 1
                   }
+                  if (defDet && storeNoun && !otherPoss) ourDest = true
                 } else if (l == "by" && p.tokens(i).pos == "ADP") {
                   // by-agent naming operator-side instrumentation ("is
                   // profiled by the store kiosks", "minuted by the fraud

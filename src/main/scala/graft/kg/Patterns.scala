@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -311,10 +311,20 @@ object Patterns {
     ("get|catch|take|steal:root|ccomp",
       Seq(":subj@E1", "!peek|glimpse|look|wind|whiff|sight:obj,at|of,:obj@DT"),
       Seq("USE", "E1", "DT")),
-    // DT ages/rotates out of <our store> (egress presupposes retention)
-    ("age|expire|rotate:root|ccomp",
-      Seq("!:subj@DT", "!of|from,*STORE_NOUN:obj@E2"),
-      Seq("STORE", "WE", "DT"))))
+    // DT ages/rotates out of / vanishes from <our store> (egress
+    // presupposes retention)
+    ("age|expire|rotate|vanish|evaporate|scrub:root|ccomp",
+      Seq("!:subj|obj@DT", "!of|from,*STORE_NOUN:obj@E2"),
+      Seq("STORE", "WE", "DT")),
+    // E1 drinks in / soaks in DT (in-PP consumption)
+    ("drink|soak:root|ccomp",
+      Seq(":subj@E1", "!in:prep,:obj@DT"), Seq("COLLECT", "E1", "DT")),
+    // DT gathers dust (idle retention)
+    ("gather:root|ccomp",
+      Seq("!:subj@DT", "!dust:obj"), Seq("STORE", "WE", "DT")),
+    // E1 gets/lays their hands on DT
+    ("get|lay:root|ccomp",
+      Seq(":subj@E1", "!hand:obj", "!on,:obj@DT"), Seq("COLLECT", "E1", "DT"))))
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */

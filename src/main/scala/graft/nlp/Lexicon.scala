@@ -54,7 +54,11 @@ object Lexicon {
     // batch-11 closure: accumulation/residence/consumption/conduit roots
     // outside the token maps, plus "tape" for the recording capture-term
     "pile", "wash", "accumulate", "live", "reside", "sit", "nibble",
-    "graze", "snack", "piggyback", "hitchhike", "expire", "rotate", "tape")
+    "graze", "snack", "piggyback", "hitchhike", "expire", "rotate", "tape",
+    // batch-12 closure: egress/residence/deposit pattern roots outside the
+    // token maps ("would vanish from our ledgers", "hibernate in our
+    // backup vault", "would have been scrubbed from our rolls")
+    "vanish", "evaporate", "scrub", "hibernate", "weave")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -82,7 +86,7 @@ object Lexicon {
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
     "namely", "together", "sometimes", "always", "so", "back", "otherwise",
-    "along", "up", "off", "away", "down", "still", "out")
+    "along", "up", "off", "away", "down", "still", "out", "overnight")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
@@ -129,7 +133,10 @@ object Lexicon {
     "practices" -> "practice", "sources" -> "source", "stores" -> "store",
     "features" -> "feature", "profiles" -> "profile", "files" -> "file",
     // British doubled-l past forms escape the ll de-doubling exemption
-    "pencilled" -> "pencil", "pencilling" -> "pencil")
+    "pencilled" -> "pencil", "pencilling" -> "pencil",
+    // irregular participles ("woven into the fit profile we keep",
+    // "is swept up by our fleet monitor")
+    "woven" -> "weave", "swept" -> "sweep")
 
   /** Bases known to end in -e so -ed/-ing strip restores the e. */
   private val eRestore: Set[String] = Set("include", "use", "store", "share", "provide",
@@ -142,7 +149,8 @@ object Lexicon {
     "place", "create", "erase", "generate", "aggregate", "associate", "exclude",
     "compile", "change", "observe", "archive", "profile", "trace", "cease",
     "arrive", "type", "stay", "purge", "freeze",
-    "tape", "live", "reside", "rotate", "graze", "pile", "shelve")
+    "tape", "live", "reside", "rotate", "graze", "pile", "shelve",
+    "file", "browse", "weave", "hibernate", "evaporate")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a
