@@ -124,6 +124,12 @@ object Holdout {
   lazy val pages13: Vector[WebPage] = loadPages("holdout13_docs.tsv")
   lazy val truth13: Vector[(String, String, String)] = loadTruth("holdout13_truth.tsv")
 
+  /** Batch 14: written after batch 12 closed and before any batch-13
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 13 closes. */
+  lazy val pages14: Vector[WebPage] = loadPages("holdout14_docs.tsv")
+  lazy val truth14: Vector[(String, String, String)] = loadTruth("holdout14_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -158,6 +164,7 @@ object Holdout {
   lazy val predicted11: Vector[(String, String, String)] = predict(pages11)
   lazy val predicted12: Vector[(String, String, String)] = predict(pages12)
   lazy val predicted13: Vector[(String, String, String)] = predict(pages13)
+  lazy val predicted14: Vector[(String, String, String)] = predict(pages14)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -37,5 +37,6 @@ object HoldoutReport {
     report("11", Holdout.predicted11.toSet, Holdout.truth11.toSet)
     report("12", Holdout.predicted12.toSet, Holdout.truth12.toSet)
     report("13", Holdout.predicted13.toSet, Holdout.truth13.toSet)
+    report("14", Holdout.predicted14.toSet, Holdout.truth14.toSet)
   }
 }

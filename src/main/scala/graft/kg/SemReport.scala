@@ -33,6 +33,7 @@ object SemReport {
     batch("10", Holdout.pages10, Holdout.truth10)
     batch("11", Holdout.pages11, Holdout.truth11)
     batch("12", Holdout.pages12, Holdout.truth12)
+    batch("14", Holdout.pages14, Holdout.truth14)
     val combined = batch("13", Holdout.pages13, Holdout.truth13)
     val want = Holdout.truth13.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
