@@ -1135,6 +1135,10 @@ object DocKernel {
             // the recorded thing is called ("Support calls are taped",
             // "the exchange is taped" — batch 11)
             else if (vt.lemma == "tape") 3
+            // a device overhearing captures audio whatever the overheard
+            // thing is called ("Whatever the microphone overhears
+            // languishes in our tuning vault" — batch 13)
+            else if (vt.lemma == "overhear") 3
             else -1
           if (captureTerm >= 0 && vt.pos == "VERB" &&
             !p.neg.contains(v)) {

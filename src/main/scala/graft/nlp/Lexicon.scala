@@ -58,7 +58,16 @@ object Lexicon {
     // batch-12 closure: egress/residence/deposit pattern roots outside the
     // token maps ("would vanish from our ledgers", "hibernate in our
     // backup vault", "would have been scrubbed from our rolls")
-    "vanish", "evaporate", "scrub", "hibernate", "weave")
+    "vanish", "evaporate", "scrub", "hibernate", "weave",
+    // batch-13 closure: residence/egress pattern roots outside the token
+    // maps ("camp out in our diagnostics pool", "marinate in our perks
+    // engine", "would have melted away from our shelves"), plus overhear
+    // for the device-capture free relative and wind for "wind up V-ed"
+    "camp", "marinate", "languish", "stow", "melt", "fish", "dip",
+    "overhear", "wind",
+    // subordinate-clause verbs that otherwise noun-tag and leak into the
+    // matrix clause's subject list ("Had the auditor not objected, ...")
+    "object")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -150,7 +159,8 @@ object Lexicon {
     "compile", "change", "observe", "archive", "profile", "trace", "cease",
     "arrive", "type", "stay", "purge", "freeze",
     "tape", "live", "reside", "rotate", "graze", "pile", "shelve",
-    "file", "browse", "weave", "hibernate", "evaporate")
+    "file", "browse", "weave", "hibernate", "evaporate",
+    "pigeonhole", "marinate", "cable", "escape")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

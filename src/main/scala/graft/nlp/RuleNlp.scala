@@ -1400,12 +1400,22 @@ object RuleNlp {
 
     // --- get-passive: "Your photos may get shared with our sponsors" —
     // the participle after 'get' is passive and 'get''s subject is its
-    // promoted object
+    // promoted object. "wind up / end up V-ed" is the same raising shape
+    // with a particle before the participle ("Refund histories wind up
+    // pigeonholed in our claims cabinet" — batch 13).
     deps.toVector.foreach { dg =>
-      if (dg.dep == "subj" && dg.from >= 0 && toks(dg.from).lemma == "get" &&
-        dg.from + 1 < end && toks(dg.from + 1).pos == "VERB" &&
-        Lexicon.endsWithIgnoreCase(toks(dg.from + 1).text, "ed")) {
-        val part = dg.from + 1
+      val partAt =
+        if (dg.dep != "subj" || dg.from < 0) -1
+        else if (toks(dg.from).lemma == "get" && dg.from + 1 < end &&
+          toks(dg.from + 1).pos == "VERB" &&
+          Lexicon.endsWithIgnoreCase(toks(dg.from + 1).text, "ed")) dg.from + 1
+        else if ((toks(dg.from).lemma == "wind" || toks(dg.from).lemma == "end") &&
+          dg.from + 2 < end && toks(dg.from + 1).lemma == "up" &&
+          toks(dg.from + 2).pos == "VERB" &&
+          Lexicon.endsWithIgnoreCase(toks(dg.from + 2).text, "ed")) dg.from + 2
+        else -1
+      if (partAt >= 0) {
+        val part = partAt
         // the participle's own subj capture is an artifact of the rewrite
         // — drop it so the get-passive looks exactly like the be-passive
         // ("gets tucked into the customer file" must not capture the
@@ -1647,6 +1657,35 @@ object RuleNlp {
       }
     }
 
+    // --- existential double negation: "There isn't a sign-up our roster
+    // doesn't capture" — a negated existential pivot whose relative
+    // clause is itself negated quantifies universally ("our roster
+    // captures every sign-up"); cancel the relative clause's negation so
+    // it reads positive (batch 13)
+    locally {
+      val f = (start until end).find(k => toks(k).pos != "SPACE")
+      val existNeg = f.exists { k =>
+        toks(k).lemma == "there" && k + 2 < end &&
+          toks(k + 1).lemma == "be" && toks(k + 2).pos == "PART" &&
+          negations.contains(Lexicon.lower(toks(k + 2).text))
+      }
+      if (existNeg) deps.toVector.foreach { dg =>
+        if (dg.dep == "relcl" && dg.from > f.get && neg.contains(dg.to)) {
+          neg -= dg.to
+          neg -= dg.from
+          // the existential frame has no main verb of its own, so the
+          // object-gap rule above skipped this relcl (its heading-fragment
+          // guard wants another root) — fill the relativized slot here
+          if (subjOf.get(dg.to).exists(_.nonEmpty) &&
+            !objOf.get(dg.to).exists(_.nonEmpty) &&
+            !subjOf(dg.to).contains(dg.from)) {
+            addDep(dg.to, dg.from, "obj")
+            objOf(dg.to) = List(dg.from)
+          }
+        }
+      }
+    }
+
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
@@ -1838,9 +1877,16 @@ object RuleNlp {
           if (subsumCue && commaBefore && chainRoot >= 0) chainRoot else lastNounHead
         // a bare "of" with no noun to its left ("would age out of our
         // vaults": verb + particle + of-PP) is the verb's own PP — without
-        // the guard it attached to token -1 and the PP was lost
-        val nounAttach = (t.lemma == "of" && lastNounHead >= 0) ||
-          collocation || subsumCue
+        // the guard it attached to token -1 and the PP was lost. An "of"
+        // directly after a verb particle is likewise the verb's own PP even
+        // when an object intervenes ("fish your claim photos out of our
+        // evidence locker") — batch 13.
+        val particleBefore = t.lemma == "of" && p > start && {
+          val pl = toks(p - 1).lemma
+          pl == "out" || pl == "away" || pl == "off"
+        }
+        val nounAttach = (t.lemma == "of" && lastNounHead >= 0 &&
+          !particleBefore) || collocation || subsumCue
         // "together/along with X" after the object (comma optional:
         // "radio back the delivery outcome together with your street
         // name") adds X as a further OBJECT of the verb

@@ -130,4 +130,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout12 precision regressed: $p")
     assert(r >= 0.99, s"holdout12 recall regressed: $r")
   }
+
+  test("holdout batch-13 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted13.toSet, Holdout.truth13.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout13 precision regressed: $p")
+    assert(r >= 0.99, s"holdout13 recall regressed: $r")
+  }
 }

@@ -255,6 +255,40 @@ class KernelSpec extends AnyFunSuite {
     assert(!device.exists(t => !t._2.startsWith("NOT_")), s"$device")
   }
 
+  test("batch-13 kernel mechanisms (fresh variants)") {
+    // wind/end-up-participle raising passive
+    val wu = triples("<p>Your crash dumps wind up filed away in our diagnostics pool.</p>")
+    assert(wu.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "crash / log data"), s"$wu")
+    // existential double negation quantifies universally
+    val ex = triples("<p>There isn't a search query our audit log doesn't capture.</p>")
+    assert(ex.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "browsing / search history"), s"$ex")
+    // device-subject capture free relative: overhearing captures audio
+    val oh = triples("<p>Whatever the kiosk microphone overhears sits in our support vault.</p>")
+    assert(oh.exists(t => t._1 == "we" && t._3 == "audio recording"), s"$oh")
+    // third-party extraction from an operator store (fish-out-of, dip-into-for)
+    val fi = triples("<p>Ad partners fish your browsing trail out of our clickstream lake.</p>")
+    assert(fi.exists(t => t._1 == "advertiser" && t._3 == "browsing / search history"), s"$fi")
+    val di = triples("<p>Ad networks dip into our bid stream for your device identifiers.</p>")
+    assert(di.exists(t => t._1 == "advertiser" && t._3 == "device identifier"), s"$di")
+  }
+
+  test("batch-13 distractors stay silent") {
+    // wind-up over a non-datum subject
+    val wu = triples("<p>Your subscription winds up cancelled at month end.</p>")
+    assert(!wu.exists(t => !t._2.startsWith("NOT_")), s"$wu")
+    // existential double negation without a datum pivot
+    val ex = triples("<p>There isn't a fee our plan doesn't cover.</p>")
+    assert(!ex.exists(t => !t._2.startsWith("NOT_")), s"$ex")
+    // negated overhearing asserts nothing
+    val oh = triples("<p>The microphone never overhears your conversations.</p>")
+    assert(!oh.exists(t => !t._2.startsWith("NOT_")), s"$oh")
+    // dip without a store or datum PP
+    val di = triples("<p>Our prices dip into the holiday season.</p>")
+    assert(!di.exists(t => !t._2.startsWith("NOT_")), s"$di")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
