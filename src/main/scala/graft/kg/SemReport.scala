@@ -2,7 +2,7 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: semantic-scorer report on the open-era batches (10-13; 13 is
+/** Dev tool: semantic-scorer report on the open-era batches (10-14; 14 is
   * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
   * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
@@ -33,9 +33,9 @@ object SemReport {
     batch("10", Holdout.pages10, Holdout.truth10)
     batch("11", Holdout.pages11, Holdout.truth11)
     batch("12", Holdout.pages12, Holdout.truth12)
-    batch("14", Holdout.pages14, Holdout.truth14)
-    val combined = batch("13", Holdout.pages13, Holdout.truth13)
-    val want = Holdout.truth13.toSet
+    batch("13", Holdout.pages13, Holdout.truth13)
+    val combined = batch("14", Holdout.pages14, Holdout.truth14)
+    val want = Holdout.truth14.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
