@@ -130,6 +130,12 @@ object Holdout {
   lazy val pages14: Vector[WebPage] = loadPages("holdout14_docs.tsv")
   lazy val truth14: Vector[(String, String, String)] = loadTruth("holdout14_truth.tsv")
 
+  /** Batch 15: written after batch 13 closed and before any batch-14
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 14 closes. */
+  lazy val pages15: Vector[WebPage] = loadPages("holdout15_docs.tsv")
+  lazy val truth15: Vector[(String, String, String)] = loadTruth("holdout15_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -165,6 +171,7 @@ object Holdout {
   lazy val predicted12: Vector[(String, String, String)] = predict(pages12)
   lazy val predicted13: Vector[(String, String, String)] = predict(pages13)
   lazy val predicted14: Vector[(String, String, String)] = predict(pages14)
+  lazy val predicted15: Vector[(String, String, String)] = predict(pages15)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -38,5 +38,6 @@ object HoldoutReport {
     report("12", Holdout.predicted12.toSet, Holdout.truth12.toSet)
     report("13", Holdout.predicted13.toSet, Holdout.truth13.toSet)
     report("14", Holdout.predicted14.toSet, Holdout.truth14.toSet)
+    report("15", Holdout.predicted15.toSet, Holdout.truth15.toSet)
   }
 }

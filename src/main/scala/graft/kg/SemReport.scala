@@ -34,6 +34,7 @@ object SemReport {
     batch("11", Holdout.pages11, Holdout.truth11)
     batch("12", Holdout.pages12, Holdout.truth12)
     batch("13", Holdout.pages13, Holdout.truth13)
+    batch("15", Holdout.pages15, Holdout.truth15)
     val combined = batch("14", Holdout.pages14, Holdout.truth14)
     val want = Holdout.truth14.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
