@@ -1696,6 +1696,11 @@ object DocKernel {
               while (k < v && !negUniversal) {
                 val l = graft.nlp.Lexicon.lower(p.tokens(k).text)
                 if (l == "nothing" || l == "none" ||
+                  // fronted negative-adverb inversion ("Never does an
+                  // upload escape our audit trail" — batch 14; the
+                  // inversion rule exempts evasion verbs from verb-level
+                  // negation, so the cue is read here instead)
+                  l == "never" || l == "rarely" || l == "seldom" ||
                   (l == "no" && p.tokens(k).pos == "DET")) negUniversal = true
                 k += 1
               }

@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -313,7 +313,7 @@ object Patterns {
       Seq("USE", "E1", "DT")),
     // DT ages/rotates out of / vanishes from <our store> (egress
     // presupposes retention)
-    ("age|expire|rotate|vanish|evaporate|scrub|melt:root|ccomp",
+    ("age|expire|rotate|vanish|evaporate|scrub|melt|fade:root|ccomp",
       Seq("!:subj|obj@DT", "!of|from,*STORE_NOUN:obj@E2"),
       Seq("STORE", "WE", "DT")),
     // E1 fishes DT out of <our store> (third-party extraction)
@@ -323,6 +323,14 @@ object Patterns {
     // E1 dips into <our store> for DT
     ("dip:root|ccomp",
       Seq(":subj@E1", "!into,*STORE_NOUN:obj", "!for,:obj@DT"),
+      Seq("COLLECT", "E1", "DT")),
+    // E1 raids <our store> for DT
+    ("raid:root|ccomp",
+      Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
+      Seq("COLLECT", "E1", "DT")),
+    // E1 makes off with DT from <our store>
+    ("make:root|ccomp",
+      Seq(":subj@E1", "!with,:obj@DT", "!from,*STORE_NOUN:obj"),
       Seq("COLLECT", "E1", "DT")),
     // E1 drinks in / soaks in DT (in-PP consumption)
     ("drink|soak:root|ccomp",

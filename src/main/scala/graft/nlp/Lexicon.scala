@@ -67,7 +67,14 @@ object Lexicon {
     "overhear", "wind",
     // subordinate-clause verbs that otherwise noun-tag and leak into the
     // matrix clause's subject list ("Had the auditor not objected, ...")
-    "object")
+    "object",
+    // batch-14 closure: ingestion/deposit/conduit/residence/extraction
+    // roots outside the token maps, plus denominal verbs that otherwise
+    // noun-tag ("trucks chargeback records", "pockets the scroll path",
+    // "is inventoried by our accessory scanner")
+    "devour", "mop", "guzzle", "truck", "freight", "parachute",
+    "inventory", "bottle", "pocket", "memorialize", "nest", "roost",
+    "fade", "raid")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -145,7 +152,11 @@ object Lexicon {
     "pencilled" -> "pencil", "pencilling" -> "pencil",
     // irregular participles ("woven into the fit profile we keep",
     // "is swept up by our fleet monitor")
-    "woven" -> "weave", "swept" -> "sweep")
+    "woven" -> "weave", "swept" -> "sweep",
+    // reflexive pronouns must keep their -s (the "help themselves to"
+    // pattern anchors on the lemma; the de-s rule mangled it to
+    // "themselve" and the pattern was dead until batch 14)
+    "themselves" -> "themselves", "ourselves" -> "ourselves")
 
   /** Bases known to end in -e so -ed/-ing strip restores the e. */
   private val eRestore: Set[String] = Set("include", "use", "store", "share", "provide",
@@ -160,7 +171,8 @@ object Lexicon {
     "arrive", "type", "stay", "purge", "freeze",
     "tape", "live", "reside", "rotate", "graze", "pile", "shelve",
     "file", "browse", "weave", "hibernate", "evaporate",
-    "pigeonhole", "marinate", "cable", "escape")
+    "pigeonhole", "marinate", "cable", "escape",
+    "bottle", "memorialize", "guzzle", "fade", "lodge", "devour")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -623,6 +623,26 @@ object RuleNlp {
           verbLemmas.contains(t.lemma)
       }.foreach(i => toks(i).pos = "VERB")
     }
+    // fronted counterfactual protector: "But for <NP>, ..." / "Were it
+    // not for <NP>, ..." — the NP names what PREVENTED the counterfactual
+    // (a cause), not a processed datum; clear its ner before chunking so
+    // it neither forms a DATA chunk nor comma-chains into the main
+    // clause's subject group (batch 14: "But for the chargeback probe,
+    // gait signatures would have faded from our index")
+    val protectorSpan: Option[(Int, Int)] = {
+      val forAt =
+        if (end - start > 3 && toks(start).lemma == "but" &&
+          toks(start + 1).lemma == "for") start + 1
+        else if (end - start > 5 && toks(start).lemma == "be" &&
+          toks(start + 1).lemma == "it" && toks(start + 2).lemma == "not" &&
+          toks(start + 3).lemma == "for") start + 3
+        else -1
+      if (forAt < 0) None
+      else (forAt + 1 until end).find(k => toks(k).text == ",").map { c =>
+        (forAt + 1 until c).foreach(k => toks(k).ner = "")
+        (forAt + 1, c)
+      }
+    }
     val chunks = chunk(toks, start, end)
     val deps = new ListBuffer[Dep]
     val neg = scala.collection.mutable.Set[Int]()
@@ -1350,6 +1370,69 @@ object RuleNlp {
     if (start + 1 < end && toks(start).pos == "ADP" &&
       toks(start + 1).pos == "DET" && toks(start + 1).lemma == "no") {
       vgs.foreach(vg => neg += vg.verb)
+    }
+
+    // --- negative-adverb inversion: "Never does X <verb>" (batch 14) —
+    // the fronted adverb negates the MATRIX clause's verbs; a subordinate
+    // clause after before/until/unless/once/when/after is presupposed,
+    // not negated. ONLY "never" is a true negation here: "Seldom/Rarely
+    // do we inspect X" asserts the practice still occurs (h610's
+    // labeling convention), so those adverbs leave polarity alone.
+    if (start + 1 < end && toks(start).lemma == "never" &&
+      toks(start + 1).pos == "AUX" && toks(start + 1).lemma == "do") {
+      val sconj = (start + 2 until end).find(k =>
+        Set("before", "until", "unless", "once", "when", "after")
+          .contains(toks(k).lemma)).getOrElse(end)
+      // EXCEPT evasion-class verbs ("Never does a login slip past our
+      // gate sentry", "... escape our audit trail"): negated evasion
+      // asserts capture, so the polarity flip cancels and the positive
+      // datum-subject reading is exactly right — registering the
+      // negation here would emit a spurious NOT_ edge alongside it
+      def evasion(v: Int): Boolean =
+        Set("escape", "evade", "elude").contains(toks(v).lemma) ||
+          (Set("slip", "sneak", "slide").contains(toks(v).lemma) &&
+            v + 1 < end && toks(v + 1).lemma == "past")
+      vgs.foreach(vg => if (vg.verb < sconj && !evasion(vg.verb)) neg += vg.verb)
+    }
+
+    // --- counterfactual protector cleanup: its ner was cleared before
+    // chunking, but comma coordination still chains the protector NP into
+    // the main verb's subject group ("But for the chargeback probe, gait
+    // signatures would have faded ..."), and mention-text normalization
+    // would resolve the captured token to a datum — drop every dep that
+    // touches the span
+    protectorSpan.foreach { case (lo, hi) =>
+      def inSpan(k: Int) = k >= lo && k < hi
+      deps.filterInPlace(dd => !inSpan(dd.to) && !inSpan(dd.from))
+      subjOf.keys.toVector.foreach(v =>
+        subjOf.get(v).foreach(l => subjOf(v) = l.filterNot(inSpan)))
+      objOf.keys.toVector.foreach(v =>
+        objOf.get(v).foreach(l => objOf(v) = l.filterNot(inSpan)))
+    }
+
+    // --- temporal subordinate clause: "... end before our heatmap pockets
+    // the scroll path" — the NP after before/after/until/once/while is the
+    // SUBORDINATE verb's subject, not the matrix verb's prep object, when
+    // a finite verb follows it directly; without the re-attach the
+    // subordinate verb steals a subject from before the conjunction
+    // (batch 14)
+    deps.toVector.foreach { pd =>
+      if (pd.dep == "prep" &&
+        Set("before", "after", "until", "once", "while").contains(toks(pd.to).lemma)) {
+        val prepTok = pd.to
+        deps.find(d2 => d2.from == prepTok && d2.dep == "obj").foreach { od =>
+          chunks.find(_.head == od.to).foreach { ch =>
+            if (ch.end < end && toks(ch.end).pos == "VERB") {
+              val v2 = ch.end
+              deps -= od
+              deps.filterInPlace(dd =>
+                !(dd.from == v2 && dd.dep == "subj" && dd.to < prepTok))
+              addDep(v2, od.to, "subj")
+              subjOf(v2) = (subjOf.getOrElse(v2, Nil).filter(_ > prepTok) :+ od.to).distinct
+            }
+          }
+        }
+      }
     }
 
     // --- fronted additive PP: "In addition to X, S V O" — X joins the

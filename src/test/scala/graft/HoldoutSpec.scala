@@ -138,4 +138,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout13 precision regressed: $p")
     assert(r >= 0.99, s"holdout13 recall regressed: $r")
   }
+
+  test("holdout batch-14 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted14.toSet, Holdout.truth14.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout14 precision regressed: $p")
+    assert(r >= 0.99, s"holdout14 recall regressed: $r")
+  }
 }

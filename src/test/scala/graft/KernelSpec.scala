@@ -289,6 +289,56 @@ class KernelSpec extends AnyFunSuite {
     assert(!di.exists(t => !t._2.startsWith("NOT_")), s"$di")
   }
 
+  test("batch-14 kernel mechanisms (fresh variants)") {
+    // figurative ingestion with an instrument subject
+    val dv = triples("<p>Our churn model devours your dwell times.</p>")
+    assert(dv.exists(t => t._1 == "we" && t._3 == "usage information"), s"$dv")
+    // get-passive + particle ingestion
+    val mo = triples("<p>Location pings get mopped up by our route planner.</p>")
+    assert(mo.exists(t => t._1 == "we" && t._3 == "geolocation"), s"$mo")
+    // conduit verbs (instrument subject: recipient row only)
+    val fr = triples("<p>Our export job freights order histories to the tax office.</p>")
+    assert(fr.exists(t => t._1 == "government" && t._2 == "BE_SHARED" &&
+      t._3 == "purchase history"), s"$fr")
+    // negated evasion asserts capture (never-inversion + slip-past)
+    val sp = triples("<p>Never does a failed login slip past our audit sentry.</p>")
+    assert(sp.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "usage information"), s"$sp")
+    val esc = triples("<p>Never does a search query escape our audit trail.</p>")
+    assert(esc.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "browsing / search history"), s"$esc")
+    // but-for counterfactual: retention presupposed, the protector NP is
+    // NOT a datum
+    val bf = triples("<p>But for the income check, your postal code would have faded from our shipping rolls.</p>")
+    assert(bf.exists(t => t._1 == "we" && t._3 == "postal address"), s"$bf")
+    assert(!bf.exists(t => t._3 == "income"), s"protector NP read as datum: $bf")
+    // temporal subordinate clause gets its own subject
+    val bc = triples("<p>Rarely does a visit end before our tracker pockets the dwell time.</p>")
+    assert(bc.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "usage information"), s"$bc")
+    // third-party extraction from operator stores (raid-for, make-off-with,
+    // help-themselves — the reflexive lemma fix)
+    val rd = triples("<p>Insurance partners raid our claims cabinet for your claim photos.</p>")
+    assert(rd.exists(t => t._1 == "business partner" && t._3 == "photo / video"), s"$rd")
+    val mw = triples("<p>Data brokers make off with location pings from our telemetry lake.</p>")
+    assert(mw.exists(t => t._1 == "third party" && t._3 == "geolocation"), s"$mw")
+    val ht = triples("<p>Ad partners help themselves to the loyalty tiers in our perks engine.</p>")
+    assert(ht.exists(t => t._1 == "advertiser" && t._3 == "interest / preference"), s"$ht")
+  }
+
+  test("batch-14 polarity distractors") {
+    // never-inversion is a TRUE negation on ordinary verbs
+    val ns = triples("<p>Never do we sell your contact list.</p>")
+    assert(!ns.exists(t => !t._2.startsWith("NOT_")), s"$ns")
+    // seldom/rarely assert the practice still occurs (h610 convention)
+    val sr = triples("<p>Seldom do we review your voice recordings.</p>")
+    assert(sr.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "voiceprint"), s"$sr")
+    // make-X-with without an operator-store source stays silent
+    val mk = triples("<p>We make recommendations with care.</p>")
+    assert(!mk.exists(t => !t._2.startsWith("NOT_")), s"$mk")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")

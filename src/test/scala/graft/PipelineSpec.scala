@@ -222,7 +222,9 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // the open holdout batch is exactly where the kernel is blind and the
     // scorer is not — the augmented graph must be a strict superset there
-    val pages = spark.createDataset(graft.kg.Holdout.pages12)
+    // (retarget with each batch closure: a closed batch's kernel row is
+    // 1.0, leaving the scorer nothing to add)
+    val pages = spark.createDataset(graft.kg.Holdout.pages15)
     val kernel = graft.kg.KgPipeline.triplesFromPages(pages).cache()
     val aug = graft.kg.KgPipeline.augmentWithScorer(pages, kernel)
     val kSet = kernel.collect().map(t => (t.url, t.subj, t.obj)).toSet
