@@ -184,7 +184,36 @@ object Normalizer {
     case _ => Unspec
   }
 
+  /** Memoized normalize — mentions repeat massively across documents
+    * ("email address", "we", "our partners"), and the cascade below
+    * allocates n-gram joins and stem strings per call. The key captures
+    * everything the cascade reads: token (text, pos, ner) triples, the
+    * head index, and the token type (lemma and stem are pure functions of
+    * text). Executor-wide bounded cache, like Lexicon's lemma cache. */
+  private val normCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]](1 << 14)
+
   def normalize(m: Mention, tokenType: String): Set[String] = {
+    val sb = new java.lang.StringBuilder(48)
+    sb.append(tokenType).append(m.head)
+    var i = 0
+    while (i < m.tokens.length) {
+      val t = m.tokens(i)
+      sb.append('\u0001').append(t.text).append('\u0002').append(t.pos)
+        .append('\u0002').append(t.ner)
+      i += 1
+    }
+    val key = sb.toString
+    val hit = normCache.get(key)
+    if (hit != null) hit
+    else {
+      val r = normalizeUncached(m, tokenType)
+      if (normCache.size < (1 << 16)) normCache.put(key, r)
+      r
+    }
+  }
+
+  private def normalizeUncached(m: Mention, tokenType: String): Set[String] = {
     val head = m.tokens(m.head)
     if (head.pos == "PRON") {
       val t = pronounTerm(head.lemma)

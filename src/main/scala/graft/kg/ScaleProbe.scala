@@ -101,6 +101,22 @@ object ScaleProbe {
         }
       }
     }
+    // parse-phase attribution over the SELF text of every segment (no
+    // context-chain duplication — ratios locate the buildDocs mass):
+    // tokenize → tag → nerTag → sentence-split+parseSentence
+    locally {
+      import graft.nlp.RuleNlp
+      measure("bd/tokenize")(i => if (i < segs.size)
+        segs(i)._2.foreach(sg => RuleNlp.tokenize(sg.text)))
+      val tokenized = segs.map(_._2.filter(_.text.nonEmpty)
+        .map(sg => RuleNlp.tokenize(sg.text)))
+      measure("bd/tag")(i => if (i < tokenized.size)
+        tokenized(i).foreach { case (tv, wv) => RuleNlp.tag(tv, wv) })
+      measure("bd/tag+ner")(i => if (i < tokenized.size)
+        tokenized(i).foreach { case (tv, wv) => RuleNlp.nerTag(RuleNlp.tag(tv, wv)) })
+      measure("bd/parse")(i => if (i < tokenized.size)
+        tokenized(i).foreach { case (tv, wv) => RuleNlp.parse(tv, wv) })
+    }
     // graph build in isolation (build() does not mutate the state)
     val states = segs.map { case (u, ss) =>
       val st = DocKernel.DocState(u, ss, DocKernel.buildDocs(ss))

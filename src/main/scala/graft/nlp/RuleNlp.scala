@@ -176,6 +176,25 @@ object RuleNlp {
     "authorisation", "approval")
 
   private val Relativizers = Set("that", "which", "who")
+  // hoisted hot-loop literals (parseSentence allocates per sentence — or,
+  // for CollocationPairs/LinkWords, per token/dep — without these)
+  private val GerundPreps = Set("before", "after", "while", "upon", "when",
+    "without", "by")
+  private val TemporalSconj = Set("before", "until", "unless", "once",
+    "when", "after")
+  private val TemporalClausePreps = Set("before", "after", "until", "once",
+    "while")
+  private val EvasionVerbs = Set("escape", "evade", "elude")
+  private val SlipVerbs = Set("slip", "sneak", "slide")
+  private val ProhibitLemmas = Set("prohibit", "prevent", "bar", "forbid",
+    "ban")
+  private val CeaseLemmas = Set("cease", "stop", "discontinue", "quit")
+  private val LinkWords = Set("together", "along", "with", "alongside",
+    "i.e.", "e.g.", "namely", "specifically", "particularly", "especially",
+    "like", "such", "as")
+  private val CollocationPairs = Set(
+    ("access", "to"), ("information", "about"), ("information", "on"),
+    ("data", "about"), ("datum", "about"), ("detail", "about"))
   private val LimitedToFiller = Set("but", "not", "limited", "limit", "to", "without", "limitation")
 
   private def isCap(s: String): Boolean = s.nonEmpty && s.charAt(0).isUpper
@@ -1082,8 +1101,7 @@ object RuleNlp {
         // "without"-gerund is a negative statement
         val gerundPrep = prevTok >= start && toks(prevTok).pos == "ADP" &&
           Lexicon.endsWithIgnoreCase(toks(v).text, "ing") &&
-          Set("before", "after", "while", "upon", "when", "without", "by")
-            .contains(toks(prevTok).lemma)
+          GerundPreps.contains(toks(prevTok).lemma)
         if (gerundPrep && prevMain >= 0 && subjOf.get(prevMain).exists(_.nonEmpty)) {
           val hs = subjOf(prevMain)
           hs.foreach(h => addDep(v, h, "subj"))
@@ -1381,16 +1399,15 @@ object RuleNlp {
     if (start + 1 < end && toks(start).lemma == "never" &&
       toks(start + 1).pos == "AUX" && toks(start + 1).lemma == "do") {
       val sconj = (start + 2 until end).find(k =>
-        Set("before", "until", "unless", "once", "when", "after")
-          .contains(toks(k).lemma)).getOrElse(end)
+        TemporalSconj.contains(toks(k).lemma)).getOrElse(end)
       // EXCEPT evasion-class verbs ("Never does a login slip past our
       // gate sentry", "... escape our audit trail"): negated evasion
       // asserts capture, so the polarity flip cancels and the positive
       // datum-subject reading is exactly right — registering the
       // negation here would emit a spurious NOT_ edge alongside it
       def evasion(v: Int): Boolean =
-        Set("escape", "evade", "elude").contains(toks(v).lemma) ||
-          (Set("slip", "sneak", "slide").contains(toks(v).lemma) &&
+        EvasionVerbs.contains(toks(v).lemma) ||
+          (SlipVerbs.contains(toks(v).lemma) &&
             v + 1 < end && toks(v + 1).lemma == "past")
       vgs.foreach(vg => if (vg.verb < sconj && !evasion(vg.verb)) neg += vg.verb)
     }
@@ -1418,7 +1435,7 @@ object RuleNlp {
     // (batch 14)
     deps.toVector.foreach { pd =>
       if (pd.dep == "prep" &&
-        Set("before", "after", "until", "once", "while").contains(toks(pd.to).lemma)) {
+        TemporalClausePreps.contains(toks(pd.to).lemma)) {
         val prepTok = pd.to
         deps.find(d2 => d2.from == prepTok && d2.dep == "obj").foreach { od =>
           chunks.find(_.head == od.to).foreach { ch =>
@@ -1713,7 +1730,6 @@ object RuleNlp {
     // --- prohibition scope: "prohibited/prevented/barred from <gerund>"
     // negates the gerund's practice (a ban is not a disclosure)
     locally {
-      val ProhibitLemmas = Set("prohibit", "prevent", "bar", "forbid", "ban")
       (start until end - 1).foreach { k =>
         if (ProhibitLemmas.contains(toks(k).lemma)) {
           // "prohibited FROM <gerund>"
@@ -1731,7 +1747,6 @@ object RuleNlp {
     // --- cessation scope: "had ceased storing X" / "stopped collecting Y"
     // negates the ceased practice
     locally {
-      val CeaseLemmas = Set("cease", "stop", "discontinue", "quit")
       (start until end - 1).foreach { k =>
         if (CeaseLemmas.contains(toks(k).lemma) && toks(k).pos == "VERB" &&
           toks(k + 1).pos == "VERB" &&
@@ -1831,12 +1846,10 @@ object RuleNlp {
           // "namely", "specifically", "like", "such as") — for extraction
           // purposes the appositive names the same collected thing, so both
           // heads join the group
-          val linkWord = Set("together", "along", "with", "alongside", "i.e.", "e.g.", "namely",
-            "specifically", "particularly", "especially", "like", "such", "as")
-          val usedLink = between.exists(k => linkWord.contains(toks(k).lemma))
+          val usedLink = between.exists(k => LinkWords.contains(toks(k).lemma))
           val conjOnly = between.nonEmpty && between.forall(k =>
             toks(k).pos == "CCONJ" || (toks(k).pos == "PUNCT" && toks(k).text == ",") ||
-              linkWord.contains(toks(k).lemma)) &&
+              LinkWords.contains(toks(k).lemma)) &&
             (!usedLink || between.exists(k => toks(k).text == ","))
           if (conjOnly) { heads.prepend(pc.head); cur = pc } else go = false
         case None => go = false
@@ -1946,10 +1959,8 @@ object RuleNlp {
         else if (t.lemma == "exclude") pendingNeg = true
         // noun-prep collocations where the PP hangs off the noun, not the
         // verb ("access to X", "information about X")
-        val collocation = lastNounHead >= 0 && (Set(
-          ("access", "to"), ("information", "about"), ("information", "on"),
-          ("data", "about"), ("datum", "about"), ("detail", "about"))
-          .contains((toks(lastNounHead).lemma, t.lemma)))
+        val collocation = lastNounHead >= 0 &&
+          CollocationPairs.contains((toks(lastNounHead).lemma, t.lemma))
         val subsumCue = ((t.lemma == "as" && p > start && toks(p - 1).lemma == "such") ||
           t.lemma == "like" || t.lemma == "include") && lastNounHead >= 0
         val cueStart = if (t.lemma == "as") p - 1 else p
