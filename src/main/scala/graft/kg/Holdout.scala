@@ -136,6 +136,12 @@ object Holdout {
   lazy val pages15: Vector[WebPage] = loadPages("holdout15_docs.tsv")
   lazy val truth15: Vector[(String, String, String)] = loadTruth("holdout15_truth.tsv")
 
+  /** Batch 16: written after batch 14 closed and before any batch-15
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 15 closes. */
+  lazy val pages16: Vector[WebPage] = loadPages("holdout16_docs.tsv")
+  lazy val truth16: Vector[(String, String, String)] = loadTruth("holdout16_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -172,6 +178,7 @@ object Holdout {
   lazy val predicted13: Vector[(String, String, String)] = predict(pages13)
   lazy val predicted14: Vector[(String, String, String)] = predict(pages14)
   lazy val predicted15: Vector[(String, String, String)] = predict(pages15)
+  lazy val predicted16: Vector[(String, String, String)] = predict(pages16)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -39,5 +39,6 @@ object HoldoutReport {
     report("13", Holdout.predicted13.toSet, Holdout.truth13.toSet)
     report("14", Holdout.predicted14.toSet, Holdout.truth14.toSet)
     report("15", Holdout.predicted15.toSet, Holdout.truth15.toSet)
+    report("16", Holdout.predicted16.toSet, Holdout.truth16.toSet)
   }
 }

@@ -35,6 +35,7 @@ object SemReport {
     batch("12", Holdout.pages12, Holdout.truth12)
     batch("13", Holdout.pages13, Holdout.truth13)
     batch("14", Holdout.pages14, Holdout.truth14)
+    batch("16", Holdout.pages16, Holdout.truth16)
     val combined = batch("15", Holdout.pages15, Holdout.truth15)
     val want = Holdout.truth15.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
