@@ -1686,6 +1686,49 @@ object DocKernel {
               }
             }
           }
+          // shape 3: negative-morphology double negation — "not a single
+          // failed login goes unlogged" (batch 15): a negative-universal
+          // subject + go/remain/stay + un-V-ed participle asserts the
+          // practice V positively; the relation comes from the inner
+          // verb's class
+          p.deps.foreach { dep =>
+            if ((dep.dep == "root" || dep.dep == "ccomp") &&
+              Set("go", "remain", "stay").contains(p.tokens(dep.to).lemma)) {
+              val v = dep.to
+              val unTok = (v + 1 until math.min(p.end, v + 3)).find { j =>
+                val tx = graft.nlp.Lexicon.lower(p.tokens(j).text)
+                tx.length > 5 && tx.startsWith("un") && tx.endsWith("ed")
+              }
+              unTok.foreach { u =>
+                val inner = graft.nlp.Lexicon.lemma(
+                  graft.nlp.Lexicon.lower(p.tokens(u).text).drop(2))
+                val rel =
+                  if (graft.nlp.Lexicon.tokenMap("VERB_STORE").contains(inner)) "STORE"
+                  else if (graft.nlp.Lexicon.tokenMap("VERB_COLLECT_FROM").contains(inner)) Collect
+                  else if (graft.nlp.Lexicon.tokenMap("VERB_USE").contains(inner)) "USE"
+                  else null
+                var negUniversal = false
+                var k = p.start
+                while (k < v && !negUniversal) {
+                  val l = graft.nlp.Lexicon.lower(p.tokens(k).text)
+                  if (l == "not" || l == "no" || l == "nothing" ||
+                    l == "none" || l == "never") negUniversal = true
+                  k += 1
+                }
+                if (rel != null && negUniversal && !p.neg.contains(v)) {
+                  p.chunks.foreach { c =>
+                    if (c.end <= v && p.tokens(c.head).ner == "DATA" &&
+                      p.tokens(c.head).pos != "PRON")
+                      for (s <- d.srcs(c.head)) {
+                        st.linkSrc(st.implicitWeSrc(p), s, rel)
+                        st.recordMention(d, p, c.head, s)
+                        st.sentText.getOrElseUpdate(s, p.text)
+                      }
+                  }
+                }
+              }
+            }
+          }
           // shape 2: "Nothing ... escapes our X"
           p.deps.foreach { dep =>
             if ((dep.dep == "root" || dep.dep == "ccomp") &&

@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -275,7 +275,7 @@ object Patterns {
       Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",
@@ -305,7 +305,7 @@ object Patterns {
     ("take:root|ccomp",
       Seq("!:subj@DT", "!residence:obj"), Seq("STORE", "WE", "DT")),
     // pseudo-cleft ingress focus
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble:root|ccomp",
       Seq("!what:subj", "!:obj@DT"), Seq("COLLECT", "WE", "DT")),
     // light-noun acquisition, PP under the noun
     ("get|catch|take|steal:root|ccomp",
@@ -325,12 +325,20 @@ object Patterns {
       Seq(":subj@E1", "!into,*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 raids <our store> for DT
-    ("raid:root|ccomp",
+    ("raid|tap:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>
     ("make:root|ccomp",
       Seq(":subj@E1", "!with,:obj@DT", "!from,*STORE_NOUN:obj"),
+      Seq("COLLECT", "E1", "DT")),
+    // <our store> balloons/swarms with DT
+    ("balloon|swell|bulge|swarm|teem|brim:root|ccomp",
+      Seq("!*STORE_NOUN:subj", "!with,:obj@DT"),
+      Seq("STORE", "WE", "DT")),
+    // E1 carries DT home
+    ("carry:root|ccomp",
+      Seq(":subj@E1", "!home:obj", "!:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 drinks in / soaks in DT (in-PP consumption)
     ("drink|soak:root|ccomp",

@@ -74,7 +74,14 @@ object Lexicon {
     // "is inventoried by our accessory scanner")
     "devour", "mop", "guzzle", "truck", "freight", "parachute",
     "inventory", "bottle", "pocket", "memorialize", "nest", "roost",
-    "fade", "raid")
+    "fade", "raid",
+    // batch-15 closure: deposit/residence/conduit/extraction roots and
+    // denominal verbs outside the token maps ("banked in our attention
+    // vault", "winter in our ergonomics cellar", "tap our bid stream",
+    // "carries home", "Into our tally book tumble ...")
+    "bank", "winter", "bunk", "airlift", "tap", "hoard", "tumble",
+    "glimpse", "carry", "balloon", "swell", "bulge", "swarm", "teem",
+    "brim")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -152,7 +159,7 @@ object Lexicon {
     "pencilled" -> "pencil", "pencilling" -> "pencil",
     // irregular participles ("woven into the fit profile we keep",
     // "is swept up by our fleet monitor")
-    "woven" -> "weave", "swept" -> "sweep",
+    "woven" -> "weave", "swept" -> "sweep", "goes" -> "go",
     // reflexive pronouns must keep their -s (the "help themselves to"
     // pattern anchors on the lemma; the de-s rule mangled it to
     // "themselve" and the pattern was dead until batch 14)
@@ -172,7 +179,8 @@ object Lexicon {
     "tape", "live", "reside", "rotate", "graze", "pile", "shelve",
     "file", "browse", "weave", "hibernate", "evaporate",
     "pigeonhole", "marinate", "cable", "escape",
-    "bottle", "memorialize", "guzzle", "fade", "lodge", "devour")
+    "bottle", "memorialize", "guzzle", "fade", "lodge", "devour",
+    "glimpse", "tumble")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

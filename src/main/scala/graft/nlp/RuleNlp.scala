@@ -259,6 +259,19 @@ object RuleNlp {
             // our ledger ... is ...")
             !(i > 0 && (toks(i - 1).lemma == "what" ||
               toks(i - 1).lemma == "whatever" || toks(i - 1).lemma == "whoever")) &&
+            // comparative-correlative clauses are OSV ("the more search
+            // terms our index hoards.") — the clause-final verb keeps its
+            // predicate reading when "the more/fewer/less" opens the clause
+            !{
+              var j = i - 1
+              var corr = false
+              while (j >= 1 && at(j) != "PUNCT" && !corr) {
+                corr = (toks(j).lemma == "more" || toks(j).lemma == "fewer" ||
+                  toks(j).lemma == "less") && toks(j - 1).lemma == "the"
+                j -= 1
+              }
+              corr
+            } &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
           // "set" as a compound tail between a nominal and a
@@ -294,6 +307,18 @@ object RuleNlp {
               }
               !wh
             })
+            t.pos = "NOUN"
+
+          // a STORE_NOUN verb candidate right before another verb
+          // candidate after a nominal ("our coaching archive balloons
+          // with ...") is the compound's head noun, the following
+          // candidate the predicate (batch 15). Restricted to STORE_NOUN
+          // lemmas: the general two-candidate shape is usually verb+object
+          // ("requests access", "catch wind", "gets tucked").
+          if (t.pos == "VERB" && at(i + 1) == "VERBC" &&
+            Lexicon.tokenMap("STORE_NOUN").contains(t.lemma) &&
+            (prev == "NOUN" || prev == "PROPN" || prev == "ADJ") &&
+            Lexicon.isLower(t.text))
             t.pos = "NOUN"
 
           // a base-form verb candidate between a preposition and a noun is
@@ -1525,6 +1550,115 @@ object RuleNlp {
         addDep(part, dg.to, "obj")
         objOf(part) = objOf.getOrElse(part, Nil) :+ dg.to
         passiveExtra += part
+      }
+    }
+
+    // --- middle-voice reflexive: "Call recordings file themselves in our
+    // coaching drawer" — a reflexive object is the subject acting on
+    // itself; rewrite to the passive shape (subject = promoted theme),
+    // exactly like the get-passive above (batch 15)
+    deps.toVector.foreach { dg =>
+      if (dg.dep == "obj" && dg.from >= 0 && toks(dg.from).pos == "VERB" &&
+        (toks(dg.to).lemma == "themselves" || toks(dg.to).lemma == "itself") &&
+        // "help themselves TO X" is acquisition, not middle voice — a
+        // to-PP right after the reflexive keeps the idiom reading
+        !(dg.to + 1 < end && toks(dg.to + 1).lemma == "to")) {
+        val v = dg.from
+        deps -= dg
+        objOf(v) = objOf.getOrElse(v, Nil).filterNot(_ == dg.to)
+        subjOf.get(v).filter(_.nonEmpty).foreach { ss =>
+          deps.filterInPlace(dd => !(dd.from == v && dd.dep == "subj"))
+          subjOf.remove(v)
+          ss.foreach(h => addDep(v, h, "obj"))
+          objOf(v) = (objOf.getOrElse(v, Nil) ++ ss).distinct
+          passiveExtra += v
+        }
+      }
+    }
+
+    // --- locative inversion: "Into our tally book tumble the location
+    // pings of every ride" — a fronted into/onto/in PP followed by a verb
+    // takes the POST-verbal NP as its subject; a subject "stolen" from the
+    // fronted PP's own NP (the dep builder attaches the nearest preceding
+    // noun) is re-attached (batch 15)
+    locally {
+      val f = (start until end).find(k => toks(k).pos != "SPACE")
+      if (f.exists(k => toks(k).pos == "ADP" &&
+        (toks(k).lemma == "into" || toks(k).lemma == "onto" || toks(k).lemma == "in"))) {
+        // the PP's NP is the first chunk after the ADP (a determiner or
+        // premodifying adverb may separate them: "Into our tally book")
+        val ppChunk = chunks.find(_.start > f.get)
+        vgs.find { vg =>
+          subjOf.get(vg.verb).forall(_.isEmpty) ||
+            (ppChunk.exists(pc => subjOf(vg.verb).forall(h =>
+              h >= pc.start && h < pc.end)) && vg.verb < end - 1)
+        }.foreach { vg =>
+          chunks.find(_.start > vg.verb).foreach { c =>
+            // the post-verbal NP may already sit in the object slot
+            deps.filterInPlace(dd => !(dd.from == vg.verb &&
+              (dd.dep == "subj" || (dd.dep == "obj" && dd.to == c.head))))
+            objOf(vg.verb) = objOf.getOrElse(vg.verb, Nil).filterNot(_ == c.head)
+            addDep(vg.verb, c.head, "subj")
+            subjOf(vg.verb) = List(c.head)
+            // the fronted PP is the verb's own locative
+            ppChunk.foreach { pc =>
+              addDep(vg.verb, f.get, "prep")
+              addDep(f.get, pc.head, "obj")
+            }
+          }
+        }
+      }
+    }
+
+    // --- comparative correlative, fronted object: ", the more search
+    // terms our index hoards" — the clause after the comma is OSV; a
+    // clause-final verb with a subject but no object takes the NP right
+    // after "the more/fewer/less" as its object (batch 15)
+    locally {
+      (start until end - 2).foreach { k =>
+        if (toks(k).lemma == "the" &&
+          (toks(k + 1).lemma == "more" || toks(k + 1).lemma == "fewer" ||
+            toks(k + 1).lemma == "less")) {
+          for {
+            // the chunker may absorb "the more" into the fronted NP
+            c1 <- chunks.find(c => (c.start == k || c.start == k + 2) &&
+              c.end > k + 2)
+            c2 <- chunks.find(_.start == c1.end)
+            vg <- vgs.find(vg => vg.verb == c2.end &&
+              subjOf.get(vg.verb).exists(_.nonEmpty) &&
+              !objOf.get(vg.verb).exists(_.nonEmpty))
+          } {
+            addDep(vg.verb, c1.head, "obj")
+            objOf(vg.verb) = List(c1.head)
+          }
+        }
+      }
+    }
+
+    // --- reversed pseudo-cleft: "A snapshot of your contact list is what
+    // our sync agent carries home" — the pre-copula NP is the wh-clause
+    // verb's object (mirror of the what-first pseudo-cleft below); the NP
+    // resolves through a partitive of-chain to its typed head (batch 15)
+    locally {
+      val f = (start until end).find(k => toks(k).pos != "SPACE")
+      for {
+        fc <- chunks.headOption if f.contains(fc.start)
+        cop <- (fc.end until end).find(k => toks(k).pos == "AUX" && toks(k).lemma == "be")
+        if cop + 1 < end && toks(cop + 1).lemma == "what"
+        vg <- vgs.find(vg => vg.verb > cop + 1 &&
+          subjOf.get(vg.verb).exists(_.nonEmpty))
+      } {
+        val objHead =
+          if (toks(fc.head).ner == "DATA" || toks(fc.head).ner == "ACTOR") fc.head
+          // partitive of-chain by adjacency — the pre-copula NP precedes
+          // any verb, so attachRight never built its of-PP deps
+          else if (fc.end < end && toks(fc.end).lemma == "of")
+            chunks.find(_.start == fc.end + 1)
+              .filter(c => toks(c.head).ner == "DATA" || toks(c.head).ner == "ACTOR")
+              .map(_.head).getOrElse(fc.head)
+          else fc.head
+        addDep(vg.verb, objHead, "obj")
+        objOf(vg.verb) = (objOf.getOrElse(vg.verb, Nil) :+ objHead).distinct
       }
     }
 

@@ -146,4 +146,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout14 precision regressed: $p")
     assert(r >= 0.99, s"holdout14 recall regressed: $r")
   }
+
+  test("holdout batch-15 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted15.toSet, Holdout.truth15.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout15 precision regressed: $p")
+    assert(r >= 0.99, s"holdout15 recall regressed: $r")
+  }
 }

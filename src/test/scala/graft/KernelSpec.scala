@@ -339,6 +339,40 @@ class KernelSpec extends AnyFunSuite {
     assert(!mk.exists(t => !t._2.startsWith("NOT_")), s"$mk")
   }
 
+  test("batch-15 kernel mechanisms (fresh variants)") {
+    // middle-voice reflexive rewrites to the passive shape
+    val mr = triples("<p>Crash dumps archive themselves in our diagnostics pool.</p>")
+    assert(mr.exists(t => t._1 == "we" && t._3 == "crash / log data"), s"$mr")
+    // locative inversion: post-verbal NP is the subject
+    val li = triples("<p>Into our booking ledger tumble the street names of every stop.</p>")
+    assert(li.exists(t => t._1 == "we" && t._3 == "postal address"), s"$li")
+    // comparative correlative: OSV clause, fronted object
+    val cc = triples("<p>The more you shop, the more order totals our till book hoards.</p>")
+    assert(cc.exists(t => t._1 == "we" && t._3 == "purchase history"), s"$cc")
+    // reversed pseudo-cleft with partitive of-chain
+    val pc = triples("<p>A copy of your voiceprint is what our enrollment desk carries home.</p>")
+    assert(pc.exists(t => t._1 == "we" && t._3 == "voiceprint"), s"$pc")
+    // negative-morphology double negation reads positive
+    val un = triples("<p>Not a single chat thread goes unarchived on our side.</p>")
+    assert(un.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "phone number"), s"$un")
+    // store-subject accumulation (swell/balloon + with-PP)
+    val sw = triples("<p>Our consent ledger swells with birth dates each signup.</p>")
+    assert(sw.exists(t => t._1 == "we" && t._3 == "date of birth"), s"$sw")
+  }
+
+  test("batch-15 distractors stay silent") {
+    // middle reflexive over a non-datum subject
+    val mr = triples("<p>The issue resolves itself over time.</p>")
+    assert(!mr.exists(t => !t._2.startsWith("NOT_")), s"$mr")
+    // un-participle whose inner verb is not a practice verb
+    val un = triples("<p>No request goes unanswered by our support team.</p>")
+    assert(!un.exists(t => !t._2.startsWith("NOT_")), s"$un")
+    // help-themselves-to keeps the acquisition reading (not middle voice)
+    val ht = triples("<p>Ad partners help themselves to the loyalty tiers in our perks engine.</p>")
+    assert(ht.exists(t => t._1 == "advertiser" && t._3 == "interest / preference"), s"$ht")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
