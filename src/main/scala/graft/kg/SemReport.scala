@@ -2,7 +2,7 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: semantic-scorer report on the open-era batches (10-15; 15 is
+/** Dev tool: semantic-scorer report on the open-era batches (10-16; 16 is
   * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
   * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
@@ -35,9 +35,9 @@ object SemReport {
     batch("12", Holdout.pages12, Holdout.truth12)
     batch("13", Holdout.pages13, Holdout.truth13)
     batch("14", Holdout.pages14, Holdout.truth14)
-    batch("16", Holdout.pages16, Holdout.truth16)
-    val combined = batch("15", Holdout.pages15, Holdout.truth15)
-    val want = Holdout.truth15.toSet
+    batch("15", Holdout.pages15, Holdout.truth15)
+    val combined = batch("16", Holdout.pages16, Holdout.truth16)
+    val want = Holdout.truth16.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
