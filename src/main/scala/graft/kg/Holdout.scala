@@ -142,6 +142,12 @@ object Holdout {
   lazy val pages16: Vector[WebPage] = loadPages("holdout16_docs.tsv")
   lazy val truth16: Vector[(String, String, String)] = loadTruth("holdout16_truth.tsv")
 
+  /** Batch 17: written after batch 15 closed and before any batch-16
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 16 closes. */
+  lazy val pages17: Vector[WebPage] = loadPages("holdout17_docs.tsv")
+  lazy val truth17: Vector[(String, String, String)] = loadTruth("holdout17_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -179,6 +185,7 @@ object Holdout {
   lazy val predicted14: Vector[(String, String, String)] = predict(pages14)
   lazy val predicted15: Vector[(String, String, String)] = predict(pages15)
   lazy val predicted16: Vector[(String, String, String)] = predict(pages16)
+  lazy val predicted17: Vector[(String, String, String)] = predict(pages17)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -40,5 +40,6 @@ object HoldoutReport {
     report("14", Holdout.predicted14.toSet, Holdout.truth14.toSet)
     report("15", Holdout.predicted15.toSet, Holdout.truth15.toSet)
     report("16", Holdout.predicted16.toSet, Holdout.truth16.toSet)
+    report("17", Holdout.predicted17.toSet, Holdout.truth17.toSet)
   }
 }

@@ -36,6 +36,7 @@ object SemReport {
     batch("13", Holdout.pages13, Holdout.truth13)
     batch("14", Holdout.pages14, Holdout.truth14)
     batch("15", Holdout.pages15, Holdout.truth15)
+    batch("17", Holdout.pages17, Holdout.truth17)
     val combined = batch("16", Holdout.pages16, Holdout.truth16)
     val want = Holdout.truth16.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
