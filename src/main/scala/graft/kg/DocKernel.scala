@@ -1442,7 +1442,7 @@ object DocKernel {
                 // dummy 'it'
                 (m.verb > p.start && p.tokens(m.verb - 1).lemma == "to" &&
                   ents.nonEmpty && ents.forall(t2 => d.toks(t2).lemma == "it")) ||
-                (Set("stream", "flow", "transfer", "convey", "go").contains(p.tokens(m.verb).lemma) &&
+                (Set("stream", "flow", "transfer", "convey", "go", "hop").contains(p.tokens(m.verb).lemma) &&
                   m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
                     p.chunkOf(h).exists(c =>
                       (c.start until h).exists(k => p.tokens(k).lemma == "our"))))) ||
@@ -1603,7 +1603,7 @@ object DocKernel {
     *     the negated escape asserts capture: DATA mentions in the subject
     *     region are collected. */
   def annotateOovTransmission(st: DocState): Unit = {
-    val EgressLemmas = Set("escape", "evade", "elude")
+    val EgressLemmas = Set("escape", "evade", "elude", "dodge")
     st.docs.foreach { d =>
       d.parses.foreach { p =>
         if (!onDeviceOnly(p)) {
@@ -1742,8 +1742,11 @@ object DocKernel {
                   // fronted negative-adverb inversion ("Never does an
                   // upload escape our audit trail" — batch 14; the
                   // inversion rule exempts evasion verbs from verb-level
-                  // negation, so the cue is read here instead)
+                  // negation, so the cue is read here instead); bare "not"
+                  // covers the negative minimizer ("Not a single voicemail
+                  // dodges our retention sweep" — batch 16)
                   l == "never" || l == "rarely" || l == "seldom" ||
+                  l == "not" ||
                   (l == "no" && p.tokens(k).pos == "DET")) negUniversal = true
                 k += 1
               }

@@ -233,7 +233,7 @@ object Patterns {
     ("leave:root|ccomp",
       Seq("!:subj@DT", "!device:obj@E2"), Seq("COLLECT", "WE", "DT")),
     // DT streams/flows to E2
-    ("stream|flow|transfer|convey|go:root|ccomp",
+    ("stream|flow|transfer|convey|go|hop:root|ccomp",
       Seq("!:subj@DT", "!to:prep,:obj@E2"), Seq("SHARE", "X", "DT", "E2")),
     // light verb: E1 make/take a copy/recording/scan of DT
     ("make|take|stash|keep:root|ccomp|xcomp",
@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -275,7 +275,7 @@ object Patterns {
       Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",
@@ -305,7 +305,7 @@ object Patterns {
     ("take:root|ccomp",
       Seq("!:subj@DT", "!residence:obj"), Seq("STORE", "WE", "DT")),
     // pseudo-cleft ingress focus
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep:root|ccomp",
       Seq("!what:subj", "!:obj@DT"), Seq("COLLECT", "WE", "DT")),
     // light-noun acquisition, PP under the noun
     ("get|catch|take|steal:root|ccomp",
@@ -324,8 +324,12 @@ object Patterns {
     ("dip:root|ccomp",
       Seq(":subj@E1", "!into,*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
+    // E1 rifles through <our store> for DT
+    ("rifle:root|ccomp",
+      Seq(":subj@E1", "!through,*STORE_NOUN:obj", "!for,:obj@DT"),
+      Seq("COLLECT", "E1", "DT")),
     // E1 raids <our store> for DT
-    ("raid|tap:root|ccomp",
+    ("raid|tap|plunder:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>

@@ -81,7 +81,11 @@ object Lexicon {
     // "carries home", "Into our tally book tumble ...")
     "bank", "winter", "bunk", "airlift", "tap", "hoard", "tumble",
     "glimpse", "carry", "balloon", "swell", "bulge", "swarm", "teem",
-    "brim")
+    "brim",
+    // batch-16 closure: ingestion/deposit/residence/conduit/extraction
+    // roots and denominal verbs outside the token maps
+    "plunder", "hole", "square", "tally", "perch", "scoop", "rifle",
+    "spirit", "dodge", "shelter", "seep", "hop", "moonlight")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -109,7 +113,8 @@ object Lexicon {
   val adverbs: Set[String] = Set("also", "only", "below", "above", "however",
     "moreover", "additionally", "further", "especially", "particularly",
     "namely", "together", "sometimes", "always", "so", "back", "otherwise",
-    "along", "up", "off", "away", "down", "still", "out", "overnight")
+    "along", "up", "off", "away", "down", "still", "out", "overnight",
+    "forever")
   val adjectives: Set[String] = Set("personal", "precise", "third", "first",
     "unique", "demographic", "financial", "technical", "aggregated",
     "anonymous", "following", "certain", "various", "other", "similar",
@@ -180,7 +185,7 @@ object Lexicon {
     "file", "browse", "weave", "hibernate", "evaporate",
     "pigeonhole", "marinate", "cable", "escape",
     "bottle", "memorialize", "guzzle", "fade", "lodge", "devour",
-    "glimpse", "tumble")
+    "glimpse", "tumble", "square", "rifle", "dodge")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -244,7 +244,12 @@ object RuleNlp {
           val nounish = prev == "DET" || prev == "ADJ" ||
             (prev == "ADP" && toks(i - 1).lemma == "of") ||
             (prev == "VERBC" || prev == "VERB") && toks(i - 1).lemma == "make" // "make use of"
-          t.pos = if (nounish && Lexicon.isLower(t.text)) "NOUN" else "VERB"
+          // floated quantifier before a participle ("are all squared
+          // away") is not a nominal determiner — batch 16
+          val floatQuant = prev == "DET" &&
+            (toks(i - 1).lemma == "all" || toks(i - 1).lemma == "both") &&
+            Lexicon.endsWithIgnoreCase(t.text, "ed")
+          t.pos = if (nounish && !floatQuant && Lexicon.isLower(t.text)) "NOUN" else "VERB"
           if (i > 0 && toks(i - 1).lemma == "make" && t.lemma == "use")
             t.pos = "NOUN"
           // plural noun misread ("newsletters and promotional offers."): a
@@ -794,6 +799,9 @@ object RuleNlp {
           } else if (p.pos == "PART" && p.lemma == "to") {
             toTok = j; j -= 1; continue = false
           } else if (p.pos == "ADV") j -= 1
+          // floated quantifier between aux and participle ("are all
+          // squared away") — batch 16
+          else if (p.pos == "DET" && (p.lemma == "all" || p.lemma == "both")) j -= 1
           else if (p.text == "," && j - 2 >= start && toks(j - 1).pos == "ADV" &&
             toks(j - 2).text == ",") {
             // parenthetical adverb between aux and verb is transparent:
@@ -1154,7 +1162,12 @@ object RuleNlp {
             (c0.end until vg.auxStart).forall { k2 =>
               val t2 = toks(k2)
               (t2.pos == "PUNCT" && t2.text == ",") || t2.pos == "CCONJ" ||
-                t2.pos == "PART" || t2.pos == "ADV"
+                t2.pos == "PART" || t2.pos == "ADV" || t2.pos == "SCONJ" ||
+                // comma-bounded bare participial parenthetical ("Your
+                // marital status, once disclosed, sits ...") — batch 16
+                (t2.pos == "VERB" && Lexicon.endsWithIgnoreCase(t2.text, "ed") &&
+                  toks(c0.end).text == "," && vg.auxStart - 1 > c0.end &&
+                  toks(vg.auxStart - 1).text == ",")
             } =>
             // ", <participle> from <NP>," before the verb: the nearest chunk
             // is inside a participial PP — the real subject is the
@@ -1550,6 +1563,31 @@ object RuleNlp {
         addDep(part, dg.to, "obj")
         objOf(part) = objOf.getOrElse(part, Nil) :+ dg.to
         passiveExtra += part
+      }
+    }
+
+    // --- right-dislocation: "They end up in our vault, those scanned
+    // receipts." — a they/these/those subject with a clause-final
+    // comma-bounded NP takes the dislocated NP as its referent (batch 16)
+    locally {
+      chunks.lastOption.foreach { c =>
+        val endsSentence = (c.end until end).forall(k => toks(k).pos == "PUNCT")
+        val commaBefore = c.start > start && toks(c.start - 1).text == ","
+        if (endsSentence && commaBefore) {
+          vgs.foreach { vg =>
+            val ss = subjOf.getOrElse(vg.verb, Nil)
+            if (vg.verb < c.start && ss.nonEmpty && ss.forall(h =>
+              toks(h).lemma == "they" || toks(h).lemma == "these" ||
+                toks(h).lemma == "those")) {
+              deps.filterInPlace(dd => !(dd.from == vg.verb && dd.dep == "subj"))
+              addDep(vg.verb, c.head, "subj")
+              subjOf(vg.verb) = List(c.head)
+              // drop the mis-attachment of the dislocated NP as a prep obj
+              deps.filterInPlace(dd =>
+                !(dd.dep == "obj" && dd.to == c.head && dd.from != vg.verb))
+            }
+          }
+        }
       }
     }
 

@@ -154,4 +154,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout15 precision regressed: $p")
     assert(r >= 0.99, s"holdout15 recall regressed: $r")
   }
+
+  test("holdout batch-16 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted16.toSet, Holdout.truth16.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout16 precision regressed: $p")
+    assert(r >= 0.99, s"holdout16 recall regressed: $r")
+  }
 }

@@ -373,6 +373,39 @@ class KernelSpec extends AnyFunSuite {
     assert(ht.exists(t => t._1 == "advertiser" && t._3 == "interest / preference"), s"$ht")
   }
 
+  test("batch-16 kernel mechanisms (fresh variants)") {
+    // right-dislocation: the clause-final NP is the pronominal subject
+    val rd = triples("<p>They linger in our archive, those support calls.</p>")
+    assert(rd.exists(t => t._1 == "we" && t._3 == "audio recording"), s"$rd")
+    // floated quantifier keeps the passive reading
+    val fq = triples("<p>Your location pings are all filed away in our route book.</p>")
+    assert(fq.exists(t => t._1 == "we" && t._3 == "geolocation"), s"$fq")
+    // equative over a sheltered relcl gap
+    val eq = triples("<p>Among the things our ledger shelters are your birth dates.</p>")
+    assert(eq.exists(t => t._1 == "we" && t._3 == "date of birth"), s"$eq")
+    // comma-bounded participial parenthetical is subject-transparent
+    val pp = triples("<p>Your income details, once submitted, sit in our payroll vault.</p>")
+    assert(pp.exists(t => t._1 == "we" && t._3 == "income"), s"$pp")
+    // negative minimizer + dodge evasion reads positive
+    val nm = triples("<p>Not a single checkout dodges our billing sweep.</p>")
+    assert(nm.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "purchase history"), s"$nm")
+    // plunder / rifle-through extraction from operator stores
+    val pl = triples("<p>Data resellers plunder our subscriber rolls for phone numbers.</p>")
+    assert(pl.exists(t => t._1 == "third party" && t._3 == "phone number"), s"$pl")
+    val rf = triples("<p>Insurers rifle through our claims cabinet for health records.</p>")
+    assert(rf.exists(t => t._1 == "third party" && t._3 == "health information"), s"$rf")
+  }
+
+  test("batch-16 distractors stay silent") {
+    // floated quantifier over a non-datum subject
+    val fq = triples("<p>Our plans are all squared away for launch.</p>")
+    assert(!fq.exists(t => !t._2.startsWith("NOT_")), s"$fq")
+    // right-dislocation over a non-datum NP
+    val rd = triples("<p>They arrive on time, those couriers.</p>")
+    assert(!rd.exists(t => !t._2.startsWith("NOT_")), s"$rd")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
