@@ -148,6 +148,12 @@ object Holdout {
   lazy val pages17: Vector[WebPage] = loadPages("holdout17_docs.tsv")
   lazy val truth17: Vector[(String, String, String)] = loadTruth("holdout17_truth.tsv")
 
+  /** Batch 18: written after batch 16 closed and before any batch-17
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 17 closes. */
+  lazy val pages18: Vector[WebPage] = loadPages("holdout18_docs.tsv")
+  lazy val truth18: Vector[(String, String, String)] = loadTruth("holdout18_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -186,6 +192,7 @@ object Holdout {
   lazy val predicted15: Vector[(String, String, String)] = predict(pages15)
   lazy val predicted16: Vector[(String, String, String)] = predict(pages16)
   lazy val predicted17: Vector[(String, String, String)] = predict(pages17)
+  lazy val predicted18: Vector[(String, String, String)] = predict(pages18)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -41,5 +41,6 @@ object HoldoutReport {
     report("15", Holdout.predicted15.toSet, Holdout.truth15.toSet)
     report("16", Holdout.predicted16.toSet, Holdout.truth16.toSet)
     report("17", Holdout.predicted17.toSet, Holdout.truth17.toSet)
+    report("18", Holdout.predicted18.toSet, Holdout.truth18.toSet)
   }
 }

@@ -37,6 +37,7 @@ object SemReport {
     batch("14", Holdout.pages14, Holdout.truth14)
     batch("15", Holdout.pages15, Holdout.truth15)
     batch("16", Holdout.pages16, Holdout.truth16)
+    batch("18", Holdout.pages18, Holdout.truth18)
     val combined = batch("17", Holdout.pages17, Holdout.truth17)
     val want = Holdout.truth17.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
