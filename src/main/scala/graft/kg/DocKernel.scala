@@ -1332,7 +1332,10 @@ object DocKernel {
           // negation-transparent (the leave-your-device transmission
           // pattern keeps ordinary polarity)
           val mNeg = m.neg && !(m.action == "STORE" && m.verb >= 0 &&
-            p.tokens(m.verb).lemma == "leave")
+            (p.tokens(m.verb).lemma == "leave" ||
+              // "never surrenders X" is retention, same as never-leaves
+              p.tokens(m.verb).lemma == "surrender" ||
+              p.tokens(m.verb).lemma == "relinquish"))
           val entries =
             // ACTIVE deletion ("you can ask us to erase X") is a rights
             // statement, no capture; the agentless PASSIVE ("your data is
@@ -1655,8 +1658,14 @@ object DocKernel {
                       val lj = tj.lemma
                       if (lj == "our" || lj == "the" || lj == "this" ||
                         lj == "these") det = true
-                      if (tj.ner == "ACTOR" || tj.ner == "DATA" ||
-                        UserSubjects.contains(lj)) party = true
+                      if (tj.ner == "ACTOR" || UserSubjects.contains(lj)) party = true
+                      // DATA ner blocks the instrument reading only on a
+                      // genuine datum HEAD — "by our gait profiler" carries
+                      // DATA through the compound modifier alone, and the
+                      // modifier token itself never decides (batch 17)
+                      if (tj.ner == "DATA" && p.chunkOf(j).exists(_.head == j) &&
+                        !instrumentHead(d, p, List(j)))
+                        party = true
                       j += 1
                     }
                   }
@@ -1684,6 +1693,30 @@ object DocKernel {
                   }
                 }
               }
+            }
+          }
+          // shape 4: recipient-subject passive ditransitive — "The tax
+          // office is lobbed copies of flagged invoices" (batch 17): a
+          // passive transfer verb whose promoted subject is an ACTOR and
+          // whose retained object resolves to a datum (directly or through
+          // a partitive of-chain) shares the datum with the actor; the
+          // sharer side's implicit first-party row comes from the normal
+          // share-passive convention
+          p.passiveVerbs.foreach { v =>
+            if (graft.nlp.Lexicon.tokenMap("VERB_PROVIDE_TO").contains(p.tokens(v).lemma)) {
+              val objs = p.out(v).filter(_.dep == "obj").map(_.to)
+              val actorHeads = objs.filter(h => p.tokens(h).ner == "ACTOR" &&
+                !UserSubjects.contains(p.tokens(h).lemma))
+              val dtHeads = objs.filterNot(actorHeads.contains).flatMap { h =>
+                if (p.tokens(h).ner == "DATA") Some(h)
+                else p.chunkOf(h).filter(c => c.end < p.end &&
+                  p.tokens(c.end).lemma == "of").flatMap(c =>
+                  p.chunks.find(_.start == c.end + 1)
+                    .filter(c2 => p.tokens(c2.head).ner == "DATA").map(_.head))
+              }
+              if (!p.neg.contains(v))
+                for (a <- actorHeads; dt <- dtHeads)
+                  st.link(d, p, a, dt, "BE_SHARED")
             }
           }
           // shape 3: negative-morphology double negation — "not a single

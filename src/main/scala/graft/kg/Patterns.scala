@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -272,7 +272,7 @@ object Patterns {
       Seq("!:subj@DT"), Seq("USE", "WE", "DT")),
     // DT finds its way into <store>
     ("find:root|ccomp",
-      Seq("!:subj@DT", "!way:obj", "into|onto|to,:obj@E2"),
+      Seq("!:subj@DT", "!way|shelter|refuge|berth:obj", "into|onto|to|in,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
     ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep:root|ccomp",
@@ -317,7 +317,7 @@ object Patterns {
       Seq("!:subj|obj@DT", "!of|from,*STORE_NOUN:obj@E2"),
       Seq("STORE", "WE", "DT")),
     // E1 fishes DT out of <our store> (third-party extraction)
-    ("fish:root|ccomp",
+    ("fish|corral:root|ccomp",
       Seq(":subj@E1", "!:obj@DT", "!of|from,*STORE_NOUN:obj"),
       Seq("COLLECT", "E1", "DT")),
     // E1 dips into <our store> for DT
@@ -328,8 +328,12 @@ object Patterns {
     ("rifle:root|ccomp",
       Seq(":subj@E1", "!through,*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
+    // <our store> never surrenders DT (negation-transparent retention)
+    ("surrender|relinquish:root|ccomp",
+      Seq("!*STORE_NOUN:subj", "!:obj@DT"),
+      Seq("STORE", "WE", "DT")),
     // E1 raids <our store> for DT
-    ("raid|tap|plunder:root|ccomp",
+    ("raid|tap|plunder|loot:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>

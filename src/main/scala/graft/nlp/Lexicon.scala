@@ -85,7 +85,11 @@ object Lexicon {
     // batch-16 closure: ingestion/deposit/residence/conduit/extraction
     // roots and denominal verbs outside the token maps
     "plunder", "hole", "square", "tally", "perch", "scoop", "rifle",
-    "spirit", "dodge", "shelter", "seep", "hop", "moonlight")
+    "spirit", "dodge", "shelter", "seep", "hop", "moonlight",
+    // batch-17 closure roots
+    "sponge", "chronicle", "ship", "loot", "idle", "lurk", "doze",
+    "slumber", "lob", "teleport", "scavenge", "corral", "surrender",
+    "relinquish")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -185,7 +189,8 @@ object Lexicon {
     "file", "browse", "weave", "hibernate", "evaporate",
     "pigeonhole", "marinate", "cable", "escape",
     "bottle", "memorialize", "guzzle", "fade", "lodge", "devour",
-    "glimpse", "tumble", "square", "rifle", "dodge")
+    "glimpse", "tumble", "square", "rifle", "dodge",
+    "sponge", "chronicle", "idle", "doze", "scavenge")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -314,6 +314,14 @@ object RuleNlp {
             })
             t.pos = "NOUN"
 
+          // a light-noun candidate right after a finite verb is that
+          // verb's object, not a second predicate ("finds shelter in our
+          // vault", "takes refuge") — batch 17
+          if (t.pos == "VERB" &&
+            Set("shelter", "refuge", "berth", "way", "home").contains(t.lemma) &&
+            (prev == "VERB") && Lexicon.isLower(t.text) && t.text == t.lemma)
+            t.pos = "NOUN"
+
           // a STORE_NOUN verb candidate right before another verb
           // candidate after a nominal ("our coaching archive balloons
           // with ...") is the compound's head noun, the following
@@ -685,6 +693,10 @@ object RuleNlp {
         else if (end - start > 5 && toks(start).lemma == "be" &&
           toks(start + 1).lemma == "it" && toks(start + 2).lemma == "not" &&
           toks(start + 3).lemma == "for") start + 3
+        // "No matter how often you clear cookies," — the concessive
+        // adjunct's NPs are conditions, not practices (batch 17)
+        else if (end - start > 4 && toks(start).lemma == "no" &&
+          toks(start + 1).lemma == "matter") start + 1
         else -1
       if (forAt < 0) None
       else (forAt + 1 until end).find(k => toks(k).text == ",").map { c =>
@@ -1588,6 +1600,31 @@ object RuleNlp {
             }
           }
         }
+      }
+    }
+
+    // --- presentational there-inversion: "There lurks, in our analytics
+    // loft, a tally of your dwell times." — the expletive subject is
+    // re-pointed at the postposed NP, resolved through a partitive
+    // of-chain ("a tally OF your dwell times") — batch 17
+    vgs.foreach { vg =>
+      val ss = subjOf.getOrElse(vg.verb, Nil)
+      if (ss.nonEmpty && ss.forall(h => toks(h).lemma == "there")) {
+        chunks.find(c => c.start > vg.verb &&
+          deps.exists(dd => dd.from == vg.verb && dd.dep == "obj" && dd.to == c.head))
+          .foreach { c =>
+            val head =
+              if (c.end < end && toks(c.end).lemma == "of")
+                chunks.find(_.start == c.end + 1)
+                  .filter(c2 => toks(c2.head).ner == "DATA")
+                  .map(_.head).getOrElse(c.head)
+              else c.head
+            deps.filterInPlace(dd => !(dd.from == vg.verb &&
+              (dd.dep == "subj" || (dd.dep == "obj" && dd.to == c.head))))
+            objOf(vg.verb) = objOf.getOrElse(vg.verb, Nil).filterNot(_ == c.head)
+            addDep(vg.verb, head, "subj")
+            subjOf(vg.verb) = List(head)
+          }
       }
     }
 

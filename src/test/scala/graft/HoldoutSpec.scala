@@ -162,4 +162,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout16 precision regressed: $p")
     assert(r >= 0.99, s"holdout16 recall regressed: $r")
   }
+
+  test("holdout batch-17 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted17.toSet, Holdout.truth17.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout17 precision regressed: $p")
+    assert(r >= 0.99, s"holdout17 recall regressed: $r")
+  }
 }

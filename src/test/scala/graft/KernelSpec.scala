@@ -406,6 +406,39 @@ class KernelSpec extends AnyFunSuite {
     assert(!rd.exists(t => !t._2.startsWith("NOT_")), s"$rd")
   }
 
+  test("batch-17 kernel mechanisms (fresh variants)") {
+    // presentational there-inversion with a partitive of-chain subject
+    val th = triples("<p>There sits, in our billing loft, a ledger of your card numbers.</p>")
+    assert(th.exists(t => t._1 == "we" && t._3 == "credit / debit card number"), s"$th")
+    // recipient-subject passive ditransitive carries BOTH rows
+    val rs = triples("<p>The courier network is handed copies of home addresses each morning.</p>")
+    assert(rs.exists(t => t._1 == "third party" && t._2 == "BE_SHARED" &&
+      t._3 == "postal address"), s"$rs")
+    assert(rs.exists(t => t._1 == "we" && t._3 == "postal address"), s"$rs")
+    // no-matter fronted adjunct is a condition, not a practice
+    val nm = triples("<p>No matter how you pay, the order total is chronicled in our sales folio.</p>")
+    assert(nm.exists(t => t._1 == "we" && t._3 == "purchase history"), s"$nm")
+    // find + light noun (shelter/refuge/berth) is ingress
+    val fs = triples("<p>Your search terms find shelter in our query vault.</p>")
+    assert(fs.exists(t => t._1 == "we" && t._3 == "browsing / search history"), s"$fs")
+    // by-instrument agent whose DATA ner is modifier-promoted stays
+    // operator machinery
+    val bi = triples("<p>Location pings are netted by our route profiler at dusk.</p>")
+    assert(bi.exists(t => t._1 == "we" && t._3 == "geolocation"), s"$bi")
+    // negated surrender from an operator store is retention
+    val sr = triples("<p>Our billing vault never surrenders your card numbers.</p>")
+    assert(sr.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "credit / debit card number"), s"$sr")
+  }
+
+  test("batch-17 distractors stay silent") {
+    val nm = triples("<p>No matter the outcome, we respect your choices.</p>")
+    assert(!nm.exists(t => !t._2.startsWith("NOT_")), s"$nm")
+    // recipient-subject passive requires a transfer verb
+    val rm = triples("<p>The tax office is reminded of deadlines each quarter.</p>")
+    assert(!rm.exists(t => !t._2.startsWith("NOT_")), s"$rm")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
