@@ -154,6 +154,12 @@ object Holdout {
   lazy val pages18: Vector[WebPage] = loadPages("holdout18_docs.tsv")
   lazy val truth18: Vector[(String, String, String)] = loadTruth("holdout18_truth.tsv")
 
+  /** Batch 19: written after batch 17 closed and before any batch-18
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 18 closes. */
+  lazy val pages19: Vector[WebPage] = loadPages("holdout19_docs.tsv")
+  lazy val truth19: Vector[(String, String, String)] = loadTruth("holdout19_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -193,6 +199,7 @@ object Holdout {
   lazy val predicted16: Vector[(String, String, String)] = predict(pages16)
   lazy val predicted17: Vector[(String, String, String)] = predict(pages17)
   lazy val predicted18: Vector[(String, String, String)] = predict(pages18)
+  lazy val predicted19: Vector[(String, String, String)] = predict(pages19)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

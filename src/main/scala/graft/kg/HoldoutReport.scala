@@ -42,5 +42,6 @@ object HoldoutReport {
     report("16", Holdout.predicted16.toSet, Holdout.truth16.toSet)
     report("17", Holdout.predicted17.toSet, Holdout.truth17.toSet)
     report("18", Holdout.predicted18.toSet, Holdout.truth18.toSet)
+    report("19", Holdout.predicted19.toSet, Holdout.truth19.toSet)
   }
 }

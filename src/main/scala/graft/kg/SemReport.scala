@@ -38,6 +38,7 @@ object SemReport {
     batch("15", Holdout.pages15, Holdout.truth15)
     batch("16", Holdout.pages16, Holdout.truth16)
     batch("17", Holdout.pages17, Holdout.truth17)
+    batch("19", Holdout.pages19, Holdout.truth19)
     val combined = batch("18", Holdout.pages18, Holdout.truth18)
     val want = Holdout.truth18.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
