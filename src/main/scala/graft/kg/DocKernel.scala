@@ -1420,7 +1420,12 @@ object DocKernel {
                   // modifier-promoted DATA ner on an infrastructure head
                   // ("Our telemetry bus", "The session recorder") must not
                   // read as a datum subject — batch 12
-                  instrumentHead(d, p, ents)) &&
+                  instrumentHead(d, p, ents) ||
+                  // an anaphoric subject "it" may coref-type as DATA, but
+                  // as the AGENT of a practice verb it is the operator's
+                  // system ("..., it also banks billing records") — b18
+                  ents.forall(t2 => d.toks(t2).pos == "PRON" &&
+                    d.toks(t2).lemma == "it")) &&
                 !ents.exists(t => UserSubjects.contains(d.toks(t).lemma.toLowerCase)))) &&
               m.verb >= 0 &&
               // agentless passive — and, for SHARE/SELL, also the agented
@@ -1456,6 +1461,11 @@ object DocKernel {
                 // nor a datum is first-party infrastructure — the operator
                 // acts (metonymy; batch 11). your/their-possessed subjects
                 // stay out, so "your browser sends ..." is unchanged.
+                // bare anaphoric "it" as the subject of a practice verb
+                // ("..., it also banks billing records") refers to the
+                // operator's own system in policy prose — batch 18
+                (ents.nonEmpty && ents.forall(t2 => d.toks(t2).lemma == "it" &&
+                  d.toks(t2).pos == "PRON")) ||
                 (ents.nonEmpty && ents.forall { t2 =>
                   val tk = d.toks(t2)
                   (tk.pos == "NOUN" || tk.pos == "PROPN") &&
@@ -1606,7 +1616,7 @@ object DocKernel {
     *     the negated escape asserts capture: DATA mentions in the subject
     *     region are collected. */
   def annotateOovTransmission(st: DocState): Unit = {
-    val EgressLemmas = Set("escape", "evade", "elude", "dodge")
+    val EgressLemmas = Set("escape", "evade", "elude", "dodge", "bypass")
     st.docs.foreach { d =>
       d.parses.foreach { p =>
         if (!onDeviceOnly(p)) {
@@ -1762,9 +1772,10 @@ object DocKernel {
               }
             }
           }
-          // shape 2: "Nothing ... escapes our X"
+          // shape 2: "Nothing ... escapes our X" (relcl included: "Rare is
+          // the login that bypasses our gate log" — batch 18)
           p.deps.foreach { dep =>
-            if ((dep.dep == "root" || dep.dep == "ccomp") &&
+            if ((dep.dep == "root" || dep.dep == "ccomp" || dep.dep == "relcl") &&
               EgressLemmas.contains(p.tokens(dep.to).lemma)) {
               val v = dep.to
               var negUniversal = false
@@ -1780,6 +1791,9 @@ object DocKernel {
                   // dodges our retention sweep" — batch 16)
                   l == "never" || l == "rarely" || l == "seldom" ||
                   l == "not" ||
+                  // adjective fronting: "Rare is the login that bypasses
+                  // our gate log" (batch 18)
+                  l == "rare" ||
                   (l == "no" && p.tokens(k).pos == "DET")) negUniversal = true
                 k += 1
               }

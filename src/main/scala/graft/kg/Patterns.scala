@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber|bed|overwinter|nestle|lounge|hunker:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -271,11 +271,11 @@ object Patterns {
     ("inform:root|ccomp",
       Seq("!:subj@DT"), Seq("USE", "WE", "DT")),
     // DT finds its way into <store>
-    ("find:root|ccomp",
+    ("find|take:root|ccomp",
       Seq("!:subj@DT", "!way|shelter|refuge|berth:obj", "into|onto|to|in,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
     // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep|pour:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",
@@ -305,7 +305,7 @@ object Patterns {
     ("take:root|ccomp",
       Seq("!:subj@DT", "!residence:obj"), Seq("STORE", "WE", "DT")),
     // pseudo-cleft ingress focus
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep:root|ccomp",
+    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep|pour:root|ccomp",
       Seq("!what:subj", "!:obj@DT"), Seq("COLLECT", "WE", "DT")),
     // light-noun acquisition, PP under the noun
     ("get|catch|take|steal:root|ccomp",
@@ -333,7 +333,7 @@ object Patterns {
       Seq("!*STORE_NOUN:subj", "!:obj@DT"),
       Seq("STORE", "WE", "DT")),
     // E1 raids <our store> for DT
-    ("raid|tap|plunder|loot:root|ccomp",
+    ("raid|tap|plunder|loot|shake:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>

@@ -89,7 +89,11 @@ object Lexicon {
     // batch-17 closure roots
     "sponge", "chronicle", "ship", "loot", "idle", "lurk", "doze",
     "slumber", "lob", "teleport", "scavenge", "corral", "surrender",
-    "relinquish")
+    "relinquish",
+    // batch-18 closure roots
+    "gulp", "pilfer", "bed", "catapult", "pour", "sight", "overwinter",
+    "chisel", "shake", "chauffeur", "nestle", "wing", "lounge",
+    "hunker", "bypass")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -166,6 +170,7 @@ object Lexicon {
     "features" -> "feature", "profiles" -> "profile", "files" -> "file",
     // British doubled-l past forms escape the ll de-doubling exemption
     "pencilled" -> "pencil", "pencilling" -> "pencil",
+    "chiselled" -> "chisel", "chiselling" -> "chisel",
     // irregular participles ("woven into the fit profile we keep",
     // "is swept up by our fleet monitor")
     "woven" -> "weave", "swept" -> "sweep", "goes" -> "go",
@@ -190,7 +195,8 @@ object Lexicon {
     "pigeonhole", "marinate", "cable", "escape",
     "bottle", "memorialize", "guzzle", "fade", "lodge", "devour",
     "glimpse", "tumble", "square", "rifle", "dodge",
-    "sponge", "chronicle", "idle", "doze", "scavenge")
+    "sponge", "chronicle", "idle", "doze", "scavenge",
+    "nestle", "lounge")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a
@@ -263,7 +269,11 @@ object Lexicon {
           else if (base.length > 2 && base(base.length - 1) == base(base.length - 2) &&
             !base.endsWith("ss") && !base.endsWith("ll")) base.dropRight(1)
           else base
-        } else if (w.endsWith("ed") && w.length > 4) {
+        } else if (w.endsWith("ed") && w.length > 4 &&
+          // -eed words are not past forms (speed, need, feed, proceed) —
+          // stripping gave lemma "spe" and broke the lemma-key index for
+          // "typing speed" (batch 18)
+          !w.endsWith("eed")) {
           val base = w.dropRight(2)
           if (eRestore.contains(base + "e")) base + "e"
           else if (base.length > 2 && base(base.length - 1) == base(base.length - 2) &&

@@ -264,6 +264,18 @@ object RuleNlp {
             // our ledger ... is ...")
             !(i > 0 && (toks(i - 1).lemma == "what" ||
               toks(i - 1).lemma == "whatever" || toks(i - 1).lemma == "whoever")) &&
+            // an embedded how-clause puts its verb clause-finally ("how
+            // snugly their browsing trail nestles in our session vault") —
+            // scan left within the clause for the "how" cue (batch 18)
+            !{
+              var j = i - 1
+              var how = false
+              while (j >= 0 && at(j) != "PUNCT" && !how) {
+                how = toks(j).lemma == "how"
+                j -= 1
+              }
+              how
+            } &&
             // comparative-correlative clauses are OSV ("the more search
             // terms our index hoards.") — the clause-final verb keeps its
             // predicate reading when "the more/fewer/less" opens the clause
@@ -522,9 +534,12 @@ object RuleNlp {
         // after a nominative pronoun ("We record your payment information"):
         // the pronoun needs a predicate, not a second mention
         val pronPredicate = matched == 1 &&
-          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && i > 0 &&
-          toks(i - 1).pos == "PRON" &&
-          Set("we", "you", "they", "i").contains(toks(i - 1).lemma)
+          (toks(i).pos == "VERB" || toks(i).pos == "VERBC") && i > 0 && {
+            // an adverb may intervene ("it also banks billing records")
+            val j = if (toks(i - 1).pos == "ADV" && i > 1) i - 2 else i - 1
+            toks(j).pos == "PRON" &&
+              Set("we", "you", "they", "i", "it").contains(toks(j).lemma)
+          }
         // a base-form verb candidate right after a modal/auxiliary is the
         // clause's verb even when its lemma is a dictionary entity ("we
         // will record your interests": 'record' is a DATA unigram)
@@ -781,6 +796,10 @@ object RuleNlp {
         val l = toks(f).lemma
         l == "scarcely" || l == "rarely" || l == "seldom" || l == "hardly" ||
           l == "never" || l == "barely" ||
+          // "Not only does our till roll log ...", "Not for nothing does
+          // ...", "Such is our appetite ... that", "Little does a guest
+          // suspect ..." — all declarative inversions (batch 18)
+          l == "not" || l == "such" || l == "little" ||
           (l == "no" && f + 1 < end && toks(f + 1).lemma == "sooner")
       }
     }
@@ -1336,8 +1355,16 @@ object RuleNlp {
             // clause's object ("To create a profile, you must provide..."
             // → {profile, you}): heads already attached as objects of an
             // earlier verb are not subjects/passive-objects of this one
-            val filtered = heads0.filterNot(h =>
+            val filtered0 = heads0.filterNot(h =>
               objOf.exists { case (ov, hs) => ov != v && hs.contains(h) })
+            // when everything filtered away but a pronoun anchors the
+            // window ("..., it also banks billing records" — the backward
+            // conj walk absorbed the previous clause's object), the
+            // pronoun IS the subject (batch 18)
+            val filtered =
+              if (filtered0.isEmpty && toks(c0.head).pos == "PRON" &&
+                heads0.contains(c0.head)) List(c0.head)
+              else filtered0
             val heads = if (filtered.nonEmpty) filtered else {
               // the nearest NP is another verb's object — when that verb is
               // a participle with its own subject ("employers sponsoring
@@ -1599,6 +1626,26 @@ object RuleNlp {
                 !(dd.dep == "obj" && dd.to == c.head && dd.from != vg.verb))
             }
           }
+        }
+      }
+    }
+
+    // --- pseudo-partitive subject: "A stream of location pings pours
+    // into our route trough" — a non-DATA subject head whose chunk ends
+    // in an of-PP over a DATA chunk re-points at the DATA head (batch 18;
+    // the reverse of the recordings-of-support-calls chain-root rule,
+    // which keeps the upper when the upper IS the datum)
+    deps.toVector.foreach { dg =>
+      if (dg.dep == "subj" && toks(dg.to).ner != "DATA") {
+        chunks.find(c => c.head == dg.to && c.end < end &&
+          toks(c.end).lemma == "of").foreach { c =>
+          chunks.find(_.start == c.end + 1)
+            .filter(c2 => toks(c2.head).ner == "DATA").foreach { c2 =>
+              deps -= dg
+              addDep(dg.from, c2.head, "subj")
+              subjOf(dg.from) = subjOf.getOrElse(dg.from, Nil)
+                .map(h => if (h == dg.to) c2.head else h).distinct
+            }
         }
       }
     }

@@ -170,4 +170,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout17 precision regressed: $p")
     assert(r >= 0.99, s"holdout17 recall regressed: $r")
   }
+
+  test("holdout batch-18 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted18.toSet, Holdout.truth18.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout18 precision regressed: $p")
+    assert(r >= 0.99, s"holdout18 recall regressed: $r")
+  }
 }

@@ -439,6 +439,32 @@ class KernelSpec extends AnyFunSuite {
     assert(!rm.exists(t => !t._2.startsWith("NOT_")), s"$rm")
   }
 
+  test("batch-18 kernel mechanisms (fresh variants)") {
+    // not-only-does inversion + anaphoric it-subject across the comma
+    val no = triples("<p>Not only does our intake log capture dwell times, it also files failed sign-ins.</p>")
+    assert(no.exists(t => t._1 == "we" && t._3 == "usage information"), s"$no")
+    // pseudo-partitive subject resolves through the of-chain
+    val pp = triples("<p>A parade of crash dumps pours into our diagnostics trough.</p>")
+    assert(pp.exists(t => t._1 == "we" && t._3 == "crash / log data"), s"$pp")
+    // embedded how-clause keeps its clause-final predicate
+    val hc = triples("<p>Little does anyone suspect how quickly their search terms nestle in our query vault.</p>")
+    assert(hc.exists(t => t._1 == "we" && t._3 == "browsing / search history"), s"$hc")
+    // adjective fronting + relcl evasion reads positive
+    val rb = triples("<p>Rare is the checkout that bypasses our billing sweep.</p>")
+    assert(rb.exists(t => t._1 == "we" && !t._2.startsWith("NOT_") &&
+      t._3 == "purchase history"), s"$rb")
+    // -eed words are not past forms: "typing speed" canonicalizes
+    val ts = triples("<p>Your typing speed is chronicled in our behavior folio.</p>")
+    assert(ts.exists(t => t._1 == "we" && t._3 == "biometric information"), s"$ts")
+  }
+
+  test("batch-18 distractors stay silent") {
+    val no = triples("<p>Not only do we value feedback, we read every note.</p>")
+    assert(!no.exists(t => !t._2.startsWith("NOT_")), s"$no")
+    val it = triples("<p>It rains on our parade.</p>")
+    assert(!it.exists(t => !t._2.startsWith("NOT_")), s"$it")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")
