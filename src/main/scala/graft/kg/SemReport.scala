@@ -2,7 +2,7 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: semantic-scorer report on the open-era batches (10-18; 18 is
+/** Dev tool: semantic-scorer report on the open-era batches (10-19; 19 is
   * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
   * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
@@ -38,9 +38,9 @@ object SemReport {
     batch("15", Holdout.pages15, Holdout.truth15)
     batch("16", Holdout.pages16, Holdout.truth16)
     batch("17", Holdout.pages17, Holdout.truth17)
-    batch("19", Holdout.pages19, Holdout.truth19)
-    val combined = batch("18", Holdout.pages18, Holdout.truth18)
-    val want = Holdout.truth18.toSet
+    batch("18", Holdout.pages18, Holdout.truth18)
+    val combined = batch("19", Holdout.pages19, Holdout.truth19)
+    val want = Holdout.truth19.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
