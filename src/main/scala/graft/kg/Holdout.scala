@@ -160,6 +160,12 @@ object Holdout {
   lazy val pages19: Vector[WebPage] = loadPages("holdout19_docs.tsv")
   lazy val truth19: Vector[(String, String, String)] = loadTruth("holdout19_truth.tsv")
 
+  /** Batch 20: written after batch 18 closed and before any batch-19
+    * closure work; the zero-shot test set for BOTH the rule kernel and
+    * kernel + semantic scorer once batch 19 closes. */
+  lazy val pages20: Vector[WebPage] = loadPages("holdout20_docs.tsv")
+  lazy val truth20: Vector[(String, String, String)] = loadTruth("holdout20_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -200,6 +206,7 @@ object Holdout {
   lazy val predicted17: Vector[(String, String, String)] = predict(pages17)
   lazy val predicted18: Vector[(String, String, String)] = predict(pages18)
   lazy val predicted19: Vector[(String, String, String)] = predict(pages19)
+  lazy val predicted20: Vector[(String, String, String)] = predict(pages20)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

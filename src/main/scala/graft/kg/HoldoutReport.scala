@@ -43,5 +43,6 @@ object HoldoutReport {
     report("17", Holdout.predicted17.toSet, Holdout.truth17.toSet)
     report("18", Holdout.predicted18.toSet, Holdout.truth18.toSet)
     report("19", Holdout.predicted19.toSet, Holdout.truth19.toSet)
+    report("20", Holdout.predicted20.toSet, Holdout.truth20.toSet)
   }
 }

@@ -39,6 +39,7 @@ object SemReport {
     batch("16", Holdout.pages16, Holdout.truth16)
     batch("17", Holdout.pages17, Holdout.truth17)
     batch("18", Holdout.pages18, Holdout.truth18)
+    batch("20", Holdout.pages20, Holdout.truth20)
     val combined = batch("19", Holdout.pages19, Holdout.truth19)
     val want = Holdout.truth19.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
