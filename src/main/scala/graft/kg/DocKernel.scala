@@ -1479,7 +1479,8 @@ object DocKernel {
                       ((if (k >= p.start) k else c.start) until t2)
                         .exists { j =>
                           val l = p.tokens(j).lemma
-                          (l == "our" || l == "the" || l == "this" || l == "these") &&
+                          (l == "our" || l == "the" || l == "this" ||
+                            l == "these" || l == "each" || l == "every") &&
                             // a temporal light noun after the determiner
                             // marks a when-connective, not the subject's
                             // determiner ("... the moment adjusters file

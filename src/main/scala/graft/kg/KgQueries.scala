@@ -213,7 +213,8 @@ object KgQueries {
         ("b15", Holdout.pages15, Holdout.truth15),
         ("b16", Holdout.pages16, Holdout.truth16),
         ("b17", Holdout.pages17, Holdout.truth17),
-        ("b18", Holdout.pages18, Holdout.truth18))
+        ("b18", Holdout.pages18, Holdout.truth18),
+        ("b19", Holdout.pages19, Holdout.truth19))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -229,9 +230,9 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 19 (idiomatic predicates, never seen in training
+    // OPEN holdout batch 20 (idiomatic predicates, never seen in training
     // OR in any closure pass) scored by the pure-rule kernel vs kernel ∪
-    // learned scorer. Batches 10-18's frozen comparisons live in
+    // learned scorer. Batches 10-19's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -242,8 +243,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth19.toSet
-      val pages = s.createDataset(Holdout.pages19)
+      val want = Holdout.truth20.toSet
+      val pages = s.createDataset(Holdout.pages20)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -908,7 +909,8 @@ object KgQueries {
       ("b15", Holdout.predicted15, Holdout.truth15),
       ("b16", Holdout.predicted16, Holdout.truth16),
       ("b17", Holdout.predicted17, Holdout.truth17),
-      ("b18", Holdout.predicted18, Holdout.truth18)).flatMap { case (b, got, want) =>
+      ("b18", Holdout.predicted18, Holdout.truth18),
+      ("b19", Holdout.predicted19, Holdout.truth19)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -918,10 +920,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth19.toSet
-      val kernel = Holdout.predicted19.toSet
+      val want = Holdout.truth20.toSet
+      val kernel = Holdout.predicted20.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages19.flatMap { p =>
+      val scored = Holdout.pages20.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)

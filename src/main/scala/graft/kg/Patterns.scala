@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber|bed|overwinter|nestle|lounge|hunker:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber|bed|overwinter|nestle|lounge|hunker|summer|loiter|bivouac:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -332,8 +332,12 @@ object Patterns {
     ("surrender|relinquish:root|ccomp",
       Seq("!*STORE_NOUN:subj", "!:obj@DT"),
       Seq("STORE", "WE", "DT")),
+    // E1 leaves DT in/with <our store> (deposit reading)
+    ("leave:root|ccomp",
+      Seq(":subj@E1", "!:obj@DT", "!in|with,*STORE_NOUN:obj"),
+      Seq("STORE", "WE", "DT")),
     // E1 raids <our store> for DT
-    ("raid|tap|plunder|loot|shake:root|ccomp",
+    ("raid|tap|plunder|loot|shake|comb|strip-mine:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>

@@ -93,7 +93,10 @@ object Lexicon {
     // batch-18 closure roots
     "gulp", "pilfer", "bed", "catapult", "pour", "sight", "overwinter",
     "chisel", "shake", "chauffeur", "nestle", "wing", "lounge",
-    "hunker", "bypass")
+    "hunker", "bypass",
+    // batch-19 closure roots
+    "summer", "loiter", "comb", "rocket", "sock", "fax", "dredge",
+    "strip-mine", "deposit", "look", "bivouac")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",

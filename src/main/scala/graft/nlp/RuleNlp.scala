@@ -192,6 +192,11 @@ object RuleNlp {
   private val LinkWords = Set("together", "along", "with", "alongside",
     "i.e.", "e.g.", "namely", "specifically", "particularly", "especially",
     "like", "such", "as")
+  private val MotionResidenceVerbs = Set("land", "reach", "settle",
+    "lodge", "tumble", "seep", "pour", "stay", "linger", "sit", "nestle",
+    "lounge", "hunker", "loiter", "summer", "winter", "camp", "perch",
+    "moonlight", "idle", "lurk", "doze", "slumber", "bed", "roost",
+    "nest", "bunk", "hole", "reside", "hibernate", "marinate", "languish")
   private val CollocationPairs = Set(
     ("access", "to"), ("information", "about"), ("information", "on"),
     ("data", "about"), ("datum", "about"), ("detail", "about"))
@@ -264,6 +269,11 @@ object RuleNlp {
             // our ledger ... is ...")
             !(i > 0 && (toks(i - 1).lemma == "what" ||
               toks(i - 1).lemma == "whatever" || toks(i - 1).lemma == "whoever")) &&
+            // figurative motion/residence verbs routinely take a locative
+            // in/into-PP right after a noun subject ("the login lands in
+            // our audit bin") and never nominalize in that shape (b19)
+            !(MotionResidenceVerbs.contains(t.lemma) && i + 1 < n &&
+              (toks(i + 1).lemma == "in" || toks(i + 1).lemma == "into")) &&
             // an embedded how-clause puts its verb clause-finally ("how
             // snugly their browsing trail nestles in our session vault") —
             // scan left within the clause for the "how" cue (batch 18)
@@ -712,6 +722,10 @@ object RuleNlp {
         // adjunct's NPs are conditions, not practices (batch 17)
         else if (end - start > 4 && toks(start).lemma == "no" &&
           toks(start + 1).lemma == "matter") start + 1
+        // "However you sign in," — wh-ever concessive clause; plain
+        // adverbial "However," keeps its comma right after (batch 19)
+        else if (end - start > 3 && toks(start).lemma == "however" &&
+          toks(start + 1).text != ",") start
         else -1
       if (forAt < 0) None
       else (forAt + 1 until end).find(k => toks(k).text == ",").map { c =>
@@ -719,6 +733,14 @@ object RuleNlp {
         (forAt + 1, c)
       }
     }
+    // such-inversion result clause: "Such is our appetite for telemetry
+    // THAT every crash dump is archived" — the "that" is a complementizer;
+    // left as REL it builds a relative clause on the nearest noun and the
+    // pattern matcher (root|ccomp only) never sees the verb (batch 19)
+    if (end - start > 3 && toks(start).lemma == "such" &&
+      toks(start + 1).pos == "AUX" && toks(start + 1).lemma == "be")
+      (start + 2 until end).find(k => toks(k).pos == "REL" &&
+        toks(k).lemma == "that").foreach(k => toks(k).pos = "SCONJ")
     val chunks = chunk(toks, start, end)
     val deps = new ListBuffer[Dep]
     val neg = scala.collection.mutable.Set[Int]()
@@ -1489,6 +1511,31 @@ object RuleNlp {
       vgs.foreach(vg => if (vg.verb < sconj && !evasion(vg.verb)) neg += vg.verb)
     }
 
+    // --- such-inversion result clause, dep side: the clause after "Such
+    // is ... that" may still classify as a relative clause on the nearest
+    // noun — re-root it and apply the passive promotion its verb missed
+    // (batch 19)
+    if (end - start > 3 && toks(start).lemma == "such" &&
+      toks(start + 1).pos == "AUX" && toks(start + 1).lemma == "be") {
+      deps.toVector.foreach { dg =>
+        if (dg.dep == "relcl") {
+          val v = dg.to
+          deps -= dg
+          if (!deps.exists(dd => dd.dep == "root" && dd.to == v))
+            addDep(-1, v, "root")
+          vgs.find(_.verb == v).filter(_.passive).foreach { _ =>
+            if (!objOf.get(v).exists(_.nonEmpty))
+              subjOf.get(v).filter(_.nonEmpty).foreach { ss =>
+                deps.filterInPlace(dd => !(dd.from == v && dd.dep == "subj"))
+                subjOf.remove(v)
+                ss.foreach(h => addDep(v, h, "obj"))
+                objOf(v) = ss
+              }
+          }
+        }
+      }
+    }
+
     // --- counterfactual protector cleanup: its ner was cleared before
     // chunking, but comma coordination still chains the protector NP into
     // the main verb's subject group ("But for the chargeback probe, gait
@@ -1781,6 +1828,28 @@ object RuleNlp {
           else fc.head
         addDep(vg.verb, objHead, "obj")
         objOf(vg.verb) = (objOf.getOrElse(vg.verb, Nil) :+ objHead).distinct
+      }
+    }
+
+    // --- tough-movement: "Your salary band is easy for our pay desk to
+    // look up in the payroll roll" — the matrix subject is the
+    // infinitive's OBJECT; the for-NP is its subject (which the clause
+    // builder already attaches) — batch 19
+    locally {
+      val ToughAdjs = Set("easy", "hard", "simple", "tough", "difficult",
+        "quick", "trivial")
+      for {
+        c1 <- chunks.headOption if c1.start == start
+        cop <- (c1.end until end).find(k => toks(k).pos == "AUX" && toks(k).lemma == "be")
+        adj <- (cop + 1 until math.min(end, cop + 3)).find(k =>
+          ToughAdjs.contains(toks(k).lemma))
+        forAt <- (adj + 1 until math.min(end, adj + 3)).find(k => toks(k).lemma == "for")
+        toAt <- (forAt + 1 until end).find(k => toks(k).lemma == "to")
+        vg <- vgs.find(v2 => v2.verb > toAt &&
+          !objOf.get(v2.verb).exists(_.nonEmpty))
+      } {
+        addDep(vg.verb, c1.head, "obj")
+        objOf(vg.verb) = List(c1.head)
       }
     }
 

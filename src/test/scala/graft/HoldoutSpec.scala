@@ -178,4 +178,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout18 precision regressed: $p")
     assert(r >= 0.99, s"holdout18 recall regressed: $r")
   }
+
+  test("holdout batch-19 P/R regression floors (closed at 1.0/1.0 in round 5)") {
+    val rows = Holdout.prRows(Holdout.predicted19.toSet, Holdout.truth19.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout19 precision regressed: $p")
+    assert(r >= 0.99, s"holdout19 recall regressed: $r")
+  }
 }

@@ -465,6 +465,33 @@ class KernelSpec extends AnyFunSuite {
     assert(!it.exists(t => !t._2.startsWith("NOT_")), s"$it")
   }
 
+  test("batch-19 kernel mechanisms (fresh variants)") {
+    // such-inversion result clause re-roots and keeps its passive
+    val su = triples("<p>Such is our love of telemetry that every location ping is logged.</p>")
+    assert(su.exists(t => t._1 == "we" && t._3 == "geolocation"), s"$su")
+    // tough-movement: the matrix subject is the infinitive's object
+    val tm = triples("<p>Your birth date is easy for our billing desk to look up in the signup roll.</p>")
+    assert(tm.exists(t => t._1 == "we" && t._3 == "date of birth"), s"$tm")
+    // wh-ever concessive neutralized; motion verbs survive the
+    // plural-misread demotion before a locative in-PP
+    val hw = triples("<p>However you browse, the search terms settle in our query lake.</p>")
+    assert(hw.exists(t => t._1 == "we" && t._3 == "browsing / search history"), s"$hw")
+    // fronted partitive numeral subject
+    val pn = triples("<p>Of every ten voicemails, nine end up in our coaching drawer.</p>")
+    assert(pn.exists(t => t._1 == "we" && t._3 == "audio recording"), s"$pn")
+    // leave-DT-in-store is a deposit, not an egress
+    val lv = triples("<p>Every caller leaves a voiceprint in our support ledger.</p>")
+    assert(lv.exists(t => t._1 == "we" && t._3 == "voiceprint"), s"$lv")
+  }
+
+  test("batch-19 distractors stay silent") {
+    val su = triples("<p>Such is life.</p>")
+    assert(!su.exists(t => !t._2.startsWith("NOT_")), s"$su")
+    // tough-movement over a non-practice infinitive
+    val tm = triples("<p>Your account is easy for you to close.</p>")
+    assert(!tm.exists(t => !t._2.startsWith("NOT_")), s"$tm")
+  }
+
   test("text cleanup invariants (S5 fixups)") {
     assert(TextClean.fixups("contact us by e-mail or E-mails") == "contact us by email or email")
     assert(TextClean.fixups("wi-fi and geo-location and your id") == "WiFi and geolocation and your ID")

@@ -224,7 +224,7 @@ class PipelineSpec extends AnyFunSuite {
     // scorer is not — the augmented graph must be a strict superset there
     // (retarget with each batch closure: a closed batch's kernel row is
     // 1.0, leaving the scorer nothing to add)
-    val pages = spark.createDataset(graft.kg.Holdout.pages19)
+    val pages = spark.createDataset(graft.kg.Holdout.pages20)
     val kernel = graft.kg.KgPipeline.triplesFromPages(pages).cache()
     val aug = graft.kg.KgPipeline.augmentWithScorer(pages, kernel)
     val kSet = kernel.collect().map(t => (t.url, t.subj, t.obj)).toSet
