@@ -2,7 +2,7 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: semantic-scorer report on the open-era batches (10-19; 19 is
+/** Dev tool: semantic-scorer report on the open-era batches (10-20; 20 is
   * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
   * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
@@ -39,9 +39,9 @@ object SemReport {
     batch("16", Holdout.pages16, Holdout.truth16)
     batch("17", Holdout.pages17, Holdout.truth17)
     batch("18", Holdout.pages18, Holdout.truth18)
-    batch("20", Holdout.pages20, Holdout.truth20)
-    val combined = batch("19", Holdout.pages19, Holdout.truth19)
-    val want = Holdout.truth19.toSet
+    batch("19", Holdout.pages19, Holdout.truth19)
+    val combined = batch("20", Holdout.pages20, Holdout.truth20)
+    val want = Holdout.truth20.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))

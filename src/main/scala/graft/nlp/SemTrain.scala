@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** Dev tool: trains the committed semantic-scorer fixture
   * (`src/main/resources/graft/sem_mlp.bin`) on the CLOSED holdout batches
   * (gold party tuples) plus the synthetic corpus — the standing OPEN batch
-  * (now 19) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
+  * (now 20) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
   * Deterministic (seeded): re-running reproduces the committed bytes.
   * `sbt "runMain graft.nlp.SemTrain"` */
 object SemTrain {
@@ -18,8 +18,8 @@ object SemTrain {
       (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
       (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
       (Holdout.pages9, Holdout.truth9),
-      // batches 10-18 joined the training set when they CLOSED (kernel ==
-      // truth there); batch 19 has never been read here — its row is
+      // batches 10-19 joined the training set when they CLOSED (kernel ==
+      // truth there); batch 20 has never been read here — its row is
       // zero-shot
       (Holdout.pages10, Holdout.truth10),
       (Holdout.pages11, Holdout.truth11),
@@ -29,7 +29,8 @@ object SemTrain {
       (Holdout.pages15, Holdout.truth15),
       (Holdout.pages16, Holdout.truth16),
       (Holdout.pages17, Holdout.truth17),
-      (Holdout.pages18, Holdout.truth18))
+      (Holdout.pages18, Holdout.truth18),
+      (Holdout.pages19, Holdout.truth19))
     batches.flatMap { case (pages, truth) =>
       val ts = truth.toSet
       pages.map(p => p -> ts.filter(_._1 == p.url))
