@@ -166,6 +166,15 @@ object Holdout {
   lazy val pages20: Vector[WebPage] = loadPages("holdout20_docs.tsv")
   lazy val truth20: Vector[(String, String, String)] = loadTruth("holdout20_truth.tsv")
 
+  /** Batch 21 (round 6 opening): written after batch 19 closed and before
+    * any batch-20 closure work — the gap-datum VOCABULARY probe (16 of 25
+    * docs carry out-of-dictionary datum heads under in-dictionary
+    * predicate frames); the zero-shot test set for the rule kernel, the
+    * semantic scorer, and the round-6 learned mention NER once batch 20
+    * closes. */
+  lazy val pages21: Vector[WebPage] = loadPages("holdout21_docs.tsv")
+  lazy val truth21: Vector[(String, String, String)] = loadTruth("holdout21_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -207,6 +216,7 @@ object Holdout {
   lazy val predicted18: Vector[(String, String, String)] = predict(pages18)
   lazy val predicted19: Vector[(String, String, String)] = predict(pages19)
   lazy val predicted20: Vector[(String, String, String)] = predict(pages20)
+  lazy val predicted21: Vector[(String, String, String)] = predict(pages21)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

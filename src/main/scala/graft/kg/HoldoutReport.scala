@@ -44,5 +44,6 @@ object HoldoutReport {
     report("18", Holdout.predicted18.toSet, Holdout.truth18.toSet)
     report("19", Holdout.predicted19.toSet, Holdout.truth19.toSet)
     report("20", Holdout.predicted20.toSet, Holdout.truth20.toSet)
+    report("21", Holdout.predicted21.toSet, Holdout.truth21.toSet)
   }
 }

@@ -2,9 +2,10 @@ package graft.kg
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Dev tool: semantic-scorer report on the open-era batches (10-20; 20 is
-  * the standing OPEN batch) — kernel-only vs kernel ∪ scorer, with per-doc
-  * diffs for the combined system. `sbt "runMain graft.kg.SemReport"` */
+/** Dev tool: semantic-scorer report on the open-era batches (10-21; 21 is
+  * the standing OPEN batch once 20 closes) — kernel-only vs kernel ∪
+  * scorer, with per-doc diffs for the combined system.
+  * `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
 
   def scorerTuples(pages: Vector[Model.WebPage]): Set[(String, String, String)] = {
@@ -40,8 +41,9 @@ object SemReport {
     batch("17", Holdout.pages17, Holdout.truth17)
     batch("18", Holdout.pages18, Holdout.truth18)
     batch("19", Holdout.pages19, Holdout.truth19)
-    val combined = batch("20", Holdout.pages20, Holdout.truth20)
-    val want = Holdout.truth20.toSet
+    batch("20", Holdout.pages20, Holdout.truth20)
+    val combined = batch("21", Holdout.pages21, Holdout.truth21)
+    val want = Holdout.truth21.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
