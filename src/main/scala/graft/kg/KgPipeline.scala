@@ -150,8 +150,11 @@ object KgPipeline {
     * narrow per-partition batched-model shape as the purpose scorer
     * (per-JVM lazy load, no shuffle added); default-off so the oracle
     * parity suite pins the pure-rule graph. A real deployment flips this
-    * on for recall at the measured precision trade (COVERAGE.md zero-shot
-    * tables: batch-11 F1 0.000 → 0.486 on OOV predicates). */
+    * on for recall at the measured precision trade — on each standing open
+    * batch the kernel ∪ scorer union holds R 0.70-0.83 at P 0.79-0.90
+    * zero-shot where the kernel alone sits at R 0.20-0.35 (COVERAGE.md
+    * frozen zero-shot tables; the scorer is trained on closed batches
+    * only, per SemTrain.goldDocs). */
   def augmentWithScorer(pages: Dataset[WebPage],
       kernelTriples: Dataset[Triple]): Dataset[Triple] = {
     import pages.sparkSession.implicits._

@@ -187,9 +187,12 @@ object Normalizer {
   /** Memoized normalize — mentions repeat massively across documents
     * ("email address", "we", "our partners"), and the cascade below
     * allocates n-gram joins and stem strings per call. The key captures
-    * everything the cascade reads: token (text, pos, ner) triples, the
-    * head index, and the token type (lemma and stem are pure functions of
-    * text). Executor-wide bounded cache, like Lexicon's lemma cache. */
+    * everything the cascade reads: token (text, lemma, pos, ner) tuples,
+    * the head index, and the token type. The lemma is NOT derivable from
+    * the text here: DocKernel's synthetic mentions construct Toks with
+    * lemma = text verbatim, so a synthetic and a natural mention can share
+    * a surface while differing in lemma (round-5 ADVICE medium).
+    * Executor-wide bounded cache, like Lexicon's lemma cache. */
   private val normCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]](1 << 14)
 
@@ -199,8 +202,8 @@ object Normalizer {
     var i = 0
     while (i < m.tokens.length) {
       val t = m.tokens(i)
-      sb.append('\u0001').append(t.text).append('\u0002').append(t.pos)
-        .append('\u0002').append(t.ner)
+      sb.append('\u0001').append(t.text).append('\u0002').append(t.lemma)
+        .append('\u0002').append(t.pos).append('\u0002').append(t.ner)
       i += 1
     }
     val key = sb.toString

@@ -274,8 +274,19 @@ object Patterns {
     ("find|take:root|ccomp",
       Seq("!:subj@DT", "!way|shelter|refuge|berth:obj", "into|onto|to|in,:obj@E2"),
       Seq("COLLECT", "WE", "DT")),
-    // DT reaches/enters/lands/sticks (figurative ingress)
-    ("reach|enter|land|stick|slip|settle|lodge|pile|wash|accumulate|tumble|seep|pour:root|ccomp",
+    // DT reaches/enters/lands/settles — common motion verbs need a
+    // STORE_NOUN destination (round-5 ADVICE medium)
+    ("reach|enter|land|settle:root|ccomp",
+      Seq("!:subj@DT", "!at|on|in|onto|into|to,*STORE_NOUN:obj@E2"),
+      Seq("COLLECT", "WE", "DT")),
+    // ... destination as direct object ("reaches our logs")
+    ("reach|enter|land|settle:root|ccomp",
+      Seq("!:subj@DT", "!*STORE_NOUN:obj@E2"), Seq("COLLECT", "WE", "DT")),
+    // ... destination as the locative pro-form ("lands there")
+    ("reach|enter|land|settle:root|ccomp",
+      Seq("!:subj@DT", "!there:obj"), Seq("COLLECT", "WE", "DT")),
+    // ... unambiguous figurative-ingress members keep the bare subject
+    ("stick|slip|lodge|pile|wash|accumulate|tumble|seep|pour:root|ccomp",
       Seq("!:subj@DT"), Seq("COLLECT", "WE", "DT")),
     // DT helps us <verb>
     ("help|assist:root|ccomp",

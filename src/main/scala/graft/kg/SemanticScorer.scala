@@ -23,9 +23,11 @@ import graft.kg.Normalizer.Mention
   * a bag of words alone cannot know "trickle into our warehouse" is ingress,
   * but datum-subject + into-our-store-NP can, for ANY verb.
   *
-  * Trained by [[graft.nlp.SemTrain]] on closed holdout batches 1-9 plus the
-  * synthetic corpus; batch 10 is NEVER seen in training — `kg_eval_semantic`
-  * reports its zero-shot row for kernel vs kernel+scorer.
+  * Trained by [[graft.nlp.SemTrain]] on ALL CLOSED holdout batches plus the
+  * synthetic corpus; the standing OPEN batch (and any batch newer than it)
+  * is NEVER seen in training or tuning — `kg_eval_semantic` reports that
+  * batch's zero-shot row for kernel vs kernel ∪ scorer. SemTrain.goldDocs
+  * is the authoritative list of what the committed sem_mlp.bin saw.
   */
 object SemanticScorer {
 

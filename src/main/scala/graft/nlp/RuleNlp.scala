@@ -1752,15 +1752,26 @@ object RuleNlp {
     // noun) is re-attached (batch 15)
     locally {
       val f = (start until end).find(k => toks(k).pos != "SPACE")
+      // into/onto ONLY: a fronted plain-"in" PP ("In some cases, your data
+      // is shared ...") is overwhelmingly a sentence adverbial, not an
+      // inverted locative — and the agentless-passive guard below keeps
+      // in-fronted passives on their passive reading (round-5 ADVICE high)
       if (f.exists(k => toks(k).pos == "ADP" &&
-        (toks(k).lemma == "into" || toks(k).lemma == "onto" || toks(k).lemma == "in"))) {
+        (toks(k).lemma == "into" || toks(k).lemma == "onto"))) {
         // the PP's NP is the first chunk after the ADP (a determiner or
         // premodifying adverb may separate them: "Into our tally book")
         val ppChunk = chunks.find(_.start > f.get)
         vgs.find { vg =>
-          subjOf.get(vg.verb).forall(_.isEmpty) ||
+          // passives legitimately lack an agent subject — never rewire them
+          val notPassive = !vg.passive && !passiveExtra.contains(vg.verb)
+          // true inversion has NO NP chunk between the fronted PP and the
+          // verb (the postposed subject follows the verb)
+          val noNpBetween = !chunks.exists(c =>
+            ppChunk.exists(pc => c.start >= pc.end) && c.end <= vg.verb)
+          notPassive && noNpBetween &&
+          (subjOf.get(vg.verb).forall(_.isEmpty) ||
             (ppChunk.exists(pc => subjOf(vg.verb).forall(h =>
-              h >= pc.start && h < pc.end)) && vg.verb < end - 1)
+              h >= pc.start && h < pc.end)) && vg.verb < end - 1))
         }.foreach { vg =>
           chunks.find(_.start > vg.verb).foreach { c =>
             // the post-verbal NP may already sit in the object slot
