@@ -412,7 +412,10 @@ object DocKernel {
     // stripped ("sharing" → share, "processing" → process)
     "share" -> "SHARE", "process" -> "USE",
     // "the recording of support calls" (nominal gerund of record)
-    "record" -> "STORE", "transcription" -> "USE")
+    "record" -> "STORE", "transcription" -> "USE",
+    // "The taping of support calls continues year-round" (batch 20 —
+    // nominalized gerund subject; the lookup key is the stripped lemma)
+    "tape" -> "STORE")
 
   /** Nominalized practice statements (recall extension; the reference's
     * consent pattern covers only "you consent to the collection of DT"):

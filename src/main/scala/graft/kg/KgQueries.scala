@@ -214,7 +214,8 @@ object KgQueries {
         ("b16", Holdout.pages16, Holdout.truth16),
         ("b17", Holdout.pages17, Holdout.truth17),
         ("b18", Holdout.pages18, Holdout.truth18),
-        ("b19", Holdout.pages19, Holdout.truth19))
+        ("b19", Holdout.pages19, Holdout.truth19),
+        ("b20", Holdout.pages20, Holdout.truth20))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -230,9 +231,9 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 20 (idiomatic predicates, never seen in training
-    // OR in any closure pass) scored by the pure-rule kernel vs kernel ∪
-    // learned scorer. Batches 10-19's frozen comparisons live in
+    // OPEN holdout batch 21 (the gap-datum vocabulary probe, never seen in
+    // training OR in any closure pass) scored by the pure-rule kernel vs
+    // kernel ∪ learned scorer. Batches 10-20's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -243,8 +244,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth20.toSet
-      val pages = s.createDataset(Holdout.pages20)
+      val want = Holdout.truth21.toSet
+      val pages = s.createDataset(Holdout.pages21)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -910,7 +911,8 @@ object KgQueries {
       ("b16", Holdout.predicted16, Holdout.truth16),
       ("b17", Holdout.predicted17, Holdout.truth17),
       ("b18", Holdout.predicted18, Holdout.truth18),
-      ("b19", Holdout.predicted19, Holdout.truth19)).flatMap { case (b, got, want) =>
+      ("b19", Holdout.predicted19, Holdout.truth19),
+      ("b20", Holdout.predicted20, Holdout.truth20)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -920,10 +922,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth20.toSet
-      val kernel = Holdout.predicted20.toSet
+      val want = Holdout.truth21.toSet
+      val kernel = Holdout.predicted21.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages20.flatMap { p =>
+      val scored = Holdout.pages21.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)

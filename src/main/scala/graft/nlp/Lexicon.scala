@@ -96,7 +96,13 @@ object Lexicon {
     "hunker", "bypass",
     // batch-19 closure roots
     "summer", "loiter", "comb", "rocket", "sock", "fax", "dredge",
-    "strip-mine", "deposit", "look", "bivouac")
+    "strip-mine", "deposit", "look", "bivouac",
+    // batch-20 closure roots: extraction (trawl/prospect ... for),
+    // residence (holiday/nap/curl ... in), store-subject accumulation
+    // (hums with), conduits (shunt, dash ... off to), deposit
+    // (tabulate/notate), ingestion (sop up)
+    "trawl", "prospect", "holiday", "nap", "curl", "hum", "shunt",
+    "dash", "tabulate", "notate", "sop")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -177,6 +183,10 @@ object Lexicon {
     // irregular participles ("woven into the fit profile we keep",
     // "is swept up by our fleet monitor")
     "woven" -> "weave", "swept" -> "sweep", "goes" -> "go",
+    // British -ue spellings resolve to the American token-map lemma
+    // ("is catalogued" must anchor the VERB_STORE root "catalog")
+    "catalogue" -> "catalog", "catalogues" -> "catalog",
+    "catalogued" -> "catalog", "cataloguing" -> "catalog",
     // reflexive pronouns must keep their -s (the "help themselves to"
     // pattern anchors on the lemma; the de-s rule mangled it to
     // "themselve" and the pattern was dead until batch 14)
@@ -199,7 +209,9 @@ object Lexicon {
     "bottle", "memorialize", "guzzle", "fade", "lodge", "devour",
     "glimpse", "tumble", "square", "rifle", "dodge",
     "sponge", "chronicle", "idle", "doze", "scavenge",
-    "nestle", "lounge")
+    "nestle", "lounge",
+    // batch-20 closure: "tabulated", "notated"
+    "tabulate", "notate")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -301,11 +301,13 @@ object RuleNlp {
             } &&
             (i + 1 >= n || at(i + 1) == "PUNCT" || at(i + 1) == "CCONJ" || at(i + 1) == "ADP"))
             t.pos = "NOUN"
-          // "set" as a compound tail between a nominal and a
+          // "set"/"end" as a compound tail between a nominal and a
           // preposition/punctuation ("the backup set alongside ...", "the
-          // data set,") — lemma-specific: base-form verbs generally DO sit
-          // in this shape under plural subjects ("backups ... persist for")
-          if (t.pos == "VERB" && t.lemma == "set" && t.text == t.lemma &&
+          // data set,", "by week's end.") — lemma-specific: base-form verbs
+          // generally DO sit in this shape under plural subjects
+          // ("backups ... persist for")
+          if (t.pos == "VERB" && (t.lemma == "set" || t.lemma == "end") &&
+            t.text == t.lemma &&
             (prev == "NOUN" || prev == "PROPN") &&
             (i + 1 >= n || at(i + 1) == "ADP" || at(i + 1) == "PUNCT" ||
               at(i + 1) == "CCONJ"))
@@ -695,15 +697,32 @@ object RuleNlp {
 
   /** Build the normalized per-sentence dependency graph. */
   def parseSentence(toks: Vector[Tok], start: Int, end: Int): Parse = {
-    // a sentence with no finite verb restores a demoted -s verb candidate
+    // a sentence with no finite verb restores a demoted verb candidate
     // ("Face-matching runs against the photos in your gallery"): the
-    // plural-noun misreading only holds when another verb carries the clause
+    // plural-noun misreading only holds when another verb carries the
+    // clause. A token INSIDE a dictionary mention is never the predicate
+    // ("Face scans shelter in our entry vault" must revive "shelter", not
+    // split the "face scans" mention at "scans" — batch 20), and base-form
+    // candidates demoted by adjacency rules qualify too.
     if (!(start until end).exists(i => toks(i).pos == "VERB")) {
-      (start + 1 until end).find { i =>
+      def cand(i: Int): Boolean = {
         val t = toks(i)
-        t.pos == "NOUN" && t.text.endsWith("s") && Lexicon.isLower(t.text) &&
-          verbLemmas.contains(t.lemma)
-      }.foreach(i => toks(i).pos = "VERB")
+        t.pos == "NOUN" && Lexicon.isLower(t.text) && verbLemmas.contains(t.lemma)
+      }
+      def clean(i: Int): Boolean =
+        toks(i).ner != "DATA" && toks(i).ner != "ACTOR"
+      val r = (start + 1 until end)
+        .find(i => cand(i) && clean(i) && toks(i).text.endsWith("s"))
+        .orElse((start + 1 until end)
+          .find(i => cand(i) && clean(i) && toks(i).text == toks(i).lemma))
+        // denominal mention-lemma verbs ("our nightly job couriers tax IDs
+        // to ...") — but never a token CONTINUING a multi-token mention
+        // ("face scans" must stay one mention and revive "shelter" instead)
+        .orElse((start + 1 until end).find { i =>
+          cand(i) && toks(i).text.endsWith("s") &&
+            toks(i - 1).ner != toks(i).ner
+        })
+      r.foreach(i => toks(i).pos = "VERB")
     }
     // fronted counterfactual protector: "But for <NP>, ..." / "Were it
     // not for <NP>, ..." — the NP names what PREVENTED the counterfactual

@@ -186,4 +186,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout19 precision regressed: $p")
     assert(r >= 0.99, s"holdout19 recall regressed: $r")
   }
+
+  test("holdout batch-20 P/R regression floors (closed at 1.0/1.0 in round 6)") {
+    val rows = Holdout.prRows(Holdout.predicted20.toSet, Holdout.truth20.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout20 precision regressed: $p")
+    assert(r >= 0.99, s"holdout20 recall regressed: $r")
+  }
 }

@@ -8,13 +8,13 @@ import graft.kg.{Holdout, SemanticScorer}
 
 /** Pins the round-5 semantic-scorer deliverable (round-4 VERDICT next #1):
   * the committed model, trained only on CLOSED batches + the synthetic
-  * corpus, must beat the pure-rule kernel ZERO-SHOT on the standing open
-  * batch (now 20 — idiomatic predicates over out-of-dictionary datum
-  * heads). The frozen zero-shot rows live in COVERAGE.md; these floors keep
-  * the committed weights honest without over-pinning floats. NOTE for the
-  * round that closes batch 20 with kernel mechanisms: the strict "beats
-  * kernel" assertions below describe the OPEN-batch state and must then be
-  * rewritten against the next open batch. */
+  * corpus, evaluated ZERO-SHOT on the standing open batch (now 21 — the
+  * gap-datum VOCABULARY probe). Batch 21 is deliberately outside the
+  * scorer's reach: its candidate generator only emits
+  * dictionary-canonicalizable mentions, so on gap-datum tuples the scorer
+  * adds NOTHING — the pinned state is precision (no fp flood), not a
+  * recall lift. The recall-lift floors move to the learned mention NER
+  * (round-6 deliverable) once it lands. Frozen rows live in COVERAGE.md. */
 class SemScoringSpec extends AnyFunSuite {
 
   private def prf(got: Set[(String, String, String)],
@@ -32,11 +32,11 @@ class SemScoringSpec extends AnyFunSuite {
     assert(m.labels == Vector("collect"))
   }
 
-  test("semantic scorer beats the rule kernel zero-shot on open batch 20") {
-    val want = Holdout.truth20.toSet
-    val kernel = Holdout.predicted20.toSet
+  test("semantic scorer holds precision zero-shot on open batch 21 (vocabulary probe)") {
+    val want = Holdout.truth21.toSet
+    val kernel = Holdout.predicted21.toSet
     val m = SemanticScorer.fromResource
-    val scored = Holdout.pages20.flatMap { p =>
+    val scored = Holdout.pages21.flatMap { p =>
       SemanticScorer.predictTuples(m,
         SemanticScorer.candidates(p.url, new String(p.html, UTF_8)))
     }.toSet.filter(Holdout.isRealTuple)
@@ -45,13 +45,14 @@ class SemScoringSpec extends AnyFunSuite {
     val (cp, cr, cf) = prf(combined, want)
     info(f"kernel     P=$kp%.3f R=$kr%.3f F1=$kf%.3f")
     info(f"kernel+mlp P=$cp%.3f R=$cr%.3f F1=$cf%.3f")
-    assert(cr > kr, "scorer must add zero-shot recall over the kernel")
-    assert(cf > kf, "scorer must improve zero-shot F1 over the kernel")
-    // frozen first-evaluation rows on b20 (COVERAGE.md): kernel 7/23
-    // (P 1.000 / R 0.304); scorer(b1-18, the committed model) tp=18 fp=4
-    // (P 0.818 / R 0.783) — in-dictionary datum heads, fresh frames.
-    // Floors sit under the frozen rows.
-    assert(cr >= 0.55, s"combined zero-shot recall floor: $cr")
-    assert(cp >= 0.65, s"combined zero-shot precision floor: $cp")
+    // frozen first-evaluation rows on b21 (COVERAGE.md): kernel tp=8 fp=0
+    // (P 1.000 / R 0.320 — all 8 in-dictionary controls, 0/17 gap
+    // tuples); kernel ∪ scorer tp=8 fp=1 (P 0.889 / R 0.320 — the scorer
+    // cannot reach out-of-dictionary datums; that boundary belongs to the
+    // round-6 NER). Floors pin: no recall regression below the control
+    // set, no fp flood from the scorer on OOV-heavy text.
+    assert(cr >= kr, "scorer union must never lose kernel recall")
+    assert(cr >= 0.30, s"combined zero-shot recall floor: $cr")
+    assert(cp >= 0.80, s"combined zero-shot precision floor: $cp")
   }
 }
