@@ -18,8 +18,8 @@ object SemTrain {
       (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
       (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
       (Holdout.pages9, Holdout.truth9),
-      // batches 10-19 joined the training set when they CLOSED (kernel ==
-      // truth there); batch 20 has never been read here — its row is
+      // batches 10-20 joined the training set when they CLOSED (kernel ==
+      // truth there); batch 21 has never been read here — its row is
       // zero-shot
       (Holdout.pages10, Holdout.truth10),
       (Holdout.pages11, Holdout.truth11),
@@ -30,7 +30,8 @@ object SemTrain {
       (Holdout.pages16, Holdout.truth16),
       (Holdout.pages17, Holdout.truth17),
       (Holdout.pages18, Holdout.truth18),
-      (Holdout.pages19, Holdout.truth19))
+      (Holdout.pages19, Holdout.truth19),
+      (Holdout.pages20, Holdout.truth20))
     batches.flatMap { case (pages, truth) =>
       val ts = truth.toSet
       pages.map(p => p -> ts.filter(_._1 == p.url))
