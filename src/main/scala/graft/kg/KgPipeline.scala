@@ -156,15 +156,20 @@ object KgPipeline {
     * frozen zero-shot tables; the scorer is trained on closed batches
     * only, per SemTrain.goldDocs). */
   def augmentWithScorer(pages: Dataset[WebPage],
-      kernelTriples: Dataset[Triple]): Dataset[Triple] = {
+      kernelTriples: Dataset[Triple],
+      withNer: Boolean = false): Dataset[Triple] = {
     import pages.sparkSession.implicits._
     val scored = pages
       .filter(col("lang") === "en")
       .mapPartitions { it =>
         val m = SemanticScorer.fromResource
+        // the learned mention NER rides the same per-partition walk: spans
+        // the dictionary missed get proposed, categorized, and party-scored
+        // by the same committed MLP (MentionNer scaladoc)
+        val ner = if (withNer) Some(MentionNer.fromResource) else None
         it.flatMap { p =>
           val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-          val cands = SemanticScorer.candidates(p.url, html)
+          val cands = SemanticScorer.candidates(p.url, html, ner)
           SemanticScorer.predictTuples(m, cands).iterator
         }
       }.toDF("url", "party", "datatype")

@@ -268,6 +268,49 @@ object KgQueries {
         .orderBy("system", "party")
     }),
 
+    // Mention-NER zero-shot evaluation (round-5 VERDICT next #1, the
+    // round-6 headline): the OPEN batch 21 is the gap-datum VOCABULARY
+    // probe — 17 of its 25 tuples carry datum surfaces absent from the
+    // phrase dictionary, structurally unreachable by the kernel AND the
+    // semantic scorer (their frozen rows both sit at R 0.320). The learned
+    // mention NER (kg/MentionNer: span head + category head, committed
+    // weights trained by nlp/NerTrain on closed batches + the phrase map
+    // only) proposes the spans, names the category, and the semantic MLP
+    // scores the party. All three systems run DISTRIBUTED; the third row
+    // is the vocabulary lift. The oracle replays driver-side; the VALUE is
+    // frozen in COVERAGE.md.
+    "kg_eval_ner" -> ((s, _) => {
+      import s.implicits._
+      val want = Holdout.truth21.toSet
+      val pages = s.createDataset(Holdout.pages21)
+      val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .filter(Holdout.isRealTuple).toSet
+      def scorerTuples(withNer: Boolean) = pages.mapPartitions { it =>
+        val m = SemanticScorer.fromResource
+        val ner = if (withNer) Some(MentionNer.fromResource) else None
+        it.flatMap { p =>
+          val cands = SemanticScorer.candidates(p.url,
+            new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner)
+          SemanticScorer.predictTuples(m, cands)
+        }
+      }.collect().toSet.filter(Holdout.isRealTuple)
+      val rows =
+        Holdout.prRows(kernel, want).map { case (p, tp, fpv, fn, pr, rc) =>
+          ("kernel", p, tp, fpv, fn, pr, rc)
+        } ++
+          Holdout.prRows(kernel ++ scorerTuples(withNer = false), want)
+            .map { case (p, tp, fpv, fn, pr, rc) =>
+              ("kernel+mlp", p, tp, fpv, fn, pr, rc)
+            } ++
+          Holdout.prRows(kernel ++ scorerTuples(withNer = true), want)
+            .map { case (p, tp, fpv, fn, pr, rc) =>
+              ("kernel+mlp+ner", p, tp, fpv, fn, pr, rc)
+            }
+      rows.toDF("system", "party", "tp", "fp", "fn", "precision", "recall")
+        .orderBy("system", "party")
+    }),
+
     // A2: per-predicate edge statistics
     "kg_collect_stats" -> ((s, _) => {
       sharedTriples(s)
@@ -938,6 +981,27 @@ object KgQueries {
     }
     m("kg_eval_semantic") =
       s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
+    val nerRows = {
+      val want = Holdout.truth21.toSet
+      val kernel = Holdout.predicted21.toSet
+      val m0 = SemanticScorer.fromResource
+      def scored(ner: Option[MentionNer.Models]) = Holdout.pages21.flatMap { p =>
+        SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner))
+      }.toSet.filter(Holdout.isRealTuple)
+      (Holdout.prRows(kernel, want).map { case (p, tp, fpv, fn, pr, rc) =>
+        Seq("kernel", p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
+      } ++
+        Holdout.prRows(kernel ++ scored(None), want).map { case (p, tp, fpv, fn, pr, rc) =>
+          Seq("kernel+mlp", p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
+        } ++
+        Holdout.prRows(kernel ++ scored(Some(MentionNer.fromResource)), want)
+          .map { case (p, tp, fpv, fn, pr, rc) =>
+            Seq("kernel+mlp+ner", p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
+          })
+    }
+    m("kg_eval_ner") =
+      s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), nerRows)}) ORDER BY system, party"
     val purposeEval = {
       def r4(x: Double): Double = math.round(x * 10000) / 10000.0
       def row(model: String, c: (Long, Long, Long)) = {

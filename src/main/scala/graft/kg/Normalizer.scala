@@ -35,7 +35,7 @@ object Normalizer {
 
   /** Generic lemmas that normalize to UNSPECIFIED (phrase_map.yml UNSPECIFIED
     * rules). */
-  private val genericData: Set[String] = Set("data", "datum", "information",
+  private[kg] val genericData: Set[String] = Set("data", "datum", "information",
     "detail", "record", "technology", "thing", "category", "type", "kind",
     "example", "variety", "some", "all", "any", "following", "follow",
     "copy", "backup", "log", "list")

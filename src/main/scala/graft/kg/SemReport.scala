@@ -8,10 +8,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `sbt "runMain graft.kg.SemReport"` */
 object SemReport {
 
-  def scorerTuples(pages: Vector[Model.WebPage]): Set[(String, String, String)] = {
+  def scorerTuples(pages: Vector[Model.WebPage],
+      ner: Option[MentionNer.Models] = None): Set[(String, String, String)] = {
     val m = SemanticScorer.fromResource
     pages.flatMap { p =>
-      val cands = SemanticScorer.candidates(p.url, new String(p.html, UTF_8))
+      val cands = SemanticScorer.candidates(p.url, new String(p.html, UTF_8), ner)
       SemanticScorer.predictTuples(m, cands)
     }.toSet
   }
@@ -23,13 +24,15 @@ object SemReport {
       val want = truth.toSet
       val kernel = Holdout.predict(pages).toSet
       val combined = kernel ++ scorerTuples(pages)
+      val withNer = kernel ++ scorerTuples(pages, Some(MentionNer.fromResource))
       def show(sys: String, got: Set[(String, String, String)]): Unit =
         Holdout.prRows(got, want).foreach { case (p, tp, fp, fn, pr, rc) =>
           println(f"SEM$tag $sys%-12s $p%-10s tp=$tp%3d fp=$fp%3d fn=$fn%3d precision=$pr%.4f recall=$rc%.4f")
         }
       show("kernel", kernel)
       show("kernel+mlp", combined)
-      combined
+      show("kernel+mlp+ner", withNer)
+      withNer
     }
     batch("10", Holdout.pages10, Holdout.truth10)
     batch("11", Holdout.pages11, Holdout.truth11)

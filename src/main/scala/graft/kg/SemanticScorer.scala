@@ -32,7 +32,8 @@ import graft.kg.Normalizer.Mention
 object SemanticScorer {
 
   final case class Candidate(url: String, party: String, datum: String,
-      dictDatum: Boolean, feats: Array[(Int, Float)])
+      dictDatum: Boolean, feats: Array[(Int, Float)],
+      viaNer: Boolean = false)
 
   val HashDim = 512
   val IndicatorCount = 22
@@ -55,7 +56,8 @@ object SemanticScorer {
     * are closed (kernel == truth there), so such a flag would be copied
     * verbatim and the model would add nothing zero-shot — the scorer must
     * learn structure → label, and the eval unions kernel ∪ scorer. */
-  def candidates(url: String, html: String): Vector[Candidate] = {
+  def candidates(url: String, html: String,
+      ner: Option[MentionNer.Models] = None): Vector[Candidate] = {
     val segs = graft.text.HtmlSegmenter.segment(url, html)
     val docs = DocKernel.buildDocs(segs.sortBy(_.segId))
     val out = Vector.newBuilder[Candidate]
@@ -63,6 +65,31 @@ object SemanticScorer {
       d.parses.foreach { p =>
         p.chunks.foreach { c =>
           val head = p.tokens(c.head)
+          def emit(terms: Set[String], dict: Boolean, viaNer: Boolean): Unit = {
+            val ind = indicators(p, c)
+            terms.foreach { datum =>
+              Seq("we", "3rd-party").foreach { party =>
+                val block = if (party == "we") HashDim else HashDim + IndicatorCount
+                val sparse = Vector.newBuilder[(Int, Float)]
+                // hashed sentence lemmas (shared across parties)
+                val seen = scala.collection.mutable.HashSet.empty[Int]
+                (p.start until p.end).foreach { i =>
+                  val t = p.tokens(i)
+                  if (t.pos != "PUNCT" && t.pos != "SPACE") {
+                    val h = math.floorMod(
+                      scala.util.hashing.MurmurHash3.stringHash(t.lemma), HashDim)
+                    if (seen.add(h)) sparse += h -> 1f
+                  }
+                }
+                ind.zipWithIndex.foreach { case (v, k) =>
+                  if (v != 0f) sparse += (block + k) -> v
+                }
+                // dictionary-canonical datum indicator rides in slot 21
+                if (dict) sparse += (block + 21) -> 1f
+                out += Candidate(url, party, datum, dict, sparse.result().toArray, viaNer)
+              }
+            }
+          }
           if (head.ner == "DATA" && head.pos != "PRON") {
             val m = Mention(d.toks.slice(c.start, c.end), c.head - c.start, "DATA")
             val terms = Normalizer.normalize(m, "DATA")
@@ -73,31 +100,13 @@ object SemanticScorer {
                 !Normalizer.isCanonicalData(m.stem)
               !stemOnly
             }
-            if (terms.nonEmpty) {
-              val ind = indicators(p, c)
-              terms.foreach { datum =>
-                Seq("we", "3rd-party").foreach { party =>
-                  val block = if (party == "we") HashDim else HashDim + IndicatorCount
-                  val sparse = Vector.newBuilder[(Int, Float)]
-                  // hashed sentence lemmas (shared across parties)
-                  val seen = scala.collection.mutable.HashSet.empty[Int]
-                  (p.start until p.end).foreach { i =>
-                    val t = p.tokens(i)
-                    if (t.pos != "PUNCT" && t.pos != "SPACE") {
-                      val h = math.floorMod(
-                        scala.util.hashing.MurmurHash3.stringHash(t.lemma), HashDim)
-                      if (seen.add(h)) sparse += h -> 1f
-                    }
-                  }
-                  ind.zipWithIndex.foreach { case (v, k) =>
-                    if (v != 0f) sparse += (block + k) -> v
-                  }
-                  // dictionary-canonical datum indicator rides in slot 21
-                  if (dict) sparse += (block + 21) -> 1f
-                  out += Candidate(url, party, datum, dict, sparse.result().toArray)
-                }
-              }
-            }
+            if (terms.nonEmpty) emit(terms, dict, viaNer = false)
+          } else ner.foreach { models =>
+            // the learned mention NER proposes datum spans the dictionary
+            // missed; the category head names the canonical term and the
+            // SAME party model scores the tuple (MentionNer scaladoc)
+            MentionNer.propose(models, p, c)
+              .foreach(datum => emit(Set(datum), dict = false, viaNer = true))
           }
         }
       }

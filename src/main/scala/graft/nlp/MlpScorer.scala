@@ -94,6 +94,30 @@ final class MlpModel(
     1.0 / (1.0 + math.exp(-s2))
   }
 
+  /** Sparse single-example forward over ALL labels (the category head of
+    * the mention NER). `h` is caller-provided scratch of length `hidden`;
+    * returns one sigmoid per label (argmax ≈ the softmax pick). */
+  def forwardSparseAll(x: Array[(Int, Float)], h: Array[Float]): Array[Double] = {
+    var j = 0
+    while (j < hidden) {
+      var s = b1(j)
+      var k = 0
+      while (k < x.length) { val (i, xv) = x(k); s += xv * w1(i * hidden + j); k += 1 }
+      h(j) = math.max(0f, s)
+      j += 1
+    }
+    val out = new Array[Double](labels.size)
+    var c = 0
+    while (c < labels.size) {
+      var s2 = b2(c)
+      var j2 = 0
+      while (j2 < hidden) { s2 += h(j2) * w2(j2 * labels.size + c); j2 += 1 }
+      out(c) = 1.0 / (1.0 + math.exp(-s2))
+      c += 1
+    }
+    out
+  }
+
   def save(out: DataOutputStream): Unit = {
     out.writeInt(dim); out.writeInt(hidden); out.writeInt(labels.size)
     labels.foreach(out.writeUTF)
