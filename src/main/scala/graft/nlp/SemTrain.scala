@@ -38,14 +38,17 @@ object SemTrain {
     }.toVector
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Training rows (gold oversampled 6× over the synthetic corpus), with
+    * an optional batch-exclusion for capacity experiments that SELECT on a
+    * held-out closed batch (the committed model always trains on all). */
+  def rows(excludeUrls: Set[String] = Set.empty): Vector[(Array[(Int, Float)], Float)] = {
     import graft.kg.{Holdout, SemanticScorer}
-    // gold rows: candidates over batches 1-9, labeled by the hand truth
-    val gold = goldDocs.flatMap { case (pg, truth) =>
-      SemanticScorer.candidates(pg.url, new String(pg.html, UTF_8)).map { c =>
-        c.feats -> (if (truth.contains((c.url, c.party, c.datum))) 1f else 0f)
+    val gold = goldDocs.filterNot(g => excludeUrls.contains(g._1.url))
+      .flatMap { case (pg, truth) =>
+        SemanticScorer.candidates(pg.url, new String(pg.html, UTF_8)).map { c =>
+          c.feats -> (if (truth.contains((c.url, c.party, c.datum))) 1f else 0f)
+        }
       }
-    }
     // synthetic rows: the generated corpus, labeled by the kernel (exact
     // there — corpus P/R = 1.0 is suite-pinned), for volume and negatives
     val corpus = graft.gen.CorpusGen.corpus(150, 7L).filter(_.page.lang == "en")
@@ -56,10 +59,15 @@ object SemTrain {
       }
     }
     // oversample gold: the naturalistic batches carry the structure signal
-    val data: Vector[(Array[(Int, Float)], Float)] =
-      synth.toVector ++ Vector.fill(6)(gold).flatten
-    val pos = data.count(_._2 == 1f)
-    println(s"SEMTRAIN gold=${gold.size} synth=${synth.size} total=${data.size} positives=$pos")
+    val data = synth.toVector ++ Vector.fill(6)(gold).flatten
+    println(s"SEMTRAIN gold=${gold.size} synth=${synth.size} total=${data.size} " +
+      s"positives=${data.count(_._2 == 1f)}")
+    data
+  }
+
+  def main(args: Array[String]): Unit = {
+    import graft.kg.SemanticScorer
+    val data: Vector[(Array[(Int, Float)], Float)] = rows()
 
     val dim = SemanticScorer.Dim
     val hidden = 16

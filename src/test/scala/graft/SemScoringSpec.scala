@@ -53,6 +53,8 @@ class SemScoringSpec extends AnyFunSuite {
     // set, no fp flood from the scorer on OOV-heavy text.
     assert(cr >= kr, "scorer union must never lose kernel recall")
     assert(cr >= 0.30, s"combined zero-shot recall floor: $cr")
-    assert(cp >= 0.80, s"combined zero-shot precision floor: $cp")
+    // the +b20 retrain removed the last b21 fp (frozen row P 1.000); floor
+    // raised per the round-5 verdict's capacity done-bar
+    assert(cp >= 0.95, s"combined zero-shot precision floor: $cp")
   }
 }
