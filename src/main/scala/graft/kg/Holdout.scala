@@ -175,6 +175,13 @@ object Holdout {
   lazy val pages21: Vector[WebPage] = loadPages("holdout21_docs.tsv")
   lazy val truth21: Vector[(String, String, String)] = loadTruth("holdout21_truth.tsv")
 
+  /** Batch 22 (round 6): written after batch 20 closed and before any
+    * batch-21 closure work — the PROTOCOL-CLEAN zero-shot test for the
+    * learned mention NER (batch 21's diagnostics steered its development;
+    * these surfaces were never read by any training, tuning, or probe). */
+  lazy val pages22: Vector[WebPage] = loadPages("holdout22_docs.tsv")
+  lazy val truth22: Vector[(String, String, String)] = loadTruth("holdout22_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -217,6 +224,7 @@ object Holdout {
   lazy val predicted19: Vector[(String, String, String)] = predict(pages19)
   lazy val predicted20: Vector[(String, String, String)] = predict(pages20)
   lazy val predicted21: Vector[(String, String, String)] = predict(pages21)
+  lazy val predicted22: Vector[(String, String, String)] = predict(pages22)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

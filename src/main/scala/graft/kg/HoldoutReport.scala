@@ -45,5 +45,6 @@ object HoldoutReport {
     report("19", Holdout.predicted19.toSet, Holdout.truth19.toSet)
     report("20", Holdout.predicted20.toSet, Holdout.truth20.toSet)
     report("21", Holdout.predicted21.toSet, Holdout.truth21.toSet)
+    report("22", Holdout.predicted22.toSet, Holdout.truth22.toSet)
   }
 }
