@@ -215,7 +215,8 @@ object KgQueries {
         ("b17", Holdout.pages17, Holdout.truth17),
         ("b18", Holdout.pages18, Holdout.truth18),
         ("b19", Holdout.pages19, Holdout.truth19),
-        ("b20", Holdout.pages20, Holdout.truth20))
+        ("b20", Holdout.pages20, Holdout.truth20),
+        ("b21", Holdout.pages21, Holdout.truth21))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -231,9 +232,9 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 21 (the gap-datum vocabulary probe, never seen in
+    // OPEN holdout batch 22 (the gap-datum vocabulary probe, never seen in
     // training OR in any closure pass) scored by the pure-rule kernel vs
-    // kernel ∪ learned scorer. Batches 10-20's frozen comparisons live in
+    // kernel ∪ learned scorer. Batches 10-21's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -244,8 +245,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth21.toSet
-      val pages = s.createDataset(Holdout.pages21)
+      val want = Holdout.truth22.toSet
+      val pages = s.createDataset(Holdout.pages22)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -269,8 +270,8 @@ object KgQueries {
     }),
 
     // Mention-NER zero-shot evaluation (round-5 VERDICT next #1, the
-    // round-6 headline): the OPEN batch 21 is the gap-datum VOCABULARY
-    // probe — 17 of its 25 tuples carry datum surfaces absent from the
+    // round-6 headline): the OPEN batch 22 is the gap-datum VOCABULARY
+    // probe — 15 of its 25 tuples carry datum surfaces absent from the
     // phrase dictionary, structurally unreachable by the kernel AND the
     // semantic scorer (their frozen rows both sit at R 0.320). The learned
     // mention NER (kg/MentionNer: span head + category head, committed
@@ -281,8 +282,8 @@ object KgQueries {
     // frozen in COVERAGE.md.
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth21.toSet
-      val pages = s.createDataset(Holdout.pages21)
+      val want = Holdout.truth22.toSet
+      val pages = s.createDataset(Holdout.pages22)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -955,7 +956,8 @@ object KgQueries {
       ("b17", Holdout.predicted17, Holdout.truth17),
       ("b18", Holdout.predicted18, Holdout.truth18),
       ("b19", Holdout.predicted19, Holdout.truth19),
-      ("b20", Holdout.predicted20, Holdout.truth20)).flatMap { case (b, got, want) =>
+      ("b20", Holdout.predicted20, Holdout.truth20),
+      ("b21", Holdout.predicted21, Holdout.truth21)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -965,10 +967,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth21.toSet
-      val kernel = Holdout.predicted21.toSet
+      val want = Holdout.truth22.toSet
+      val kernel = Holdout.predicted22.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages21.flatMap { p =>
+      val scored = Holdout.pages22.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)
@@ -982,10 +984,10 @@ object KgQueries {
     m("kg_eval_semantic") =
       s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
     val nerRows = {
-      val want = Holdout.truth21.toSet
-      val kernel = Holdout.predicted21.toSet
+      val want = Holdout.truth22.toSet
+      val kernel = Holdout.predicted22.toSet
       val m0 = SemanticScorer.fromResource
-      def scored(ner: Option[MentionNer.Models]) = Holdout.pages21.flatMap { p =>
+      def scored(ner: Option[MentionNer.Models]) = Holdout.pages22.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner))
       }.toSet.filter(Holdout.isRealTuple)

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** Dev tool: trains the committed semantic-scorer fixture
   * (`src/main/resources/graft/sem_mlp.bin`) on the CLOSED holdout batches
   * (gold party tuples) plus the synthetic corpus — the standing OPEN batch
-  * (now 20) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
+  * (now 22) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
   * Deterministic (seeded): re-running reproduces the committed bytes.
   * `sbt "runMain graft.nlp.SemTrain"` */
 object SemTrain {
@@ -18,8 +18,8 @@ object SemTrain {
       (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
       (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
       (Holdout.pages9, Holdout.truth9),
-      // batches 10-20 joined the training set when they CLOSED (kernel ==
-      // truth there); batch 21 has never been read here — its row is
+      // batches 10-21 joined the training set when they CLOSED (kernel ==
+      // truth there); batch 22 has never been read here — its row is
       // zero-shot
       (Holdout.pages10, Holdout.truth10),
       (Holdout.pages11, Holdout.truth11),
@@ -31,7 +31,8 @@ object SemTrain {
       (Holdout.pages17, Holdout.truth17),
       (Holdout.pages18, Holdout.truth18),
       (Holdout.pages19, Holdout.truth19),
-      (Holdout.pages20, Holdout.truth20))
+      (Holdout.pages20, Holdout.truth20),
+      (Holdout.pages21, Holdout.truth21))
     batches.flatMap { case (pages, truth) =>
       val ts = truth.toSet
       pages.map(p => p -> ts.filter(_._1 == p.url))

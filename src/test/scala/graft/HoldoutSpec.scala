@@ -194,4 +194,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout20 precision regressed: $p")
     assert(r >= 0.99, s"holdout20 recall regressed: $r")
   }
+
+  test("holdout batch-21 P/R regression floors (closed at 1.0/1.0 in round 6)") {
+    val rows = Holdout.prRows(Holdout.predicted21.toSet, Holdout.truth21.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout21 precision regressed: $p")
+    assert(r >= 0.99, s"holdout21 recall regressed: $r")
+  }
 }

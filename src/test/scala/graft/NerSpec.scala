@@ -12,11 +12,12 @@ import graft.kg.{Holdout, MentionNer, SemanticScorer}
   * from the phrase dictionary; the kernel and the semantic scorer both sit
   * at R 0.320 there (frozen rows, COVERAGE.md) because their mention reach
   * is dictionary-bounded. The NER union must recover gap tuples WITHOUT
-  * polluting the twenty closed batches.
+  * polluting the closed batches.
   *
-  * Floors sit under the recorded b21 rows (tp=15 fp=3, P 0.833 / R 0.600,
-  * gap-tuple recall 7/17) — development read b21 diagnostics, so the
-  * protocol-clean zero-shot test for the NER is batch 22's frozen row. */
+  * Batch 22 is the PROTOCOL-CLEAN probe (batch 21's diagnostics steered
+  * development; b22's surfaces were never read by anything). Floors sit
+  * under its frozen first-eval rows: union tp=13 fp=5 (P 0.722 /
+  * R 0.520), gap-tuple recall 3/15. */
 class NerSpec extends AnyFunSuite {
 
   private def nerUnion(pages: Vector[graft.kg.Model.WebPage]): Set[(String, String, String)] = {
@@ -35,23 +36,23 @@ class NerSpec extends AnyFunSuite {
     assert(m.cat.labels.nonEmpty && m.cat.labels == m.cat.labels.sorted)
   }
 
-  test("NER union breaks the vocabulary wall on batch 21") {
-    val want = Holdout.truth21.toSet
-    val kernel = Holdout.predicted21.toSet
-    val got = nerUnion(Holdout.pages21)
+  test("NER union breaks the vocabulary wall on batch 22 (clean zero-shot)") {
+    val want = Holdout.truth22.toSet
+    val kernel = Holdout.predicted22.toSet
+    val got = nerUnion(Holdout.pages22)
     val tp = (got & want).size.toDouble
     val p = tp / math.max(1, got.size)
     val r = tp / math.max(1, want.size)
     info(f"kernel R=${(kernel & want).size.toDouble / want.size}%.3f  ner-union P=$p%.3f R=$r%.3f")
     assert(kernel.subsetOf(got), "union must preserve kernel tuples")
-    assert(r >= 0.5, s"NER-union recall floor on the vocabulary probe: $r")
-    assert(p >= 0.75, s"NER-union precision floor: $p")
+    assert(r >= 0.44, s"NER-union recall floor on the vocabulary probe: $r")
+    assert(p >= 0.70, s"NER-union precision floor: $p")
     // the specific deliverable: gap-datum tuples (unreachable by kernel
     // AND scorer) now score above zero
     val gap = want -- kernel
     val gapHit = (got & gap).size
     info(s"gap tuples recovered: $gapHit/${gap.size}")
-    assert(gapHit >= 5, s"gap-datum recall must be well above zero: $gapHit")
+    assert(gapHit >= 2, s"gap-datum recall must stay above zero: $gapHit")
   }
 
   test("NER union adds zero false positives on every closed batch") {
@@ -65,7 +66,8 @@ class NerSpec extends AnyFunSuite {
       Holdout.pages13 -> Holdout.truth13, Holdout.pages14 -> Holdout.truth14,
       Holdout.pages15 -> Holdout.truth15, Holdout.pages16 -> Holdout.truth16,
       Holdout.pages17 -> Holdout.truth17, Holdout.pages18 -> Holdout.truth18,
-      Holdout.pages19 -> Holdout.truth19, Holdout.pages20 -> Holdout.truth20)
+      Holdout.pages19 -> Holdout.truth19, Holdout.pages20 -> Holdout.truth20,
+      Holdout.pages21 -> Holdout.truth21)
     val fps = batches.flatMap { case (pages, truth) =>
       nerUnion(pages) -- truth.toSet
     }

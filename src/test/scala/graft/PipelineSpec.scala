@@ -220,13 +220,13 @@ class PipelineSpec extends AnyFunSuite {
 
   test("semantic augmentation stage preserves kernel triples and adds only party collects") {
     import spark.implicits._
-    // the open holdout batch 21 is the gap-datum VOCABULARY probe: the
+    // the open holdout batch 22 is the gap-datum VOCABULARY probe: the
     // scorer's candidate generator is dictionary-bounded there, so the
     // pinned contract is superset + nothing-spurious (every added triple,
     // if any, is a party COLLECT). The strict "adds recall" obligation
     // moves to the learned mention NER once it lands (retarget with each
     // batch closure).
-    val pages = spark.createDataset(graft.kg.Holdout.pages21)
+    val pages = spark.createDataset(graft.kg.Holdout.pages22)
     val kernel = graft.kg.KgPipeline.triplesFromPages(pages).cache()
     val aug = graft.kg.KgPipeline.augmentWithScorer(pages, kernel)
     val kSet = kernel.collect().map(t => (t.url, t.subj, t.obj)).toSet
