@@ -155,11 +155,23 @@ object KgPipeline {
     * zero-shot where the kernel alone sits at R 0.20-0.35 (COVERAGE.md
     * frozen zero-shot tables; the scorer is trained on closed batches
     * only, per SemTrain.goldDocs). */
-  def augmentWithScorer(pages: Dataset[WebPage],
-      kernelTriples: Dataset[Triple],
-      withNer: Boolean = false): Dataset[Triple] = {
+  /** Calibrated operating point for the augmentation stage (round-5
+    * VERDICT wrong #1; `kg/Calibrate` sweep over all 21 closed batches /
+    * 782 gold tuples): the margin distribution is bimodal, leaving two
+    * points — t ≤ 0.4 → P 0.990 / R 0.974, t ≥ 0.5 → P 1.000 / R 0.964.
+    * 0.4 is the max-recall point above the P ≥ 0.9 floor; the committed
+    * value sits at the top of that band so unseen mid-scores default to
+    * exclusion. */
+  val ScorerThreshold = 0.4
+
+  /** The augmentation stage's scored view: every (url, party, datatype)
+    * the learned layer proposes, with its MLP margin as a SCORE column —
+    * the auditable artifact a production deployment thresholds
+    * (ScorerThreshold), ranks, or joins back to provenance. */
+  def scoredTuples(pages: Dataset[WebPage],
+      withNer: Boolean = false): org.apache.spark.sql.DataFrame = {
     import pages.sparkSession.implicits._
-    val scored = pages
+    pages
       .filter(col("lang") === "en")
       .mapPartitions { it =>
         val m = SemanticScorer.fromResource
@@ -170,9 +182,21 @@ object KgPipeline {
         it.flatMap { p =>
           val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
           val cands = SemanticScorer.candidates(p.url, html, ner)
-          SemanticScorer.predictTuples(m, cands).iterator
+          SemanticScorer.scoredTuples(m, cands).iterator.map {
+            case ((url, party, datum), s) => (url, party, datum, s)
+          }
         }
-      }.toDF("url", "party", "datatype")
+      }.toDF("url", "party", "datatype", "score")
+  }
+
+  def augmentWithScorer(pages: Dataset[WebPage],
+      kernelTriples: Dataset[Triple],
+      withNer: Boolean = false,
+      threshold: Double = ScorerThreshold): Dataset[Triple] = {
+    import pages.sparkSession.implicits._
+    val scored = scoredTuples(pages, withNer)
+      .filter(col("score") >= threshold)
+      .select("url", "party", "datatype")
     // dedup at PARTY-TUPLE level through the kernel's closure: a datum the
     // kernel already reaches (possibly via a more specific actor and a
     // richer edge type) is not re-asserted

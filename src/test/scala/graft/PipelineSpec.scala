@@ -237,4 +237,26 @@ class PipelineSpec extends AnyFunSuite {
         assert(t.pred == "COLLECT" && (t.subj == "we" || t.subj == "third party"), t.toString)
       }
   }
+
+  test("augmentation operating point: score column + calibrated precision floor") {
+    import spark.implicits._
+    // the scored view carries the MLP margin as a column (the auditable
+    // production artifact), and the whole augmented tuple set at the
+    // calibrated ScorerThreshold holds the pinned precision floor against
+    // the open batch 22's FROZEN labels (rows in COVERAGE.md: kernel ∪
+    // scorer P 0.909 there; Calibrate picks t=0.4 at closed-batch
+    // P 0.990 / R 0.974)
+    val pages = spark.createDataset(graft.kg.Holdout.pages22)
+    val scored = graft.kg.KgPipeline.scoredTuples(pages)
+    assert(scored.columns.toSeq == Seq("url", "party", "datatype", "score"))
+    val accepted = scored
+      .filter(col("score") >= graft.kg.KgPipeline.ScorerThreshold)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .filter(graft.kg.Holdout.isRealTuple).toSet
+    val union = graft.kg.Holdout.predicted22.toSet ++ accepted
+    val want = graft.kg.Holdout.truth22.toSet
+    val p = (union & want).size.toDouble / math.max(1, union.size)
+    info(f"augmented-path precision on frozen b22 labels: $p%.3f")
+    assert(p >= 0.90, s"calibrated precision floor: $p")
+  }
 }
