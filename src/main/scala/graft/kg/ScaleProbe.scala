@@ -116,6 +116,15 @@ object ScaleProbe {
         tokenized(i).foreach { case (tv, wv) => RuleNlp.nerTag(RuleNlp.tag(tv, wv)) })
       measure("bd/parse")(i => if (i < tokenized.size)
         tokenized(i).foreach { case (tv, wv) => RuleNlp.parse(tv, wv) })
+      // parseSentence section attribution (ParseProbe brackets)
+      RuleNlp.ParseProbe.enabled = true
+      RuleNlp.ParseProbe.acc.clear()
+      tokenized.foreach(_.foreach { case (tv, wv) => RuleNlp.parse(tv, wv) })
+      RuleNlp.ParseProbe.enabled = false
+      import scala.jdk.CollectionConverters._
+      RuleNlp.ParseProbe.acc.asScala.toSeq.sortBy(_._1).foreach { case (l, a) =>
+        println(f"  parse/$l%-11s ${a.sum.toDouble / tokenized.size / 1024}%.1f KiB/doc")
+      }
     }
     // graph build in isolation (build() does not mutate the state)
     val states = segs.map { case (u, ss) =>

@@ -186,6 +186,8 @@ object RuleNlp {
     "while")
   private val EvasionVerbs = Set("escape", "evade", "elude")
   private val SlipVerbs = Set("slip", "sneak", "slide")
+  private val ToughAdjs = Set("easy", "hard", "simple", "tough", "difficult",
+    "quick", "trivial")
   private val ProhibitLemmas = Set("prohibit", "prevent", "bar", "forbid",
     "ban")
   private val CeaseLemmas = Set("cease", "stop", "discontinue", "quit")
@@ -695,8 +697,27 @@ object RuleNlp {
       toMarked: Boolean, // "to <verb>"
       toTok: Int) // index of the "to" particle, -1 if none
 
+  /** Dev-only allocation probe for parseSentence's sections (the
+    * GraphBuilder.BuildProbe pattern) — zero overhead when disabled;
+    * driven by ScaleProbe. */
+  object ParseProbe {
+    @volatile var enabled = false
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    private lazy val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    def mark(): Long =
+      if (enabled) tmx.getThreadAllocatedBytes(Thread.currentThread().getId) else 0L
+    def rec(label: String, from: Long): Long =
+      if (enabled) {
+        val now = tmx.getThreadAllocatedBytes(Thread.currentThread().getId)
+        acc.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder).add(now - from)
+        now
+      } else 0L
+  }
+
   /** Build the normalized per-sentence dependency graph. */
   def parseSentence(toks: Vector[Tok], start: Int, end: Int): Parse = {
+    var pm = ParseProbe.mark()
     // a sentence with no finite verb restores a demoted verb candidate
     // ("Face-matching runs against the photos in your gallery"): the
     // plural-noun misreading only holds when another verb carries the
@@ -849,8 +870,15 @@ object RuleNlp {
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
-    def chunkBefore(pos: Int): Option[Chunk] = chunks.filter(_.end <= pos).lastOption
+    def chunkBefore(pos: Int): Option[Chunk] = {
+      // reverse index scan, not filter().lastOption — the filter copied the
+      // chunk Vector on every call (round-6 allocation pass)
+      var q = chunks.length - 1
+      while (q >= 0 && chunks(q).end > pos) q -= 1
+      if (q >= 0) Some(chunks(q)) else None
+    }
 
+    pm = ParseProbe.rec("p1_pre", pm)
     // --- verb groups ---------------------------------------------------
     val vgs = new ArrayBuffer[VGroup]
     var i = start
@@ -890,6 +918,7 @@ object RuleNlp {
       i += 1
     }
 
+    pm = ParseProbe.rec("p2_vgroups", pm)
     // --- clause structure ----------------------------------------------
     // For each verb group: classify as root / conj-of-previous / xcomp /
     // ccomp / relcl, then attach subject.
@@ -1453,8 +1482,43 @@ object RuleNlp {
       lastVerb = v
 
       // --- right-side attachments: objects, datives, PPs ----------------
+      // (probe mark p3 recorded after the attachment loop, below)
       val regionEnd = if (vgIdx + 1 < vgs.length) vgs(vgIdx + 1).auxStart else end
       attachRight(toks, chunks, start, end, v, regionEnd, vg, deps, neg, subjOf, objOf, conjChunkHeads)
+    }
+
+    pm = ParseProbe.rec("p3_clause", pm)
+
+    // --- rare-block trigger flags (round-6 allocation pass): one primitive
+    // pass over the sentence; each gated block's own FIRST condition implies
+    // its flag, so gating cannot change behavior — it only skips the
+    // block's closure/Range/copy allocation on the large majority of
+    // sentences that cannot match.
+    var fComma = false; var fWh = false; var fThere = false
+    var fReflex = false; var fInto = false; var fCorr = false
+    var fTough = false; var fWhom = false; var fUnless = false
+    var fLonger = false; var fProhib = false; var fCease = false
+    var fTemporalPrep = false
+    locally {
+      var k = start
+      while (k < end) {
+        val t = toks(k)
+        if (t.text == ",") fComma = true
+        val l = t.lemma
+        if (l == "what") fWh = true
+        else if (l == "there") fThere = true
+        else if (l == "themselves" || l == "itself") fReflex = true
+        else if (l == "into" || l == "onto") fInto = true
+        else if (l == "more" || l == "fewer" || l == "less") fCorr = true
+        else if (ToughAdjs.contains(l)) fTough = true
+        else if (l == "whom") fWhom = true
+        else if (l == "unless") fUnless = true
+        else if (l == "longer") fLonger = true
+        else if (ProhibitLemmas.contains(l)) fProhib = true
+        else if (CeaseLemmas.contains(l)) fCease = true
+        else if (TemporalClausePreps.contains(l)) fTemporalPrep = true
+        k += 1
+      }
     }
 
     // --- verb-phrase ellipsis: ", and so do/does <NP>" repeats the nearest
@@ -1576,7 +1640,7 @@ object RuleNlp {
     // a finite verb follows it directly; without the re-attach the
     // subordinate verb steals a subject from before the conjunction
     // (batch 14)
-    deps.toVector.foreach { pd =>
+    if (fTemporalPrep) deps.toVector.foreach { pd =>
       if (pd.dep == "prep" &&
         TemporalClausePreps.contains(toks(pd.to).lemma)) {
         val prepTok = pd.to
@@ -1674,7 +1738,7 @@ object RuleNlp {
     // --- right-dislocation: "They end up in our vault, those scanned
     // receipts." — a they/these/those subject with a clause-final
     // comma-bounded NP takes the dislocated NP as its referent (batch 16)
-    locally {
+    if (fComma) locally {
       chunks.lastOption.foreach { c =>
         val endsSentence = (c.end until end).forall(k => toks(k).pos == "PUNCT")
         val commaBefore = c.start > start && toks(c.start - 1).text == ","
@@ -1720,7 +1784,7 @@ object RuleNlp {
     // loft, a tally of your dwell times." — the expletive subject is
     // re-pointed at the postposed NP, resolved through a partitive
     // of-chain ("a tally OF your dwell times") — batch 17
-    vgs.foreach { vg =>
+    if (fThere) vgs.foreach { vg =>
       val ss = subjOf.getOrElse(vg.verb, Nil)
       if (ss.nonEmpty && ss.forall(h => toks(h).lemma == "there")) {
         chunks.find(c => c.start > vg.verb &&
@@ -1745,7 +1809,7 @@ object RuleNlp {
     // coaching drawer" — a reflexive object is the subject acting on
     // itself; rewrite to the passive shape (subject = promoted theme),
     // exactly like the get-passive above (batch 15)
-    deps.toVector.foreach { dg =>
+    if (fReflex) deps.toVector.foreach { dg =>
       if (dg.dep == "obj" && dg.from >= 0 && toks(dg.from).pos == "VERB" &&
         (toks(dg.to).lemma == "themselves" || toks(dg.to).lemma == "itself") &&
         // "help themselves TO X" is acquisition, not middle voice — a
@@ -1769,7 +1833,7 @@ object RuleNlp {
     // takes the POST-verbal NP as its subject; a subject "stolen" from the
     // fronted PP's own NP (the dep builder attaches the nearest preceding
     // noun) is re-attached (batch 15)
-    locally {
+    if (fInto) locally {
       val f = (start until end).find(k => toks(k).pos != "SPACE")
       // into/onto ONLY: a fronted plain-"in" PP ("In some cases, your data
       // is shared ...") is overwhelmingly a sentence adverbial, not an
@@ -1809,11 +1873,12 @@ object RuleNlp {
       }
     }
 
+    pm = ParseProbe.rec("p4_rewrite1", pm)
     // --- comparative correlative, fronted object: ", the more search
     // terms our index hoards" — the clause after the comma is OSV; a
     // clause-final verb with a subject but no object takes the NP right
     // after "the more/fewer/less" as its object (batch 15)
-    locally {
+    if (fCorr) locally {
       (start until end - 2).foreach { k =>
         if (toks(k).lemma == "the" &&
           (toks(k + 1).lemma == "more" || toks(k + 1).lemma == "fewer" ||
@@ -1838,7 +1903,7 @@ object RuleNlp {
     // our sync agent carries home" — the pre-copula NP is the wh-clause
     // verb's object (mirror of the what-first pseudo-cleft below); the NP
     // resolves through a partitive of-chain to its typed head (batch 15)
-    locally {
+    if (fWh) locally {
       val f = (start until end).find(k => toks(k).pos != "SPACE")
       for {
         fc <- chunks.headOption if f.contains(fc.start)
@@ -1865,9 +1930,7 @@ object RuleNlp {
     // look up in the payroll roll" — the matrix subject is the
     // infinitive's OBJECT; the for-NP is its subject (which the clause
     // builder already attaches) — batch 19
-    locally {
-      val ToughAdjs = Set("easy", "hard", "simple", "tough", "difficult",
-        "quick", "trivial")
+    if (fTough) locally {
       for {
         c1 <- chunks.headOption if c1.start == start
         cop <- (c1.end until end).find(k => toks(k).pos == "AUX" && toks(k).lemma == "be")
@@ -1904,7 +1967,7 @@ object RuleNlp {
     // device identifier" — v1's captured "object" is really the next
     // conjunct's subject; it shares v2's (right-node) object instead. The
     // comma directly after v1 is the signature.
-    deps.toVector.foreach { d1 =>
+    if (fComma) deps.toVector.foreach { d1 =>
       if (d1.dep == "obj" && d1.from + 1 < end && toks(d1.from + 1).text == ",") {
         deps.find(d2 => d2.dep == "subj" && d2.to == d1.to &&
           d2.from > d1.from &&
@@ -1954,7 +2017,7 @@ object RuleNlp {
     // --- right-node raising over a PP verb: "We ask for, and verify, the
     // identity document" — the dangling preposition takes the second
     // conjunct's object, and the conjunct inherits the first verb's subject
-    (start until end - 2).foreach { v1 =>
+    if (fComma) (start until end - 2).foreach { v1 =>
       if (toks(v1).pos == "VERB" && toks(v1 + 1).pos == "ADP" &&
         toks(v1 + 2).text == "," && !deps.exists(d => d.from == v1 + 1)) {
         vgs.find(_.verb > v1 + 2).foreach { vg2 =>
@@ -1976,7 +2039,7 @@ object RuleNlp {
     // --- pseudo-cleft: "What our servers record(, besides X,) is Y" — the
     // wh-free-relative's verb takes the post-copula predicate NP as its
     // object (the mirror image of the it-cleft above)
-    locally {
+    if (fWh) locally {
       val f = (start until end).find(k => toks(k).pos != "SPACE")
       if (f.exists(k => toks(k).lemma == "what")) {
         vgs.find(vg => vg.verb > f.get && subjOf.get(vg.verb).exists(_.nonEmpty) &&
@@ -2049,7 +2112,7 @@ object RuleNlp {
     // (the practice happens, upon the user's direction/consent) — lift the
     // matrix negation; "unless required by law" and other non-user
     // conditions keep the negative reading
-    locally {
+    if (fUnless) locally {
       val unlessYou = (start until end - 1).find { k =>
         toks(k).lemma == "unless" &&
           (k + 1 until math.min(end, k + 3)).exists(j =>
@@ -2062,7 +2125,7 @@ object RuleNlp {
     // verb, and "no longer do so" (do-so ellipsis) also negates the
     // anaphoric antecedent ("We previously collected your precise
     // location, but we no longer do so")
-    locally {
+    if (fLonger) locally {
       (start until end - 2).foreach { k =>
         if (toks(k).lemma == "no" && toks(k + 1).lemma == "longer") {
           vgs.find(_.verb > k + 1) match {
@@ -2084,7 +2147,7 @@ object RuleNlp {
 
     // --- prohibition scope: "prohibited/prevented/barred from <gerund>"
     // negates the gerund's practice (a ban is not a disclosure)
-    locally {
+    if (fProhib) locally {
       (start until end - 1).foreach { k =>
         if (ProhibitLemmas.contains(toks(k).lemma)) {
           // "prohibited FROM <gerund>"
@@ -2101,7 +2164,7 @@ object RuleNlp {
 
     // --- cessation scope: "had ceased storing X" / "stopped collecting Y"
     // negates the ceased practice
-    locally {
+    if (fCease) locally {
       (start until end - 1).foreach { k =>
         if (CeaseLemmas.contains(toks(k).lemma) && toks(k).pos == "VERB" &&
           toks(k + 1).pos == "VERB" &&
@@ -2115,7 +2178,7 @@ object RuleNlp {
     // clause is itself negated quantifies universally ("our roster
     // captures every sign-up"); cancel the relative clause's negation so
     // it reads positive (batch 13)
-    locally {
+    if (fThere) locally {
       val f = (start until end).find(k => toks(k).pos != "SPACE")
       val existNeg = f.exists { k =>
         toks(k).lemma == "there" && k + 2 < end &&
@@ -2139,6 +2202,7 @@ object RuleNlp {
       }
     }
 
+    pm = ParseProbe.rec("p5_rewrite2", pm)
     // --- colon appositive: "<clause>: A, B and C" ----------------------
     colonAppos(toks, chunks, start, end, deps)
 
@@ -2148,12 +2212,15 @@ object RuleNlp {
     // ACTOR is not a data mention (the reference's trained NER never labels
     // such spans DATA; our dictionary NER needs the structural check)
     val depsV = deps.toVector.distinct
-    val chunksOut = chunks.map { c =>
-      val demote = c.ner == "DATA" && AttributeHeads.contains(toks(c.head).lemma) &&
+    def attrDemote(c: Chunk): Boolean =
+      c.ner == "DATA" && AttributeHeads.contains(toks(c.head).lemma) &&
         depsV.exists(d1 => d1.from == c.head && d1.dep == "prep" &&
           toks(d1.to).lemma == "of" &&
           depsV.exists(d2 => d2.from == d1.to && d2.dep == "obj" &&
             toks(d2.to).ner == "ACTOR" && !UserNouns.contains(toks(d2.to).lemma)))
+    // copy the chunk Vector only when a demotion actually applies (rare)
+    val chunksOut = if (!chunks.exists(attrDemote)) chunks else chunks.map { c =>
+      val demote = attrDemote(c)
       if (demote) {
         // "ATTR" (not "NN") — NN is wildcard-compatible in subsumption /
         // type propagation, which would re-type the span DATA and emit the
@@ -2165,6 +2232,7 @@ object RuleNlp {
       } else c
     }
 
+    ParseProbe.rec("p6_tail", pm)
     Parse(start, end, toks, chunksOut, depsV, neg.toSet, text,
       vgs.iterator.filter(_.passive).map(_.verb).toSet ++ passiveExtra)
   }
