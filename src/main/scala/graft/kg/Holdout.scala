@@ -182,6 +182,13 @@ object Holdout {
   lazy val pages22: Vector[WebPage] = loadPages("holdout22_docs.tsv")
   lazy val truth22: Vector[(String, String, String)] = loadTruth("holdout22_truth.tsv")
 
+  /** Batch 23 (round 6): written after batch 21 closed and before any
+    * batch-22 closure work — the first COMPOUND probe (gap datums under
+    * known frames + in-dictionary datums under fresh idiomatic frames);
+    * the zero-shot test set for all three systems once batch 22 closes. */
+  lazy val pages23: Vector[WebPage] = loadPages("holdout23_docs.tsv")
+  lazy val truth23: Vector[(String, String, String)] = loadTruth("holdout23_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -225,6 +232,7 @@ object Holdout {
   lazy val predicted20: Vector[(String, String, String)] = predict(pages20)
   lazy val predicted21: Vector[(String, String, String)] = predict(pages21)
   lazy val predicted22: Vector[(String, String, String)] = predict(pages22)
+  lazy val predicted23: Vector[(String, String, String)] = predict(pages23)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

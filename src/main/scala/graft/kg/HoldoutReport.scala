@@ -46,5 +46,6 @@ object HoldoutReport {
     report("20", Holdout.predicted20.toSet, Holdout.truth20.toSet)
     report("21", Holdout.predicted21.toSet, Holdout.truth21.toSet)
     report("22", Holdout.predicted22.toSet, Holdout.truth22.toSet)
+    report("23", Holdout.predicted23.toSet, Holdout.truth23.toSet)
   }
 }
