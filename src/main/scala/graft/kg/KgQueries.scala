@@ -216,7 +216,8 @@ object KgQueries {
         ("b18", Holdout.pages18, Holdout.truth18),
         ("b19", Holdout.pages19, Holdout.truth19),
         ("b20", Holdout.pages20, Holdout.truth20),
-        ("b21", Holdout.pages21, Holdout.truth21))
+        ("b21", Holdout.pages21, Holdout.truth21),
+        ("b22", Holdout.pages22, Holdout.truth22))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -232,9 +233,10 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 22 (the gap-datum vocabulary probe, never seen in
+    // OPEN holdout batch 23 (the compound gap-datum × fresh-frame probe,
+    // never seen in
     // training OR in any closure pass) scored by the pure-rule kernel vs
-    // kernel ∪ learned scorer. Batches 10-21's frozen comparisons live in
+    // kernel ∪ learned scorer. Batches 10-22's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -245,8 +247,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth22.toSet
-      val pages = s.createDataset(Holdout.pages22)
+      val want = Holdout.truth23.toSet
+      val pages = s.createDataset(Holdout.pages23)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -270,8 +272,8 @@ object KgQueries {
     }),
 
     // Mention-NER zero-shot evaluation (round-5 VERDICT next #1, the
-    // round-6 headline): the OPEN batch 22 is the gap-datum VOCABULARY
-    // probe — 15 of its 25 tuples carry datum surfaces absent from the
+    // round-6 headline): the OPEN batch 23 is the compound VOCABULARY ×
+    // FRAME probe — 11 of its 26 tuples carry datum surfaces absent from the
     // phrase dictionary, structurally unreachable by the kernel AND the
     // semantic scorer (their frozen rows both sit at R 0.320). The learned
     // mention NER (kg/MentionNer: span head + category head, committed
@@ -282,8 +284,8 @@ object KgQueries {
     // frozen in COVERAGE.md.
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth22.toSet
-      val pages = s.createDataset(Holdout.pages22)
+      val want = Holdout.truth23.toSet
+      val pages = s.createDataset(Holdout.pages23)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -957,7 +959,8 @@ object KgQueries {
       ("b18", Holdout.predicted18, Holdout.truth18),
       ("b19", Holdout.predicted19, Holdout.truth19),
       ("b20", Holdout.predicted20, Holdout.truth20),
-      ("b21", Holdout.predicted21, Holdout.truth21)).flatMap { case (b, got, want) =>
+      ("b21", Holdout.predicted21, Holdout.truth21),
+      ("b22", Holdout.predicted22, Holdout.truth22)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -967,10 +970,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth22.toSet
-      val kernel = Holdout.predicted22.toSet
+      val want = Holdout.truth23.toSet
+      val kernel = Holdout.predicted23.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages22.flatMap { p =>
+      val scored = Holdout.pages23.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)
@@ -984,10 +987,10 @@ object KgQueries {
     m("kg_eval_semantic") =
       s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
     val nerRows = {
-      val want = Holdout.truth22.toSet
-      val kernel = Holdout.predicted22.toSet
+      val want = Holdout.truth23.toSet
+      val kernel = Holdout.predicted23.toSet
       val m0 = SemanticScorer.fromResource
-      def scored(ner: Option[MentionNer.Models]) = Holdout.pages22.flatMap { p =>
+      def scored(ner: Option[MentionNer.Models]) = Holdout.pages23.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner))
       }.toSet.filter(Holdout.isRealTuple)

@@ -8,13 +8,12 @@ import graft.kg.{Holdout, SemanticScorer}
 
 /** Pins the round-5 semantic-scorer deliverable (round-4 VERDICT next #1):
   * the committed model, trained only on CLOSED batches + the synthetic
-  * corpus, evaluated ZERO-SHOT on the standing open batch (now 22 — the
-  * gap-datum VOCABULARY probe). Batch 21 is deliberately outside the
-  * scorer's reach: its candidate generator only emits
-  * dictionary-canonicalizable mentions, so on gap-datum tuples the scorer
-  * adds NOTHING — the pinned state is precision (no fp flood), not a
-  * recall lift. The recall-lift floors move to the learned mention NER
-  * (round-6 deliverable) once it lands. Frozen rows live in COVERAGE.md. */
+  * corpus, evaluated ZERO-SHOT on the standing open batch (now 23 — the
+  * compound vocabulary × frame probe). The gap half is outside the
+  * scorer's reach (dictionary-bounded candidates — the NER's axis); the
+  * fresh-frame half is exactly the scorer's competence, so here BOTH a
+  * recall lift and a precision floor are pinned. Frozen rows live in
+  * COVERAGE.md. */
 class SemScoringSpec extends AnyFunSuite {
 
   private def prf(got: Set[(String, String, String)],
@@ -32,11 +31,11 @@ class SemScoringSpec extends AnyFunSuite {
     assert(m.labels == Vector("collect"))
   }
 
-  test("semantic scorer holds precision zero-shot on open batch 22 (vocabulary probe)") {
-    val want = Holdout.truth22.toSet
-    val kernel = Holdout.predicted22.toSet
+  test("semantic scorer lifts recall zero-shot on open batch 23 (compound probe)") {
+    val want = Holdout.truth23.toSet
+    val kernel = Holdout.predicted23.toSet
     val m = SemanticScorer.fromResource
-    val scored = Holdout.pages22.flatMap { p =>
+    val scored = Holdout.pages23.flatMap { p =>
       SemanticScorer.predictTuples(m,
         SemanticScorer.candidates(p.url, new String(p.html, UTF_8)))
     }.toSet.filter(Holdout.isRealTuple)
@@ -45,14 +44,13 @@ class SemScoringSpec extends AnyFunSuite {
     val (cp, cr, cf) = prf(combined, want)
     info(f"kernel     P=$kp%.3f R=$kr%.3f F1=$kf%.3f")
     info(f"kernel+mlp P=$cp%.3f R=$cr%.3f F1=$cf%.3f")
-    // frozen first-evaluation rows on b22 (COVERAGE.md): kernel tp=10
-    // fp=0 (P 1.000 / R 0.400 — all 10 in-dictionary controls, 0/15 gap
-    // tuples); kernel ∪ scorer tp=10 fp=1 (P 0.909 / R 0.400 — the scorer
-    // cannot reach out-of-dictionary datums; that boundary belongs to the
-    // NER). Floors pin: no recall regression below the control set, no fp
-    // flood from the scorer on OOV-heavy text.
+    // frozen first-evaluation rows on b23 (COVERAGE.md): kernel tp=8 fp=0
+    // (P 1.000 / R 0.308); kernel ∪ scorer tp=13 fp=5 (P 0.722 / R 0.500
+    // — the scorer generalizes over the fresh FRAMES; the gap-datum half
+    // stays with the NER). Floors sit under the frozen rows.
     assert(cr >= kr, "scorer union must never lose kernel recall")
-    assert(cr >= 0.30, s"combined zero-shot recall floor: $cr")
-    assert(cp >= 0.85, s"combined zero-shot precision floor: $cp")
+    assert(cr > kr, "scorer must add zero-shot recall on the fresh-frame half")
+    assert(cr >= 0.45, s"combined zero-shot recall floor: $cr")
+    assert(cp >= 0.65, s"combined zero-shot precision floor: $cp")
   }
 }
