@@ -189,6 +189,12 @@ object Holdout {
   lazy val pages23: Vector[WebPage] = loadPages("holdout23_docs.tsv")
   lazy val truth23: Vector[(String, String, String)] = loadTruth("holdout23_truth.tsv")
 
+  /** Batch 24 (round 6): written after batch 22 closed and before any
+    * batch-23 closure work — the second compound probe; the zero-shot
+    * test set for all three systems once batch 23 closes. */
+  lazy val pages24: Vector[WebPage] = loadPages("holdout24_docs.tsv")
+  lazy val truth24: Vector[(String, String, String)] = loadTruth("holdout24_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -233,6 +239,7 @@ object Holdout {
   lazy val predicted21: Vector[(String, String, String)] = predict(pages21)
   lazy val predicted22: Vector[(String, String, String)] = predict(pages22)
   lazy val predicted23: Vector[(String, String, String)] = predict(pages23)
+  lazy val predicted24: Vector[(String, String, String)] = predict(pages24)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

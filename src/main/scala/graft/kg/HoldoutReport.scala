@@ -47,5 +47,6 @@ object HoldoutReport {
     report("21", Holdout.predicted21.toSet, Holdout.truth21.toSet)
     report("22", Holdout.predicted22.toSet, Holdout.truth22.toSet)
     report("23", Holdout.predicted23.toSet, Holdout.truth23.toSet)
+    report("24", Holdout.predicted24.toSet, Holdout.truth24.toSet)
   }
 }

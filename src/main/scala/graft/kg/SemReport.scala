@@ -47,8 +47,9 @@ object SemReport {
     batch("20", Holdout.pages20, Holdout.truth20)
     batch("21", Holdout.pages21, Holdout.truth21)
     batch("22", Holdout.pages22, Holdout.truth22)
-    val combined = batch("23", Holdout.pages23, Holdout.truth23)
-    val want = Holdout.truth23.toSet
+    batch("23", Holdout.pages23, Holdout.truth23)
+    val combined = batch("24", Holdout.pages24, Holdout.truth24)
+    val want = Holdout.truth24.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
