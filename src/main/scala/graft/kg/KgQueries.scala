@@ -217,7 +217,8 @@ object KgQueries {
         ("b19", Holdout.pages19, Holdout.truth19),
         ("b20", Holdout.pages20, Holdout.truth20),
         ("b21", Holdout.pages21, Holdout.truth21),
-        ("b22", Holdout.pages22, Holdout.truth22))
+        ("b22", Holdout.pages22, Holdout.truth22),
+        ("b23", Holdout.pages23, Holdout.truth23))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -233,10 +234,10 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 23 (the compound gap-datum × fresh-frame probe,
+    // OPEN holdout batch 24 (the compound gap-datum × fresh-frame probe,
     // never seen in
     // training OR in any closure pass) scored by the pure-rule kernel vs
-    // kernel ∪ learned scorer. Batches 10-22's frozen comparisons live in
+    // kernel ∪ learned scorer. Batches 10-23's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -247,8 +248,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth23.toSet
-      val pages = s.createDataset(Holdout.pages23)
+      val want = Holdout.truth24.toSet
+      val pages = s.createDataset(Holdout.pages24)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -272,8 +273,8 @@ object KgQueries {
     }),
 
     // Mention-NER zero-shot evaluation (round-5 VERDICT next #1, the
-    // round-6 headline): the OPEN batch 23 is the compound VOCABULARY ×
-    // FRAME probe — 11 of its 26 tuples carry datum surfaces absent from the
+    // round-6 headline): the OPEN batch 24 is the compound VOCABULARY ×
+    // FRAME probe — 9 of its 27 tuples carry datum surfaces absent from the
     // phrase dictionary, structurally unreachable by the kernel AND the
     // semantic scorer (their frozen rows both sit at R 0.320). The learned
     // mention NER (kg/MentionNer: span head + category head, committed
@@ -284,8 +285,8 @@ object KgQueries {
     // frozen in COVERAGE.md.
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth23.toSet
-      val pages = s.createDataset(Holdout.pages23)
+      val want = Holdout.truth24.toSet
+      val pages = s.createDataset(Holdout.pages24)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -960,7 +961,8 @@ object KgQueries {
       ("b19", Holdout.predicted19, Holdout.truth19),
       ("b20", Holdout.predicted20, Holdout.truth20),
       ("b21", Holdout.predicted21, Holdout.truth21),
-      ("b22", Holdout.predicted22, Holdout.truth22)).flatMap { case (b, got, want) =>
+      ("b22", Holdout.predicted22, Holdout.truth22),
+      ("b23", Holdout.predicted23, Holdout.truth23)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -970,10 +972,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth23.toSet
-      val kernel = Holdout.predicted23.toSet
+      val want = Holdout.truth24.toSet
+      val kernel = Holdout.predicted24.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages23.flatMap { p =>
+      val scored = Holdout.pages24.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)
@@ -987,10 +989,10 @@ object KgQueries {
     m("kg_eval_semantic") =
       s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
     val nerRows = {
-      val want = Holdout.truth23.toSet
-      val kernel = Holdout.predicted23.toSet
+      val want = Holdout.truth24.toSet
+      val kernel = Holdout.predicted24.toSet
       val m0 = SemanticScorer.fromResource
-      def scored(ner: Option[MentionNer.Models]) = Holdout.pages23.flatMap { p =>
+      def scored(ner: Option[MentionNer.Models]) = Holdout.pages24.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner))
       }.toSet.filter(Holdout.isRealTuple)

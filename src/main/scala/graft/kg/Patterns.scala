@@ -255,7 +255,7 @@ object Patterns {
     ("bear:root|ccomp",
       Seq("!:obj@DT"), Seq("STORE", "WE", "DT")),
     // DT stays/remains/lingers/survives (embedded/retained)
-    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber|bed|overwinter|nestle|lounge|hunker|summer|loiter|bivouac|holiday|nap|curl|shelter:root|ccomp",
+    ("stay|remain|linger|survive|live|reside|sit|hibernate|camp|marinate|languish|stow|nest|roost|winter|bunk|hole|perch|moonlight|idle|lurk|doze|slumber|bed|overwinter|nestle|lounge|hunker|summer|loiter|bivouac|holiday|nap|curl|shelter|squat|den:root|ccomp",
       Seq("!:subj|obj@DT"), Seq("STORE", "WE", "DT")),
     // E1 takes notes/a copy
     ("take:root|ccomp",
@@ -351,7 +351,7 @@ object Patterns {
       Seq(":subj@E1", "!:obj@DT", "!in|with,*STORE_NOUN:obj"),
       Seq("STORE", "WE", "DT")),
     // E1 raids <our store> for DT
-    ("raid|tap|plunder|loot|shake|comb|strip-mine|trawl|prospect:root|ccomp",
+    ("raid|tap|plunder|loot|shake|comb|strip-mine|trawl|prospect|pan|winnow:root|ccomp",
       Seq(":subj@E1", "!*STORE_NOUN:obj", "!for,:obj@DT"),
       Seq("COLLECT", "E1", "DT")),
     // E1 makes off with DT from <our store>
@@ -359,7 +359,7 @@ object Patterns {
       Seq(":subj@E1", "!with,:obj@DT", "!from,*STORE_NOUN:obj"),
       Seq("COLLECT", "E1", "DT")),
     // <our store> balloons/swarms with DT
-    ("balloon|swell|bulge|swarm|teem|brim|hum:root|ccomp",
+    ("balloon|swell|bulge|swarm|teem|brim|hum|groan|bristle:root|ccomp",
       Seq("!*STORE_NOUN:subj", "!with,:obj@DT"),
       Seq("STORE", "WE", "DT")),
     // E1 carries DT home

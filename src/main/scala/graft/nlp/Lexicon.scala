@@ -102,7 +102,10 @@ object Lexicon {
     // (hums with), conduits (shunt, dash ... off to), deposit
     // (tabulate/notate), ingestion (sop up)
     "trawl", "prospect", "holiday", "nap", "curl", "hum", "shunt",
-    "dash", "tabulate", "notate", "sop")
+    "dash", "tabulate", "notate", "sop",
+    // batch-23/24 closure roots: residence (squat/den), accumulation
+    // (groan/bristle with), extraction (pan/winnow ... for)
+    "squat", "den", "groan", "bristle", "pan", "winnow")
 
   val pronouns: Set[String] = Set("we", "us", "you", "i", "me", "they",
     "them", "it", "he", "she", "this", "that", "these", "those", "who",
@@ -211,7 +214,9 @@ object Lexicon {
     "sponge", "chronicle", "idle", "doze", "scavenge",
     "nestle", "lounge",
     // batch-20 closure: "tabulated", "notated"
-    "tabulate", "notate")
+    "tabulate", "notate",
+    // batch-23 closure: "minuted in our perks docket"
+    "minute")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

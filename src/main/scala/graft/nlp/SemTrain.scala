@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 /** Dev tool: trains the committed semantic-scorer fixture
   * (`src/main/resources/graft/sem_mlp.bin`) on the CLOSED holdout batches
   * (gold party tuples) plus the synthetic corpus — the standing OPEN batch
-  * (now 23) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
+  * (now 24) is NEVER read here, so `kg_eval_semantic`'s row is zero-shot.
   * Deterministic (seeded): re-running reproduces the committed bytes.
   * `sbt "runMain graft.nlp.SemTrain"` */
 object SemTrain {
@@ -18,8 +18,8 @@ object SemTrain {
       (Holdout.pages5, Holdout.truth5), (Holdout.pages6, Holdout.truth6),
       (Holdout.pages7, Holdout.truth7), (Holdout.pages8, Holdout.truth8),
       (Holdout.pages9, Holdout.truth9),
-      // batches 10-22 joined the training set when they CLOSED (kernel ==
-      // truth there); batch 23 has never been read here — its row is
+      // batches 10-23 joined the training set when they CLOSED (kernel ==
+      // truth there); batch 24 has never been read here — its row is
       // zero-shot
       (Holdout.pages10, Holdout.truth10),
       (Holdout.pages11, Holdout.truth11),
@@ -33,7 +33,8 @@ object SemTrain {
       (Holdout.pages19, Holdout.truth19),
       (Holdout.pages20, Holdout.truth20),
       (Holdout.pages21, Holdout.truth21),
-      (Holdout.pages22, Holdout.truth22))
+      (Holdout.pages22, Holdout.truth22),
+      (Holdout.pages23, Holdout.truth23))
     batches.flatMap { case (pages, truth) =>
       val ts = truth.toSet
       pages.map(p => p -> ts.filter(_._1 == p.url))

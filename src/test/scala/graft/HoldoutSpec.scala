@@ -210,4 +210,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout22 precision regressed: $p")
     assert(r >= 0.99, s"holdout22 recall regressed: $r")
   }
+
+  test("holdout batch-23 P/R regression floors (closed at 1.0/1.0 in round 6)") {
+    val rows = Holdout.prRows(Holdout.predicted23.toSet, Holdout.truth23.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout23 precision regressed: $p")
+    assert(r >= 0.99, s"holdout23 recall regressed: $r")
+  }
 }
