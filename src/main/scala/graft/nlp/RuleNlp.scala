@@ -815,21 +815,30 @@ object RuleNlp {
     // interrogative sentences are skipped entirely (reference
     // build_dependency_graph, collection_annotator.py:37-52,183-184):
     // trailing '?' or an auxiliary preceding the first subject
-    val lastReal = (end - 1 to start by -1).find(k => toks(k).pos != "SPACE")
+    // allocation pass 4: these run on EVERY sentence, so the scans are
+    // primitive while-loops, not Range.find closures
+    val lastReal = {
+      var k = end - 1
+      while (k >= start && toks(k).pos == "SPACE") k -= 1
+      k // -1-equivalent: < start when the sentence is all SPACE
+    }
     // an auxiliary before the first nominal = inverted (interrogative) order
     // — the reference's aux-before-subject test. Fronted adverbial clauses
     // ("When you create an account, we collect ...") put a nominal first,
     // so they pass; wh-questions without '?' fall through to the matcher,
     // which finds no object and emits nothing.
     val auxBeforeSubj = {
-      val firstAux = (start until end).find(k => toks(k).pos == "AUX")
-      val firstNom = (start until end).find(k =>
-        toks(k).pos == "PRON" || toks(k).pos == "NOUN" || toks(k).pos == "PROPN")
-      (firstAux, firstNom) match {
-        case (Some(a), Some(nm)) => a < nm
-        case (Some(_), None) => true
-        case _ => false
+      var firstAux = -1
+      var firstNom = -1
+      var k = start
+      while (k < end && (firstAux < 0 || firstNom < 0)) {
+        val pz = toks(k).pos
+        if (firstAux < 0 && pz == "AUX") firstAux = k
+        if (firstNom < 0 && (pz == "PRON" || pz == "NOUN" || pz == "PROPN"))
+          firstNom = k
+        k += 1
       }
+      firstAux >= 0 && (firstNom < 0 || firstAux < firstNom)
     }
     // a fronted aux-clause is not a question ("Should you participate in our
     // panel, we might ask ..."): a comma after the inverted aux followed by
@@ -865,10 +874,31 @@ object RuleNlp {
           (l == "no" && f + 1 < end && toks(f + 1).lemma == "sooner")
       }
     }
-    if (lastReal.exists(k => toks(k).text == "?") ||
+    if ((lastReal >= start && toks(lastReal).text == "?") ||
       (auxBeforeSubj && !frontedConditional && !restrictiveInversion))
       return Parse(start, end, toks, chunks, Vector.empty, Set.empty, text)
 
+    // O(1) chunk-by-start lookup (allocation pass 4): the object-group
+    // walker probes "is there a chunk starting at k" once per token of
+    // every conjunction chain — a find() closure per probe was a steady
+    // per-sentence allocator
+    val chunkStartIdx: Array[Int] = {
+      val a = Array.fill(end - start)(-1)
+      var ci = 0
+      while (ci < chunks.length) {
+        val cs = chunks(ci).start - start
+        if (cs >= 0 && cs < a.length) a(cs) = ci
+        ci += 1
+      }
+      a
+    }
+    def chunkStartingAt(k: Int): Chunk = {
+      if (k < start || k >= end) null
+      else {
+        val ix = chunkStartIdx(k - start)
+        if (ix < 0) null else chunks(ix)
+      }
+    }
     def chunkAt(tok: Int): Option[Chunk] = chunks.find(c => c.start <= tok && tok < c.end)
     def chunkBefore(pos: Int): Option[Chunk] = {
       // reverse index scan, not filter().lastOption — the filter copied the
@@ -968,7 +998,7 @@ object RuleNlp {
           k += 1
           if (k < end && toks(k).text == ",") k += 1
         }
-        chunks.find(_.start == k) match {
+        (Option(chunkStartingAt(k)): Option[Chunk]) match {
           case Some(nc) if sawConj =>
             // a bare comma (no and/or) followed by a chunk whose
             // comma/appositive chain leads to a predicate is a CLAUSE (or
@@ -984,19 +1014,17 @@ object RuleNlp {
               var sawChunk = false
               while (q < end && guard < 8) {
                 if (toks(q).text == ",") q += 1
-                else chunks.find(_.start == q) match {
-                  case Some(cc) => sawChunk = true; q = cc.end
-                  case None => return (toks(q).pos match {
-                    case "AUX" => 2
-                    case "VERB" | "VERBC" =>
-                      // a participle directly after the NP is a reduced
-                      // relative ("postal address printed on the package"),
-                      // not a clause
-                      val tx = Lexicon.lower(toks(q).text)
-                      if (!sawChunk && (tx.endsWith("ed") || tx.endsWith("ing"))) 0
-                      else 1
-                    case _ => 0
-                  }, sawChunk)
+                else chunkStartingAt(q) match {
+                  case null =>
+                    return (toks(q).pos match {
+                      case "AUX" => 2
+                      case "VERB" | "VERBC" =>
+                        val tx = Lexicon.lower(toks(q).text)
+                        if (!sawChunk && (tx.endsWith("ed") || tx.endsWith("ing"))) 0
+                        else 1
+                      case _ => 0
+                    }, sawChunk)
+                  case cc => sawChunk = true; q = cc.end
                 }
                 guard += 1
               }
