@@ -378,9 +378,15 @@ object Patterns {
 
   /** Root-lemma index: pattern lookup is O(1) per dep edge instead of
     * scanning all 21 patterns (hot path: called once per sentence). */
-  private lazy val bankByRootLemma: Map[String, Vector[Pattern]] =
+  private lazy val bankByRootLemma: java.util.HashMap[String, Vector[Pattern]] = {
+    // java.util.HashMap: getOrDefault is allocation-free (scala Map.get
+    // wraps every hit in Some, once per dep edge of every sentence)
+    val m = new java.util.HashMap[String, Vector[Pattern]]()
     bank.flatMap(p => p.root.lemmas.map(_ -> p)).groupBy(_._1)
-      .map { case (l, ps) => l -> ps.map(_._2) }
+      .foreach { case (l, ps) => m.put(l, ps.map(_._2)) }
+    m
+  }
+  private val noPatterns: Vector[Pattern] = Vector.empty
 
   /** DFS chain matching over one parsed sentence — semantics mirror the
     * reference matcher: every chain tried from every root candidate, captures
@@ -388,10 +394,13 @@ object Patterns {
   def matchSentence(p: Parse, patterns: Vector[Pattern] = bank): Vector[Match] = {
     val out = Vector.newBuilder[Match]
     val lemmaOf: Int => String = i => p.tokens(i).lemma
-    val byLemma = if (patterns eq bank) bankByRootLemma else
+    val byLemma = if (patterns eq bank) bankByRootLemma else {
+      val m = new java.util.HashMap[String, Vector[Pattern]]()
       patterns.flatMap(q => q.root.lemmas.map(_ -> q)).groupBy(_._1)
-        .map { case (l, ps) => l -> ps.map(_._2) }
-    for (d <- p.deps; pat <- byLemma.getOrElse(lemmaOf(d.to), Vector.empty)) {
+        .foreach { case (l, ps) => m.put(l, ps.map(_._2)) }
+      m
+    }
+    for (d <- p.deps; pat <- byLemma.getOrDefault(lemmaOf(d.to), noPatterns)) {
       // root candidates: any edge target whose (lemma, dep) matches
       if (pat.root.matches(lemmaOf(d.to), d.dep)) {
         val v = d.to
