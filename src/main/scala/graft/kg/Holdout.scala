@@ -195,6 +195,12 @@ object Holdout {
   lazy val pages24: Vector[WebPage] = loadPages("holdout24_docs.tsv")
   lazy val truth24: Vector[(String, String, String)] = loadTruth("holdout24_truth.tsv")
 
+  /** Batch 25 (round 6): written after batch 23 closed and before any
+    * batch-24 closure work — the third compound probe; the zero-shot
+    * test set for all three systems once batch 24 closes. */
+  lazy val pages25: Vector[WebPage] = loadPages("holdout25_docs.tsv")
+  lazy val truth25: Vector[(String, String, String)] = loadTruth("holdout25_truth.tsv")
+
   /** UNSPECIFIED_* pseudo-terms are engine bookkeeping (unresolvable
     * mentions), not datatypes a human labeler can assert — both sides of
     * the comparison exclude them (the reference's tuple eval likewise
@@ -240,6 +246,7 @@ object Holdout {
   lazy val predicted22: Vector[(String, String, String)] = predict(pages22)
   lazy val predicted23: Vector[(String, String, String)] = predict(pages23)
   lazy val predicted24: Vector[(String, String, String)] = predict(pages24)
+  lazy val predicted25: Vector[(String, String, String)] = predict(pages25)
 
   /** Per-party (+ "both") tp/fp/fn/precision/recall rows from got-vs-want
     * tuple sets — the evaluate.py:29-65 metric. */

@@ -48,5 +48,6 @@ object HoldoutReport {
     report("22", Holdout.predicted22.toSet, Holdout.truth22.toSet)
     report("23", Holdout.predicted23.toSet, Holdout.truth23.toSet)
     report("24", Holdout.predicted24.toSet, Holdout.truth24.toSet)
+    report("25", Holdout.predicted25.toSet, Holdout.truth25.toSet)
   }
 }

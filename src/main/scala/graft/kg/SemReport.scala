@@ -48,8 +48,9 @@ object SemReport {
     batch("21", Holdout.pages21, Holdout.truth21)
     batch("22", Holdout.pages22, Holdout.truth22)
     batch("23", Holdout.pages23, Holdout.truth23)
-    val combined = batch("24", Holdout.pages24, Holdout.truth24)
-    val want = Holdout.truth24.toSet
+    batch("24", Holdout.pages24, Holdout.truth24)
+    val combined = batch("25", Holdout.pages25, Holdout.truth25)
+    val want = Holdout.truth25.toSet
     val byUrl = (combined ++ want).map(_._1).toVector.distinct.sorted
     byUrl.foreach { u =>
       val g = combined.filter(_._1 == u).map(t => (t._2, t._3))
