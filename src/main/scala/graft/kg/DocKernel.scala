@@ -1334,6 +1334,11 @@ object DocKernel {
           // leave-STORE_NOUN pattern's retention reading is
           // negation-transparent (the leave-your-device transmission
           // pattern keeps ordinary polarity)
+          // "So too do ad partners receive X": the additive front
+          // presupposes the anchor party — the operator — performs the
+          // same practice (batch 24; h44/h213 presupposition family)
+          val soToo = p.start + 1 < p.end && p.tokens(p.start).lemma == "so" &&
+            p.tokens(p.start + 1).lemma == "too"
           val mNeg = m.neg && !(m.action == "STORE" && m.verb >= 0 &&
             (p.tokens(m.verb).lemma == "leave" ||
               // "never surrenders X" is retention, same as never-leaves
@@ -1415,6 +1420,11 @@ object DocKernel {
               }
             } else if (validateType(st, d, p, ents, "ACTOR") && validateType(st, d, p, dts, "DATA")) {
               for (e <- ents; dt <- dts) st.link(d, p, e, dt, rel)
+              if (soToo && !mNeg) for (dt <- dts; dtSrc <- d.srcs(dt)) {
+                st.linkSrc(st.implicitWeSrc(p), dtSrc, rel)
+                st.recordMention(d, p, dt, dtSrc)
+                st.sentText.getOrElseUpdate(dtSrc, p.text)
+              }
             } else if (eIdx == 0 && (ents.isEmpty ||
               // a non-party subject capture ("Section 7 permits sharing it
               // with carriers") leaves the operator as the implied actor

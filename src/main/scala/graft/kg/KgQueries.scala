@@ -218,7 +218,8 @@ object KgQueries {
         ("b20", Holdout.pages20, Holdout.truth20),
         ("b21", Holdout.pages21, Holdout.truth21),
         ("b22", Holdout.pages22, Holdout.truth22),
-        ("b23", Holdout.pages23, Holdout.truth23))
+        ("b23", Holdout.pages23, Holdout.truth23),
+        ("b24", Holdout.pages24, Holdout.truth24))
       val pages = s.createDataset(batches.flatMap(_._2))
       val urlBatch: Map[String, String] =
         batches.flatMap { case (b, ps, _) => ps.map(_.url -> b) }.toMap
@@ -234,10 +235,10 @@ object KgQueries {
     }),
 
     // Semantic-scorer zero-shot evaluation (round-4 VERDICT next #1): the
-    // OPEN holdout batch 24 (the compound gap-datum × fresh-frame probe,
+    // OPEN holdout batch 25 (the compound gap-datum × fresh-frame probe,
     // never seen in
     // training OR in any closure pass) scored by the pure-rule kernel vs
-    // kernel ∪ learned scorer. Batches 10-23's frozen comparisons live in
+    // kernel ∪ learned scorer. Batches 10-24's frozen comparisons live in
     // COVERAGE.md (each closed via kernel mechanisms once its zero-shot
     // row was frozen, so its live kernel row is 1.0 and no longer
     // measures the scorer). Both
@@ -248,8 +249,8 @@ object KgQueries {
     // and F1) is the honest deliverable, frozen in COVERAGE.md.
     "kg_eval_semantic" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth24.toSet
-      val pages = s.createDataset(Holdout.pages24)
+      val want = Holdout.truth25.toSet
+      val pages = s.createDataset(Holdout.pages25)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -273,8 +274,8 @@ object KgQueries {
     }),
 
     // Mention-NER zero-shot evaluation (round-5 VERDICT next #1, the
-    // round-6 headline): the OPEN batch 24 is the compound VOCABULARY ×
-    // FRAME probe — 9 of its 27 tuples carry datum surfaces absent from the
+    // round-6 headline): the OPEN batch 25 is the compound VOCABULARY ×
+    // FRAME probe — 9 of its 26 tuples carry datum surfaces absent from the
     // phrase dictionary, structurally unreachable by the kernel AND the
     // semantic scorer (their frozen rows both sit at R 0.320). The learned
     // mention NER (kg/MentionNer: span head + category head, committed
@@ -285,8 +286,8 @@ object KgQueries {
     // frozen in COVERAGE.md.
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._
-      val want = Holdout.truth24.toSet
-      val pages = s.createDataset(Holdout.pages24)
+      val want = Holdout.truth25.toSet
+      val pages = s.createDataset(Holdout.pages25)
       val kernel = KgApi.partyTuples(KgPipeline.triplesFromPages(pages))
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .filter(Holdout.isRealTuple).toSet
@@ -962,7 +963,8 @@ object KgQueries {
       ("b20", Holdout.predicted20, Holdout.truth20),
       ("b21", Holdout.predicted21, Holdout.truth21),
       ("b22", Holdout.predicted22, Holdout.truth22),
-      ("b23", Holdout.predicted23, Holdout.truth23)).flatMap { case (b, got, want) =>
+      ("b23", Holdout.predicted23, Holdout.truth23),
+      ("b24", Holdout.predicted24, Holdout.truth24)).flatMap { case (b, got, want) =>
       Holdout.prRows(got.toSet, want.toSet).map { case (p, tp, fpv, fn, pr, rc) =>
         Seq(b, p, tp.toString, fpv.toString, fn.toString, pr.toString, rc.toString)
       }
@@ -972,10 +974,10 @@ object KgQueries {
     m("kg_eval_pr") =
       s"SELECT party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), evalRows)}) ORDER BY party"
     val semRows = {
-      val want = Holdout.truth24.toSet
-      val kernel = Holdout.predicted24.toSet
+      val want = Holdout.truth25.toSet
+      val kernel = Holdout.predicted25.toSet
       val m0 = SemanticScorer.fromResource
-      val scored = Holdout.pages24.flatMap { p =>
+      val scored = Holdout.pages25.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
       }.toSet.filter(Holdout.isRealTuple)
@@ -989,10 +991,10 @@ object KgQueries {
     m("kg_eval_semantic") =
       s"SELECT system, party, CAST(tp_s AS BIGINT) AS tp, CAST(fp_s AS BIGINT) AS fp, CAST(fn_s AS BIGINT) AS fn, CAST(p_s AS DOUBLE) AS precision, CAST(r_s AS DOUBLE) AS recall FROM (${valuesSqlNoOrder(Seq("system", "party", "tp_s", "fp_s", "fn_s", "p_s", "r_s"), semRows)}) ORDER BY system, party"
     val nerRows = {
-      val want = Holdout.truth24.toSet
-      val kernel = Holdout.predicted24.toSet
+      val want = Holdout.truth25.toSet
+      val kernel = Holdout.predicted25.toSet
       val m0 = SemanticScorer.fromResource
-      def scored(ner: Option[MentionNer.Models]) = Holdout.pages24.flatMap { p =>
+      def scored(ner: Option[MentionNer.Models]) = Holdout.pages25.flatMap { p =>
         SemanticScorer.predictTuples(m0, SemanticScorer.candidates(p.url,
           new String(p.html, java.nio.charset.StandardCharsets.UTF_8), ner))
       }.toSet.filter(Holdout.isRealTuple)

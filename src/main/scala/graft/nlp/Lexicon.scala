@@ -216,7 +216,10 @@ object Lexicon {
     // batch-20 closure: "tabulated", "notated"
     "tabulate", "notate",
     // batch-23 closure: "minuted in our perks docket"
-    "minute")
+    "minute",
+    // batch-24 closure: "is noted in our compatibility ledger" had
+    // lemmatized to the negation "not"
+    "note")
 
   /** Memoized lemma lookup — the suffix rules below allocate several interim
     * strings per call and words repeat massively across documents, so a

@@ -1622,6 +1622,18 @@ object RuleNlp {
       vgs.foreach(vg => if (vg.verb < sconj && !evasion(vg.verb)) neg += vg.verb)
     }
 
+    // --- fronted-participle inversion: "Tucked into our billing crypt
+    // are your card digits." — a clause-initial past participle with a
+    // later stranded be-AUX is an inverted passive; the post-copular NP
+    // (already attached as its object by the clause builder) is the
+    // promoted theme (batch 24)
+    if (toks(start).pos == "VERB" &&
+      Lexicon.endsWithIgnoreCase(toks(start).text, "ed") &&
+      subjOf.get(start).forall(_.isEmpty) &&
+      (start + 1 until end).exists(k =>
+        toks(k).pos == "AUX" && toks(k).lemma == "be"))
+      passiveExtra += start
+
     // --- such-inversion result clause, dep side: the clause after "Such
     // is ... that" may still classify as a relative clause on the nearest
     // noun — re-root it and apply the passive promotion its verb missed

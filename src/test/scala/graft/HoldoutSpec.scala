@@ -218,4 +218,12 @@ class HoldoutSpec extends AnyFunSuite {
     assert(p >= 0.99, s"holdout23 precision regressed: $p")
     assert(r >= 0.99, s"holdout23 recall regressed: $r")
   }
+
+  test("holdout batch-24 P/R regression floors (closed at 1.0/1.0 in round 6)") {
+    val rows = Holdout.prRows(Holdout.predicted24.toSet, Holdout.truth24.toSet)
+      .map(r => r._1 -> r).toMap
+    val (_, _, _, _, p, r) = rows("both")
+    assert(p >= 0.99, s"holdout24 precision regressed: $p")
+    assert(r >= 0.99, s"holdout24 recall regressed: $r")
+  }
 }

@@ -14,9 +14,9 @@ import graft.kg.{Holdout, MentionNer, SemanticScorer}
   * is dictionary-bounded. The NER union must recover gap tuples WITHOUT
   * polluting the closed batches.
   *
-  * Batch 24 is the standing open batch (the second compound vocabulary ×
+  * Batch 25 is the standing open batch (the third compound vocabulary ×
   * frame probe). Floors sit under its frozen first-eval rows: union
-  * tp=18 fp=3 (P 0.857 / R 0.667). */
+  * tp=17 fp=6 (P 0.739 / R 0.654). */
 class NerSpec extends AnyFunSuite {
 
   private def nerUnion(pages: Vector[graft.kg.Model.WebPage]): Set[(String, String, String)] = {
@@ -35,17 +35,17 @@ class NerSpec extends AnyFunSuite {
     assert(m.cat.labels.nonEmpty && m.cat.labels == m.cat.labels.sorted)
   }
 
-  test("NER union breaks the vocabulary wall on batch 24 (compound probe)") {
-    val want = Holdout.truth24.toSet
-    val kernel = Holdout.predicted24.toSet
-    val got = nerUnion(Holdout.pages24)
+  test("NER union breaks the vocabulary wall on batch 25 (compound probe)") {
+    val want = Holdout.truth25.toSet
+    val kernel = Holdout.predicted25.toSet
+    val got = nerUnion(Holdout.pages25)
     val tp = (got & want).size.toDouble
     val p = tp / math.max(1, got.size)
     val r = tp / math.max(1, want.size)
     info(f"kernel R=${(kernel & want).size.toDouble / want.size}%.3f  ner-union P=$p%.3f R=$r%.3f")
     assert(kernel.subsetOf(got), "union must preserve kernel tuples")
     assert(r >= 0.60, s"NER-union recall floor on the compound probe: $r")
-    assert(p >= 0.75, s"NER-union precision floor: $p")
+    assert(p >= 0.65, s"NER-union precision floor: $p")
     // the specific deliverable: gap-datum tuples (unreachable by kernel
     // AND scorer) now score above zero
     val gap = want -- kernel
@@ -67,7 +67,7 @@ class NerSpec extends AnyFunSuite {
       Holdout.pages17 -> Holdout.truth17, Holdout.pages18 -> Holdout.truth18,
       Holdout.pages19 -> Holdout.truth19, Holdout.pages20 -> Holdout.truth20,
       Holdout.pages21 -> Holdout.truth21, Holdout.pages22 -> Holdout.truth22,
-      Holdout.pages23 -> Holdout.truth23)
+      Holdout.pages23 -> Holdout.truth23, Holdout.pages24 -> Holdout.truth24)
     val fps = batches.flatMap { case (pages, truth) =>
       nerUnion(pages) -- truth.toSet
     }

@@ -8,7 +8,7 @@ import graft.kg.{Holdout, SemanticScorer}
 
 /** Pins the round-5 semantic-scorer deliverable (round-4 VERDICT next #1):
   * the committed model, trained only on CLOSED batches + the synthetic
-  * corpus, evaluated ZERO-SHOT on the standing open batch (now 24 — the
+  * corpus, evaluated ZERO-SHOT on the standing open batch (now 25 — the
   * compound vocabulary × frame probe). The gap half is outside the
   * scorer's reach (dictionary-bounded candidates — the NER's axis); the
   * fresh-frame half is exactly the scorer's competence, so here BOTH a
@@ -31,11 +31,11 @@ class SemScoringSpec extends AnyFunSuite {
     assert(m.labels == Vector("collect"))
   }
 
-  test("semantic scorer lifts recall zero-shot on open batch 24 (compound probe)") {
-    val want = Holdout.truth24.toSet
-    val kernel = Holdout.predicted24.toSet
+  test("semantic scorer lifts recall zero-shot on open batch 25 (compound probe)") {
+    val want = Holdout.truth25.toSet
+    val kernel = Holdout.predicted25.toSet
     val m = SemanticScorer.fromResource
-    val scored = Holdout.pages24.flatMap { p =>
+    val scored = Holdout.pages25.flatMap { p =>
       SemanticScorer.predictTuples(m,
         SemanticScorer.candidates(p.url, new String(p.html, UTF_8)))
     }.toSet.filter(Holdout.isRealTuple)
@@ -44,14 +44,11 @@ class SemScoringSpec extends AnyFunSuite {
     val (cp, cr, cf) = prf(combined, want)
     info(f"kernel     P=$kp%.3f R=$kr%.3f F1=$kf%.3f")
     info(f"kernel+mlp P=$cp%.3f R=$cr%.3f F1=$cf%.3f")
-    // frozen first-evaluation rows on b24 (COVERAGE.md): kernel tp=9 fp=0
-    // (P 1.000 / R 0.333); kernel ∪ scorer tp=14 fp=1 (P 0.933 / R 0.519
-    // — the scorer generalizes over the fresh FRAMES; the gap-datum half
-    // stays with the NER). Floors sit under the frozen rows; the kernel's
-    // LIVE b24 row sits above its frozen one (the b23 closure verbs
-    // overlapped three b24 frames), so the recall-lift floor is absolute.
+    // frozen first-evaluation rows on b25 (COVERAGE.md): kernel tp=11
+    // fp=0 (P 1.000 / R 0.423); kernel ∪ scorer tp=15 fp=1
+    // (P 0.938 / R 0.577). Floors sit under the frozen rows.
     assert(cr >= kr, "scorer union must never lose kernel recall")
-    assert(cr >= 0.45, s"combined zero-shot recall floor: $cr")
-    assert(cp >= 0.80, s"combined zero-shot precision floor: $cp")
+    assert(cr >= 0.50, s"combined zero-shot recall floor: $cr")
+    assert(cp >= 0.85, s"combined zero-shot precision floor: $cp")
   }
 }
