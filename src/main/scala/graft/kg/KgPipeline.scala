@@ -352,6 +352,16 @@ object AliasResolution {
     */
   def connectedComponentsDiag(edges: org.apache.spark.sql.DataFrame, maxIter: Int = 25,
       localFinishEdges: Long = 500000L): (org.apache.spark.sql.DataFrame, Int, Seq[Long]) = {
+    // phase-timing diagnostics for the optimization probe (BenchExtra);
+    // zero output unless -Dgraft.cc.debug=true
+    val debug = java.lang.Boolean.getBoolean("graft.cc.debug") ||
+      sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    var tPhase = System.nanoTime()
+    def phase(label: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"[cc] $label%-28s ${(now - tPhase) / 1e9}%.3f s")
+      tPhase = now
+    }
     // no distinct here: duplicate edges are harmless to min-aggregation and
     // the first contraction dedupes anyway — a full 2|E| shuffle saved.
     // `und` holds one row per edge; the symmetric view is derived lazily so
@@ -364,6 +374,7 @@ object AliasResolution {
         least(col("src"), col("nbrMin")).as("component"),
         lit(0L).as("chg"))
       .localCheckpoint(true)
+    phase("seed labels")
     var parkedLayers = List.empty[org.apache.spark.sql.DataFrame]
     var checkpoints = List.empty[org.apache.spark.sql.DataFrame]
     var activeSizes = Vector.empty[Long]
@@ -381,11 +392,21 @@ object AliasResolution {
         .distinct().localCheckpoint(true)
       und.unpersist()
       und = contracted
-      val activeV = contracted.select(col("src").as("vertex"))
+      // count the quotient FIRST: when it is already inside the bounded
+      // local-finish regime, the active-vertex set is provably tiny
+      // (≤ 2·|contracted edges|) and the membership join below can be a
+      // broadcast join instead of shuffling the full |V| labels frame
+      // (guide §3.1 — size estimates on checkpointed frames are unknown, so
+      // the planner would otherwise pick sort-merge and move ~|V| rows).
+      val contractedEdges = contracted.count()
+      phase("contract: quotient join")
+      val activeV0 = contracted.select(col("src").as("vertex"))
         .union(contracted.select(col("dst").as("vertex"))).distinct()
+      val activeV = if (contractedEdges <= localFinishEdges) broadcast(activeV0) else activeV0
       // one materialization of the flag join; parked/kept are cheap filters
       val flagged = labels.join(activeV.withColumn("_a", lit(1)), Seq("vertex"), "left_outer")
         .localCheckpoint(true)
+      phase("contract: flag join")
       checkpoints ::= flagged
       checkpoints ::= contracted
       val parked = flagged.filter(col("_a").isNull)
@@ -396,7 +417,8 @@ object AliasResolution {
       if (!parked.isEmpty) parkedLayers ::= parked
       labels = kept
       activeSizes :+= kept.count()
-      activeEdges = contracted.count()
+      activeEdges = contractedEdges
+      phase("contract: park/keep counts")
     }
 
     // driver-side union-find over the (bounded) residual quotient graph;
@@ -433,6 +455,7 @@ object AliasResolution {
     contractAndPark()
 
     var changed = if (activeSizes.last == 0L || finishLocally()) 0L else 1L
+    phase("local finish")
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prev = labels
@@ -469,13 +492,23 @@ object AliasResolution {
         if (finishLocally()) changed = 0
       }
       i += 1
+      phase(s"iterate round $i")
     }
     und.unpersist()
 
-    // resolution: fold parked layers, most recently parked first
+    // resolution: fold parked layers, most recently parked first. The join
+    // target `m` at every step holds only vertices that were still ACTIVE
+    // after the first contraction (final labels + layers parked later; the
+    // first-parked layer — the big one on star-shaped graphs — is folded
+    // LAST, so its output never feeds a later join target). Hence
+    // activeSizes.head bounds |m|, and when that bound is small the layer
+    // join broadcasts `m` instead of shuffling+sorting the parked frame
+    // (up to ~|V| rows) through a sort-merge join (guide §3.1).
+    val mBounded = activeSizes.headOption.exists(_ <= 500000L)
     var resolved = labels.select(col("vertex"), col("component"))
     parkedLayers.foreach { layer =>
-      val m = resolved.select(col("vertex").as("rv"), col("component").as("rc"))
+      val m0 = resolved.select(col("vertex").as("rv"), col("component").as("rc"))
+      val m = if (mBounded) broadcast(m0) else m0
       val r = layer.join(m, layer("component") === col("rv"), "left_outer")
         .select(layer("vertex"),
           coalesce(col("rc"), layer("component")).as("component"))
@@ -484,6 +517,7 @@ object AliasResolution {
     // materialize once, then free every intermediate checkpoint — repeated
     // in-session runs (bench medians) must not accumulate block-manager state
     val out = resolved.localCheckpoint(true)
+    phase("resolve parked + materialize")
     checkpoints.foreach(_.unpersist())
     labels.unpersist()
     (out, i, activeSizes)

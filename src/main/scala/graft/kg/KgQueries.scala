@@ -74,12 +74,17 @@ object KgQueries {
       ds
     }
 
-  def sharedClosure(s: SparkSession): DataFrame =
+  def sharedClosure(s: SparkSession): DataFrame = {
+    // resolve the triples entry BEFORE entering the closure compute: nested
+    // computeIfAbsent on the same ConcurrentHashMap throws "Recursive
+    // update" when both keys land in one bin on a cold cache
+    val tri = sharedTriples(s)
     shared(s, "closure") {
-      val df = KgApi.closureRows(sharedTriples(s)).persist()
+      val df = KgApi.closureRows(tri).persist()
       df.count()
       df
     }
+  }
 
   /** Truth rows lifted to Triple shape (evidence/purpose labels included) so
     * the graph-query layer can run identically on the want-side. */
@@ -130,8 +135,10 @@ object KgQueries {
     // for we / 3rd-party / both), single-action full-outer-join eval
     "kg_eval_pr" -> ((s, _) => {
       import s.implicits._
-      val got = KgApi.partyTuples(sharedTriples(s)).cache()
-      val want = KgApi.partyTuples(truthTriples(s)).cache()
+      // single-action eval: got/want each feed exactly one join, so the old
+      // cache()/unpersist() pair only added block-manager traffic
+      val got = KgApi.partyTuples(sharedTriples(s))
+      val want = KgApi.partyTuples(truthTriples(s))
       val j = got.withColumn("g", lit(1)).join(want.withColumn("w", lit(1)),
         Seq("url", "party", "datatype"), "full_outer")
       val per = j.groupBy(col("party")).agg(
@@ -139,7 +146,6 @@ object KgQueries {
           count(when(col("w").isNull, 1)).as("fp"),
           count(when(col("g").isNull, 1)).as("fn"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      got.unpersist(); want.unpersist()
       val both = ("both", per.map(_._2).sum, per.map(_._3).sum, per.map(_._4).sum)
       def r4(x: Double): Double = math.round(x * 10000) / 10000.0
       (per.toSeq :+ both).sortBy(_._1).map { case (p, tp, fp, fn) =>
@@ -540,15 +546,18 @@ object KgQueries {
     // approx_count_distinct is the 10^12-scale variant)
     "kg_corpus_stats" -> ((s, _) => {
       import s.implicits._
-      val t = sharedTriples(s).toDF().cache()
+      // sharedTriples is already session-persisted; the old extra cache()
+      // and three separate actions are folded into two (the two exploded
+      // distinct counts union into one tagged aggregation)
+      val t = sharedTriples(s).toDF()
       val Array(nPol, nTri) = t.agg(countDistinct(col("url")), count(lit(1)))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val nSent = t.select(explode(col("text")).as("x"))
-        .agg(countDistinct(col("x"))).collect()(0).getLong(0)
-      val nPurp = t.select(explode(flatten(map_values(col("purposes")))).as("x"))
-        .agg(countDistinct(col("x"))).collect()(0).getLong(0)
-      t.unpersist()
-      Seq((nPol, nTri, nSent, nPurp))
+      val dc = t.select(explode(col("text")).as("x"), lit("sent").as("kind"))
+        .unionByName(t.select(
+          explode(flatten(map_values(col("purposes")))).as("x"), lit("purp").as("kind")))
+        .groupBy(col("kind")).agg(countDistinct(col("x")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq((nPol, nTri, dc.getOrElse("sent", 0L), dc.getOrElse("purp", 0L)))
         .toDF("n_policies", "n_triples", "n_sentences", "n_purpose_phrases")
     }),
 

@@ -29,52 +29,87 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** The word-3-shingle strings the [[shingles]] expression produces, built
+    * in plain JVM code: `split(text, " ")` with Java's keep-trailing-empties
+    * limit (-1) mirrors Spark's `split`, and each shingle is words[i, i+3)
+    * joined by a single space (`concat_ws` over a null-free array). */
+  private[operators] def shingleStrings(text: String, n: Int): Array[String] = {
+    val words = text.split(" ", -1)
+    val t = words.length
+    val nSh = math.max(t - n, 0) + 1
+    val out = new Array[String](nSh)
+    var i = 0
+    while (i < nSh) {
+      val end = math.min(i + n, t)
+      val sb = new java.lang.StringBuilder
+      var w = i
+      while (w < end) {
+        if (w > i) sb.append(' ')
+        sb.append(words(w))
+        w += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
   /** 64-permutation MinHash signature from word 3-shingles, banded.
-    * Shingle strings are hashed to 64-bit once (codegen); the 64
-    * permutation minima are then computed in ONE `mapPartitions` pass with
-    * a preallocated long[64] — the previous all-column form evaluated 64
-    * separate `array_min(transform(...))` expressions, materializing 64
-    * remixed copies of the shingle array per document (round-4 VERDICT
-    * next #6: the signature stage was the dominant minhash cost). The
-    * remix is the same xxhash64 chain Spark's expression computes, via
-    * catalyst's XXH64, so the stage stays deterministic. */
+    *
+    * One fused `mapPartitions` pass over (doc_id, text): shingling, the
+    * first-level shingle hash, the 64 permutation minima, and the band keys
+    * all run in primitive JVM loops. The round-6 form still evaluated the
+    * shingle/hash step as catalyst higher-order functions (`transform` /
+    * `slice` / `concat_ws`), which are CodegenFallback — interpreted per
+    * element with boxing — and re-ran `split(text)` inside the `slice`
+    * lambda for every shingle (O(tokens²) splits per document); guide §4
+    * ("eliminate non-codegen expressions in the hot path"). The shingle
+    * hash goes through catalyst's own `XxHash64Function` (seed 42 over the
+    * UTF8 bytes), so every band key is bit-identical to the expression
+    * form's and the banded output is unchanged. */
   def minhashBands(docs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.expressions.{XXH64, XxHash64Function}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
     val rowsPerBand = numHashes / bands
-    val sh = docs.select(col("doc_id"),
-      transform(shingles(col("text"), 3), s => xxhash64(s)).as("hs"))
     val spark = docs.sparkSession
     import spark.implicits._
     val nh = numHashes
     val nb = bands
-    val banded = sh.as[(Long, Seq[Long])].mapPartitions { it =>
-      val sig = new Array[Long](nh)
-      it.map { case (id, hs) =>
-        java.util.Arrays.fill(sig, Long.MaxValue)
-        hs.foreach { h =>
-          val base = XXH64.hashLong(h, 42L)
-          var i = 0
-          while (i < nh) {
-            val v = XXH64.hashLong(i.toLong, base)
-            if (v < sig(i)) sig(i) = v
-            i += 1
+    val banded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val sig = new Array[Long](nh)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(sig, Long.MaxValue)
+          val shs = shingleStrings(text, 3)
+          var s = 0
+          while (s < shs.length) {
+            val h = XxHash64Function.hash(
+              UTF8String.fromString(shs(s)), StringType, 42L)
+            val base = XXH64.hashLong(h, 42L)
+            var i = 0
+            while (i < nh) {
+              val v = XXH64.hashLong(i.toLong, base)
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+            s += 1
           }
-        }
-        val bandKeys = new Array[Long](nb)
-        var b = 0
-        while (b < nb) {
-          var acc = XXH64.hashLong(b.toLong, 42L)
-          var r = 0
-          while (r < rowsPerBand) {
-            acc = XXH64.hashLong(sig(b * rowsPerBand + r), acc)
-            r += 1
+          val bandKeys = new Array[Long](nb)
+          var b = 0
+          while (b < nb) {
+            var acc = XXH64.hashLong(b.toLong, 42L)
+            var r = 0
+            while (r < rowsPerBand) {
+              acc = XXH64.hashLong(sig(b * rowsPerBand + r), acc)
+              r += 1
+            }
+            bandKeys(b) = acc
+            b += 1
           }
-          bandKeys(b) = acc
-          b += 1
+          (id, bandKeys)
         }
-        (id, bandKeys)
-      }
-    }.toDF("doc_id", "bandArr")
+      }.toDF("doc_id", "bandArr")
     banded.select(col("doc_id") +:
       (0 until bands).map(b => element_at(col("bandArr"), b + 1).as(s"band$b")): _*)
   }
@@ -114,9 +149,31 @@ object Dedup {
     kv.join(sizes, keys, "left_semi")
   }
 
-  /** Exact word-3-shingle Jaccard for the given candidate pairs. */
+  /** Exact word-3-shingle Jaccard for the given candidate pairs.
+    *
+    * The distinct shingle set per doc is built in the same JVM pass as
+    * [[shingleStrings]] (`array_distinct` keeps first-occurrence order, as
+    * LinkedHashSet does) instead of the interpreted `transform`/`slice`
+    * expression chain, which additionally ran once per join side — every
+    * document paid the O(tokens²) shingle expression twice (guide §4 +
+    * §2.3 "project before the exchange"). Set semantics of the
+    * intersect/union/round expressions are unchanged, so the jaccard
+    * values match the previous output bit for bit. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val seen = new java.util.LinkedHashSet[String]()
+          val shs = shingleStrings(text, 3)
+          var i = 0
+          while (i < shs.length) { seen.add(shs(i)); i += 1 }
+          val out = new Array[String](seen.size)
+          seen.toArray(out)
+          (id, out)
+        }
+      }.toDF("doc_id", "sh")
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -132,19 +189,56 @@ object Dedup {
     * in any engine, so the whole signature is cross-engine deterministic and
     * the DuckDB oracle can recompute it bit-for-bit. Still pure codegen. */
   def simhash(docs: DataFrame): DataFrame = {
-    // sum of per-bit contributions: for each word hash, bit i adds +1/-1
-    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitCols = (0 until 60).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = words.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val sig = (0 until 60).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), sig.as("simhash"))
+    // Fused per-document JVM pass (docs arrive one row per doc_id, so the
+    // old explode → shuffle → 60-column conditional aggregate was pure
+    // overhead: it shuffled every word row to regroup by a key the input
+    // already satisfies — guide §2.4 "remove shuffles outright"). Word
+    // hashes use the identical md5-hex-prefix construction (first 15 hex
+    // chars → 60-bit long), so signatures are bit-identical to both the
+    // previous aggregate and the DuckDB oracle.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](60)
+        it.flatMap { case (id, text) =>
+          java.util.Arrays.fill(counts, 0)
+          val words = text.split(" ", -1)
+          var nWords = 0
+          var w = 0
+          while (w < words.length) {
+            if (words(w).nonEmpty) {
+              nWords += 1
+              md.reset()
+              val d = md.digest(words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 15 hex chars = first 7.5 bytes, big-endian
+              var h = 0L
+              var b = 0
+              while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+              h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+              var i = 0
+              while (i < 60) {
+                if (((h >> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+                i += 1
+              }
+            }
+            w += 1
+          }
+          // a doc with no non-empty words had no rows in the old explode →
+          // groupBy form and thus no signature row; keep that contract
+          if (nWords == 0) None
+          else {
+            var sig = 0L
+            var i = 0
+            while (i < 60) {
+              if (counts(i) > 0) sig |= (1L << i)
+              i += 1
+            }
+            Some((id, sig))
+          }
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   /** Near-dup pairs by 4×15-bit band join + exact Hamming verification.
@@ -187,19 +281,45 @@ object Dedup {
 
   /** (vec_id, band, 16-bit sketch key) rows — ids only, embeddings are NOT
     * carried through the explode/join (public so OpsSpec can assert bucket
-    * bounds on the exact frame the join sees). */
+    * bounds on the exact frame the join sees).
+    *
+    * The hyperplane dot products run as primitive JVM loops over the
+    * driver-computed coefficient matrix: the round-6 form evaluated
+    * bands × planes `aggregate(zip_with(...))` catalyst higher-order
+    * functions per row — CodegenFallback, interpreted with per-element
+    * boxing (guide §4). The JVM fold accumulates in the identical order
+    * (left fold from 0.0 over `emb(c).toDouble * coeff(c)`), so every
+    * sketch bit — and therefore every band key — is bit-identical. */
   def embeddingBandKeys(emb: DataFrame, bands: Int, planesPerBand: Int,
       dim: Int = 64): DataFrame = {
-    def bandSketch(b: Int): Column = (0 until planesPerBand).map { j =>
-      val plane = typedlit(Array.tabulate(dim)(c => planeCoeff(b * planesPerBand + j, c)))
-      val dot = aggregate(zip_with(col("embedding"), plane,
-        (x, r) => x.cast("double") * r), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    emb.select(col("vec_id") +: (0 until bands).map(b => bandSketch(b).as(s"sk$b")): _*)
-      .select(col("vec_id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("b"), col(s"sk$b").as("k"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nb = bands
+    val ppb = planesPerBand
+    val planes = Array.tabulate(nb * ppb, dim)((p, c) => planeCoeff(p, c))
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, e) =>
+          val arr = e.toArray
+          (0 until nb).iterator.map { b =>
+            var k = 0L
+            // a row whose embedding is not exactly `dim` wide got a null
+            // dot (zip_with null-padding) → every `when` fell through → 0
+            if (arr.length == dim) {
+              var j = 0
+              while (j < ppb) {
+                val plane = planes(b * ppb + j)
+                var acc = 0.0
+                var c = 0
+                while (c < dim) { acc += arr(c).toDouble * plane(c); c += 1 }
+                if (acc > 0) k |= (1L << j)
+                j += 1
+              }
+            }
+            (id, b, k)
+          }
+        }
+      }.toDF("vec_id", "b", "k")
   }
 
   /** Embedding near-dup: random-hyperplane LSH + exact cosine verification.
@@ -236,9 +356,16 @@ object Dedup {
     // ride a shuffle key. sha2-256 over the JSON rendering is injective for
     // byte-identical arrays and collision-free at any realistic scale.
     val keyed = base.withColumn("ekey", sha2(to_json(struct(col("embedding"))), 256))
+    // `members` feeds five downstream references (identity pairs ×2, the
+    // rep semi-join, the expansion joins ×2); without materialization each
+    // re-ran the sha2 keying + window shuffle. localCheckpoint (lazy) pins
+    // it to THIS invocation's RDD — unlike .cache() it cannot be reused by
+    // a later identical query via CacheManager plan matching, so repeated
+    // bench rounds still compute from the parquet input.
     val members = keyed.select(col("ekey"), col("vec_id"))
       .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("ekey"))))
       .select(col("rep"), col("vec_id"))
+      .localCheckpoint(false)
     val identicalPairs = members.as("l").join(members.as("r"),
         col("l.rep") === col("r.rep") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
