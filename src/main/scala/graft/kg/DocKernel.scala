@@ -311,8 +311,7 @@ object DocKernel {
             (p.tokens(c.start - 1).lemma == "which" ||
               p.tokens(c.start - 1).lemma == "what") &&
             c.end < p.end && p.tokens(c.head).lemma == "page" &&
-            Set("load", "visit", "view", "render", "open")
-              .contains(p.tokens(c.end).lemma)) {
+            PageActivityVerbs.contains(p.tokens(c.end).lemma)) {
             val syn = st.activitySrc(p, 0)
             d.srcs(c.head).foreach { s1 =>
               st.linkSrc(s1, syn, Subsum)
@@ -740,7 +739,7 @@ object DocKernel {
         // the reduced relative's object is subsumed by its upper noun
         p.deps.foreach { dep =>
           if (dep.dep == "relcl" && dep.from >= 0 &&
-            Set("contain", "include", "hold").contains(p.tokens(dep.to).lemma)) {
+            ContainerVerbs.contains(p.tokens(dep.to).lemma)) {
             p.out(dep.to).foreach { o =>
               if (o.dep == "obj" && p.tokens(o.to).pos != "PRON" &&
                 entCompatible(p.tokens(dep.from).ner, p.tokens(o.to).ner))
@@ -754,8 +753,7 @@ object DocKernel {
         // ACTOR-subject "we hold your data" out (that is a STORE pattern)
         p.deps.foreach { dep =>
           if ((dep.dep == "root" || dep.dep == "ccomp") &&
-            Set("include", "mean", "contain", "hold")
-              .contains(p.tokens(dep.to).lemma)) {
+            DefinitionVerbs.contains(p.tokens(dep.to).lemma)) {
             val v = dep.to
             val subj = p.out(v).filter(_.dep == "subj").map(_.to)
             val objs = p.out(v).filter(_.dep == "obj").map(_.to)
@@ -1276,6 +1274,29 @@ object DocKernel {
 
   private val RetractVerbLemmas = Set("end", "cease", "stop", "discontinue")
 
+  /** Intransitive-transmission verbs (annotateCollection): hoisted out of
+    * the per-entry hot loop — the literal Set allocated per evaluation
+    * (round-7 allocation pass; same fix family as allocation pass 3). */
+  private val FlowVerbs = Set("stream", "flow", "transfer", "convey", "go", "hop")
+
+  // round-7 allocation pass: more literal Sets hoisted out of per-dep /
+  // per-token / per-candidate loops (allocated on every evaluation before)
+  private val PageActivityVerbs = Set("load", "visit", "view", "render", "open")
+  private val ContainerVerbs = Set("contain", "include", "hold")
+  private val DefinitionVerbs = Set("include", "mean", "contain", "hold")
+  private val StayVerbs = Set("go", "remain", "stay")
+  private val PeriodNouns = Set("day", "week", "month", "year", "period",
+    "time", "instance", "duration")
+  private val DenyDets = Set("this", "that", "these", "those", "any", "such",
+    "various", "certain")
+  private val TrivialPurposeWords = Set("purpose", "reason", "use", "data", "datum",
+    "information", "u", "period", "time",
+    "some", "all", "any", "variety", "category", "example", "more", "such",
+    "another", "other", "following", "follow", "below", "additional",
+    "certain", "similar", "limited", "various", "further", "enough",
+    "e.g.", "i.e.", "etc", "which", "that", "collectively", "hereinafter",
+    "detailed")
+
   def annotateCollection(st: DocState): Unit = {
     st.docs.foreach { d =>
       // discontinued practices: "<statement>; that practice ended in 2024."
@@ -1463,7 +1484,7 @@ object DocKernel {
                 // dummy 'it'
                 (m.verb > p.start && p.tokens(m.verb - 1).lemma == "to" &&
                   ents.nonEmpty && ents.forall(t2 => d.toks(t2).lemma == "it")) ||
-                (Set("stream", "flow", "transfer", "convey", "go", "hop").contains(p.tokens(m.verb).lemma) &&
+                (FlowVerbs.contains(p.tokens(m.verb).lemma) &&
                   m.args.lift(2).exists(r => r.nonEmpty && !r.exists(h =>
                     p.chunkOf(h).exists(c =>
                       (c.start until h).exists(k => p.tokens(k).lemma == "our"))))) ||
@@ -1750,7 +1771,7 @@ object DocKernel {
           // verb's class
           p.deps.foreach { dep =>
             if ((dep.dep == "root" || dep.dep == "ccomp") &&
-              Set("go", "remain", "stay").contains(p.tokens(dep.to).lemma)) {
+              StayVerbs.contains(p.tokens(dep.to).lemma)) {
               val v = dep.to
               val unTok = (v + 1 until math.min(p.end, v + 3)).find { j =>
                 val tx = graft.nlp.Lexicon.lower(p.tokens(j).text)
@@ -1866,13 +1887,7 @@ object DocKernel {
     // the reference's TRIVIAL_WORDS (utils.py:9-14) + the domain nouns the
     // purpose validator already ignored — a span of only these words is not
     // a purpose ("for example ...", "for this reason", ...)
-    val trivial = Set("purpose", "reason", "use", "data", "datum",
-      "information", "u", "period", "time",
-      "some", "all", "any", "variety", "category", "example", "more", "such",
-      "another", "other", "following", "follow", "below", "additional",
-      "certain", "similar", "limited", "various", "further", "enough",
-      "e.g.", "i.e.", "etc", "which", "that", "collectively", "hereinafter",
-      "detailed")
+    val trivial = TrivialPurposeWords
     st.docs.foreach { d =>
       // data types already on the receiving end of a COLLECT-family edge
       d.parses.foreach { p =>
@@ -1954,11 +1969,11 @@ object DocKernel {
     val rootTok = p.tokens(root)
     if (rootTok.lemma == "collect") return false
     // deny: for + time-period noun
-    val period = Set("day", "week", "month", "year", "period", "time", "instance", "duration")
+    val period = PeriodNouns
     if (rootTok.lemma == "for" &&
       p.out(root).exists(e => period.contains(p.tokens(e.to).lemma))) return false
     // deny: this/that/such/nummod purpose|reason|use
-    val denyDet = Set("this", "that", "these", "those", "any", "such", "various", "certain")
+    val denyDet = DenyDets
     val hasDenied = spanToks.exists { k =>
       val t = p.tokens(k)
       PurposeNouns.contains(t.lemma) && {

@@ -14,6 +14,10 @@ import graft.kg.Normalizer.Mention
   */
 object GraphBuilder {
 
+  // round-7 allocation pass: `Ordering[String].reverse` allocated a wrapper
+  // ordering per normalized token in step 6 — hoisted (identical ordering)
+  private val ReverseStringOrd: Ordering[String] = Ordering[String].reverse
+
   /** Small deterministic directed multigraph keyed by (u, v, rel), with
     * per-endpoint adjacency indexes — inE/outE were linear edge scans
     * allocating a Vector per call inside per-node loops (kernel allocation
@@ -202,8 +206,10 @@ object GraphBuilder {
     // ---- Step 3: subsum/coref BFS with type propagation ----------------
     val gSubsum = new Digraph
     val gCoref = new Digraph
-    val queue = mutable.Queue[Src](tokenType.keys.toSeq: _*)
-    val visited = mutable.Set[Src](tokenType.keys.toSeq: _*)
+    // seed without the two intermediate toSeq copies (same iteration order)
+    val queue = mutable.Queue.empty[Src]
+    val visited = mutable.Set.empty[Src]
+    tokenType.keys.foreach { s => queue.enqueue(s); visited += s }
     while (queue.nonEmpty) {
       val s1 = queue.dequeue()
       val t = tokenType(s1)
@@ -281,7 +287,7 @@ object GraphBuilder {
             case _ =>
           }
           terms.foreach(t => nodeTypeOf(t) = tt)
-          termsOf(src) = terms.toVector.sorted(Ordering[String].reverse)
+          termsOf(src) = terms.toVector.sorted(ReverseStringOrd)
       }
     }
     def terms(s: Src): Vector[String] = termsOf.getOrElse(s, Vector.empty)
@@ -374,20 +380,44 @@ object GraphBuilder {
       }
     }
 
-    val triples = finalEdges.toVector.collect {
+    // round-7 allocation pass: the old chain per edge was
+    // refs.distinct.filter(seg>=0).sorted.flatMap(sentText.get) — four
+    // intermediate collections plus an Option per lookup. Filter into one
+    // reused array, sort, and dedupe adjacent instead; the result (sorted
+    // distinct real srcs in (seg, tok) order → their sentences) is
+    // identical, because sorted-then-adjacent-dedupe equals
+    // distinct-then-sorted for any multiset.
+    var refArr = new Array[Src](16)
+    val triples = Vector.newBuilder[Triple]
+    finalEdges.foreach {
       case ((n1, n2, rel), (refs, purp)) if reach.contains(n1) && reach.contains(n2) =>
         // synthetic srcs (ImplicitWe seg=-1, activity terms seg=-2) are
         // shared per document, so their pinned first-use sentence can be
         // unrelated to this edge — every edge also has a real-src partner
         // carrying the right sentence, so synthetics contribute no evidence
-        val allText = refs.distinct.filter(_.seg >= 0).sorted
-          .flatMap(s => st.sentText.get(s)).toVector
-        val kept = dedupBySubstring(allText)
-        Triple(st.url, n1, nodeTypeOf.getOrElse(n1, ""), rel, n2,
+        if (refs.length > refArr.length) refArr = new Array[Src](refs.length)
+        var n = 0
+        refs.foreach { s => if (s.seg >= 0) { refArr(n) = s; n += 1 } }
+        java.util.Arrays.sort(refArr, 0, n, Src.ord)
+        val tb = Vector.newBuilder[String]
+        var prev: Src = null
+        var i = 0
+        while (i < n) {
+          val s = refArr(i)
+          if (s != prev) {
+            val t = st.sentText.getOrElse(s, null)
+            if (t != null) tb += t
+          }
+          prev = s
+          i += 1
+        }
+        val kept = dedupBySubstring(tb.result())
+        triples += Triple(st.url, n1, nodeTypeOf.getOrElse(n1, ""), rel, n2,
           nodeTypeOf.getOrElse(n2, ""), kept,
           purp.map { case (k, v) => k -> v.toVector.distinct }.toMap)
+      case _ =>
     }
-    val out = triples.sortBy(t => (t.subj, t.pred, t.obj))
+    val out = triples.result().sortBy(t => (t.subj, t.pred, t.obj))
     BuildProbe.mark("s9_trim")
     out
   }
@@ -453,26 +483,42 @@ object GraphBuilder {
     * subset (build_graph.py:201-240 / SO1). */
   private def reduceCollect(gc: MultiDigraph, gs: Digraph, tokenType: mutable.Map[Src, String]): Unit = {
     val toRemove = mutable.Set[(Src, Src, String)]()
-    gc.nodes.toVector.sortBy(identity).foreach { u =>
+    // round-7 allocation pass: node set built by direct iteration (the old
+    // `nodes` helper allocated a Seq per edge) and the pair scan as while
+    // loops (the for-comprehension allocated a closure chain per index) —
+    // identical visit order: nodes ascending, then (i, j) row-major.
+    val nodeSet = mutable.Set[Src]()
+    gc.edges.foreach { e => nodeSet += e._1; nodeSet += e._2 }
+    val nodeArr = nodeSet.toArray
+    java.util.Arrays.sort(nodeArr, Src.ord)
+    var ui = 0
+    while (ui < nodeArr.length) {
+      val u = nodeArr(ui)
       val (edges, otherIdx) = tokenType.getOrElse(u, "") match {
         case "DATA" => (gc.inE(u).sortBy(e => (e._1, e._3)), 0)
         case "ACTOR" => (gc.outE(u).sortBy(e => (e._2, e._3)), 1)
         case _ => (Vector.empty, 0)
       }
-      for {
-        i <- edges.indices
-        j <- edges.indices if i != j
-      } {
-        val e1 = edges(i); val e2 = edges(j)
-        val v1 = if (otherIdx == 0) e1._1 else e1._2
-        val v2 = if (otherIdx == 0) e2._1 else e2._2
-        if (e1._3 == e2._3 && !toRemove.contains(e1) && v1 != v2 &&
-          gs.hasNode(v1) && gs.hasNode(v2) && gs.hasPath(v1, v2)) {
-          val p1 = gc.purposes.getOrElse(e1, Set.empty)
-          val p2 = gc.purposes.getOrElse(e2, Set.empty)
-          if (p2.subsetOf(p1)) toRemove += e2
+      var i = 0
+      while (i < edges.length) {
+        var j = 0
+        while (j < edges.length) {
+          if (i != j) {
+            val e1 = edges(i); val e2 = edges(j)
+            val v1 = if (otherIdx == 0) e1._1 else e1._2
+            val v2 = if (otherIdx == 0) e2._1 else e2._2
+            if (e1._3 == e2._3 && !toRemove.contains(e1) && v1 != v2 &&
+              gs.hasNode(v1) && gs.hasNode(v2) && gs.hasPath(v1, v2)) {
+              val p1 = gc.purposes.getOrElse(e1, Set.empty)
+              val p2 = gc.purposes.getOrElse(e2, Set.empty)
+              if (p2.subsetOf(p1)) toRemove += e2
+            }
+          }
+          j += 1
         }
+        i += 1
       }
+      ui += 1
     }
     toRemove.foreach(gc.removeEdge)
   }

@@ -148,6 +148,10 @@ object RuleNlp {
   // constant word sets hoisted out of per-token/per-sentence hot loops
   private val AccessVerbs = Set("have", "get", "gain", "request", "grant")
 
+  // round-7 allocation pass: literal Sets hoisted out of per-token loops
+  private val LightShelterNouns = Set("shelter", "refuge", "berth", "way", "home")
+  private val SubjPronLemmas = Set("we", "you", "they", "i", "it")
+
   /** True modals — a following base form must be a verb (bare infinitive). */
   private val ModalAux = Set("may", "might", "can", "could", "will", "would",
     "shall", "should", "must")
@@ -344,7 +348,7 @@ object RuleNlp {
           // verb's object, not a second predicate ("finds shelter in our
           // vault", "takes refuge") — batch 17
           if (t.pos == "VERB" &&
-            Set("shelter", "refuge", "berth", "way", "home").contains(t.lemma) &&
+            LightShelterNouns.contains(t.lemma) &&
             (prev == "VERB") && Lexicon.isLower(t.text) && t.text == t.lemma)
             t.pos = "NOUN"
 
@@ -552,7 +556,7 @@ object RuleNlp {
             // an adverb may intervene ("it also banks billing records")
             val j = if (toks(i - 1).pos == "ADV" && i > 1) i - 2 else i - 1
             toks(j).pos == "PRON" &&
-              Set("we", "you", "they", "i", "it").contains(toks(j).lemma)
+              SubjPronLemmas.contains(toks(j).lemma)
           }
         // a base-form verb candidate right after a modal/auxiliary is the
         // clause's verb even when its lemma is a dictionary entity ("we

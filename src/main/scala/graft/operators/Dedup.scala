@@ -33,7 +33,7 @@ object Dedup {
     * in plain JVM code: `split(text, " ")` with Java's keep-trailing-empties
     * limit (-1) mirrors Spark's `split`, and each shingle is words[i, i+3)
     * joined by a single space (`concat_ws` over a null-free array). */
-  private[operators] def shingleStrings(text: String, n: Int): Array[String] = {
+  private[graft] def shingleStrings(text: String, n: Int): Array[String] = {
     val words = text.split(" ", -1)
     val t = words.length
     val nSh = math.max(t - n, 0) + 1
@@ -271,7 +271,7 @@ object Dedup {
   /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]
     * (splitmix64 finalizer over (plane, coord) — computed ONCE on the driver
     * and shipped as literal arrays, never re-derived per row). */
-  private def planeCoeff(p: Int, c: Int): Double = {
+  private[graft] def planeCoeff(p: Int, c: Int): Double = {
     var z = (p.toLong << 32) ^ (c.toLong & 0xffffffffL)
     z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
     z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
