@@ -51,16 +51,21 @@ object ScaleProbe {
     (tmx.getThreadAllocatedBytes(tid) - a0).toDouble / nDocs
   }
 
-  /** Per-stage allocation breakdown (same ThreadMXBean counter). */
+  /** Per-stage allocation breakdown (same ThreadMXBean counter), plus wall
+    * time per doc for the same bracket (round-7: time attribution next to
+    * the allocation attribution — they do not always rank stages the same
+    * way). */
   private def allocBreakdown(nDocs: Int): Unit = {
     val tmx = java.lang.management.ManagementFactory.getThreadMXBean
       .asInstanceOf[com.sun.management.ThreadMXBean]
     val tid = Thread.currentThread().getId
     def measure(label: String)(f: Int => Unit): Unit = {
       val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
       var i = 0
       while (i < nDocs) { f(i); i += 1 }
-      println(f"  $label%-12s ${(tmx.getThreadAllocatedBytes(tid) - a0).toDouble / nDocs / 1024}%.1f KiB/doc")
+      val usPerDoc = (System.nanoTime() - t0) / 1e3 / nDocs
+      println(f"  $label%-12s ${(tmx.getThreadAllocatedBytes(tid) - a0).toDouble / nDocs / 1024}%.1f KiB/doc  $usPerDoc%.0f us/doc")
     }
     measure("genPage")(i => CorpusGen.genPage(i, 42L))
     val pages = (0 until nDocs).map(CorpusGen.genPage(_, 42L))
