@@ -380,9 +380,11 @@ object AliasResolution {
     var activeSizes = Vector.empty[Long]
     var activeEdges = -1L
 
-    // quotient the edges by current labels, park vertices that left the
-    // graph, shrink the active labels frame to the survivors
-    def contractAndPark(): Unit = {
+    // quotient the edges by the current labels; counts FIRST so the bounded
+    // regimes below are known before any |V|-sized work happens (guide §3.1
+    // — size estimates on checkpointed frames are unknown, so the planner
+    // cannot pick broadcast strategies on its own)
+    def contract(): Unit = {
       val l1 = labels.select(col("vertex").as("v1"), col("component").as("c1"))
       val l2 = labels.select(col("vertex").as("v2"), col("component").as("c2"))
       val contracted = und.join(l1, und("src") === col("v1"))
@@ -392,23 +394,25 @@ object AliasResolution {
         .distinct().localCheckpoint(true)
       und.unpersist()
       und = contracted
-      // count the quotient FIRST: when it is already inside the bounded
-      // local-finish regime, the active-vertex set is provably tiny
-      // (≤ 2·|contracted edges|) and the membership join below can be a
-      // broadcast join instead of shuffling the full |V| labels frame
-      // (guide §3.1 — size estimates on checkpointed frames are unknown, so
-      // the planner would otherwise pick sort-merge and move ~|V| rows).
-      val contractedEdges = contracted.count()
+      checkpoints ::= contracted
+      activeEdges = contracted.count()
       phase("contract: quotient join")
-      val activeV0 = contracted.select(col("src").as("vertex"))
-        .union(contracted.select(col("dst").as("vertex"))).distinct()
-      val activeV = if (contractedEdges <= localFinishEdges) broadcast(activeV0) else activeV0
+    }
+
+    // park vertices that left the contracted graph, shrink the active
+    // labels frame to the survivors
+    def park(): Unit = {
+      val activeV0 = und.select(col("src").as("vertex"))
+        .union(und.select(col("dst").as("vertex"))).distinct()
+      // when the quotient is inside the bounded local-finish regime the
+      // active-vertex set is provably tiny (≤ 2·|quotient|): broadcast the
+      // membership join instead of shuffling the full |V| labels frame
+      val activeV = if (activeEdges <= localFinishEdges) broadcast(activeV0) else activeV0
       // one materialization of the flag join; parked/kept are cheap filters
       val flagged = labels.join(activeV.withColumn("_a", lit(1)), Seq("vertex"), "left_outer")
         .localCheckpoint(true)
       phase("contract: flag join")
       checkpoints ::= flagged
-      checkpoints ::= contracted
       val parked = flagged.filter(col("_a").isNull)
         .select(col("vertex"), col("component"))
       val kept = flagged.filter(col("_a").isNotNull)
@@ -417,8 +421,33 @@ object AliasResolution {
       if (!parked.isEmpty) parkedLayers ::= parked
       labels = kept
       activeSizes :+= kept.count()
-      activeEdges = contractedEdges
       phase("contract: park/keep counts")
+    }
+
+    def contractAndPark(): Unit = { contract(); park() }
+
+    /** Driver union-find over the current (bounded) quotient edge list:
+      * (root map, distinct quotient vertices in first-seen order). */
+    def quotientUnionFind(): (scala.collection.mutable.HashMap[String, String], Vector[String]) = {
+      val rows = und.select(col("src"), col("dst")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { e =>
+        val (ra, rb) = (find(e.getString(0)), find(e.getString(1)))
+        // union by min keeps every root at its component minimum
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val verts = rows.iterator
+        .flatMap(e => Iterator(e.getString(0), e.getString(1))).distinct.toVector
+      val roots = scala.collection.mutable.HashMap.empty[String, String]
+      verts.foreach(v => roots(v) = find(v))
+      (roots, verts)
     }
 
     // driver-side union-find over the (bounded) residual quotient graph;
@@ -426,33 +455,59 @@ object AliasResolution {
     def finishLocally(): Boolean = {
       if (activeEdges == 0L || activeEdges > localFinishEdges) false
       else {
-        val rows = und.select(col("src"), col("dst")).collect()
-        val parent = scala.collection.mutable.HashMap.empty[String, String]
-        def find(x: String): String = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        rows.foreach { e =>
-          val (ra, rb) = (find(e.getString(0)), find(e.getString(1)))
-          // union by min keeps every root at its component minimum
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        val verts = rows.iterator
-          .flatMap(e => Iterator(e.getString(0), e.getString(1))).distinct.toVector
+        val (roots, verts) = quotientUnionFind()
         val sp = edges.sparkSession
         import sp.implicits._
         labels.unpersist()
-        labels = verts.map(v => (v, find(v))).toDF("vertex", "component")
+        labels = verts.map(v => (v, roots(v))).toDF("vertex", "component")
         true
       }
     }
 
     // star graphs converge at seed time: contract immediately so the
     // iterate phase never touches their labels or edges at all
-    contractAndPark()
+    contract()
+
+    // Round-7 fast finish at the FIRST contraction (guide §2.4 — remove
+    // whole passes): when the seed quotient is empty or already inside the
+    // bounded local-finish regime, the flag-join / parking / kept-count /
+    // layer-resolution machinery (three full |V|-row passes plus a |V|-row
+    // checkpoint) collapses into at most ONE broadcast map-join over the
+    // seed labels. Correctness: any vertex's seed label c = least(v,
+    // minNbr(v)) is itself a vertex one hop away, so either cluster-c has
+    // a crossing edge (then c is a quotient node and the edge (v, c) makes
+    // find(c) = find(v)), or cluster-c has none (then the component IS
+    // cluster-c, flat at its minimum c) — the same invariant the parking
+    // path relies on, applied to every vertex at once. The general
+    // distributed path below is untouched for quotients above the bound
+    // (and for localFinishEdges = 0, which the adversarial tests use).
+    if (activeEdges == 0L) {
+      activeSizes :+= 0L
+      val out = labels.select(col("vertex"), col("component")).localCheckpoint(true)
+      phase("fast finish (seed-converged)")
+      checkpoints.foreach(_.unpersist())
+      labels.unpersist()
+      und.unpersist()
+      return (out, 0, activeSizes)
+    }
+    if (activeEdges <= localFinishEdges) {
+      val (roots, verts) = quotientUnionFind()
+      activeSizes :+= verts.size.toLong
+      val sp = edges.sparkSession
+      import sp.implicits._
+      val m = verts.map(v => (v, roots(v))).toDF("rv", "rc")
+      val resolvedAll = labels
+        .join(broadcast(m), labels("component") === col("rv"), "left_outer")
+        .select(labels("vertex"),
+          coalesce(col("rc"), labels("component")).as("component"))
+      val out = resolvedAll.localCheckpoint(true)
+      phase("fast finish (bounded quotient)")
+      checkpoints.foreach(_.unpersist())
+      labels.unpersist()
+      und.unpersist()
+      return (out, 0, activeSizes)
+    }
+    park()
 
     var changed = if (activeSizes.last == 0L || finishLocally()) 0L else 1L
     phase("local finish")
