@@ -126,12 +126,16 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val banded = minhashBands(docs)
     val bands = banded.columns.filter(_.startsWith("band"))
-    // explode to (band_key, doc_id) then self-join per bucket
+    // explode to (band_key, doc_id) then self-join per bucket. The (b, h)
+    // frame feeds three subtrees (bucket sizes + both self-join sides);
+    // localCheckpoint (lazy, per-invocation — not CacheManager-matchable
+    // by later identical queries) computes the signature pass once.
     val kv0 = banded.select(col("doc_id"),
       explode(array(bands.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("b"), col(c).as("h"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.h").as("h"))
+      .localCheckpoint(false)
     val kv = capBuckets(kv0, Seq("b", "h"), maxBucket)
     val pairs = kv.as("l").join(kv.as("r"),
         col("l.b") === col("r.b") && col("l.h") === col("r.h") &&
